@@ -1,0 +1,132 @@
+"""zstd section codec (host side).
+
+Each NAF section is one zstd frame stored minus its 4-byte frame magic
+(compressor parity: ennaf/src/compressor.c:150-173; decoder re-injects it,
+unnaf/src/utils.c:144-150).
+
+Design notes for the TPU build:
+  * compression of independent sections, and of job-split input within a
+    section, runs on host CPU threads (``threads=N`` maps to zstd's internal
+    job splitting, which still emits a single reference-decodable frame);
+  * the device pipeline hands this layer already-packed section bytes
+    (4-bit codes, RLE mask units, length units) as numpy buffers;
+  * an extended multi-frame mode for tnaf<->tnaf parallel decode is gated
+    behind the reserved extended-format flag (spec §2.4) in later rounds.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional
+
+import zstandard as zstd
+
+from ..format.constants import ZSTD_FRAME_MAGIC
+
+#: zstd window-log hard bounds (matches ZSTD_WINDOWLOG_MIN/MAX used by ennaf).
+WINDOWLOG_MIN = 10
+WINDOWLOG_MAX = 31
+
+MIN_CLEVEL = -131072
+MAX_CLEVEL = 22
+
+
+def _compressor(level: int, window_log: int = 0, threads: int = 0) -> zstd.ZstdCompressor:
+    if window_log:
+        params = zstd.ZstdCompressionParameters.from_level(
+            level,
+            window_log=window_log,
+            enable_ldm=True,
+            threads=threads,
+        )
+        return zstd.ZstdCompressor(compression_params=params)
+    if threads:
+        params = zstd.ZstdCompressionParameters.from_level(level, threads=threads)
+        return zstd.ZstdCompressor(compression_params=params)
+    return zstd.ZstdCompressor(level=level)
+
+
+class SectionCompressor:
+    """Streaming single-frame compressor for one section.
+
+    Feed with `write(data)` calls; `finish()` returns the magic-stripped frame.
+    Mirrors the reference's per-section ZSTD_CStream usage
+    (ennaf/src/compressor.c:119-147) but keeps output in RAM.
+    """
+
+    def __init__(self, level: int = 1, window_log: int = 0, threads: int = 0):
+        self._chunks: list[bytes] = []
+        self._uncompressed = 0
+        cctx = _compressor(level, window_log, threads)
+        self._obj = cctx.compressobj()
+        self._finished = False
+
+    @property
+    def uncompressed_size(self) -> int:
+        return self._uncompressed
+
+    def write(self, data) -> None:
+        mv = memoryview(data)
+        if mv.nbytes == 0:
+            return
+        self._uncompressed += mv.nbytes
+        out = self._obj.compress(mv)
+        if out:
+            self._chunks.append(out)
+
+    def finish(self) -> bytes:
+        """End the frame and return payload with the 4-byte magic stripped."""
+        assert not self._finished
+        self._finished = True
+        tail = self._obj.flush(zstd.COMPRESSOBJ_FLUSH_FINISH)
+        if tail:
+            self._chunks.append(tail)
+        frame = b"".join(self._chunks)
+        self._chunks = []
+        if len(frame) < 4 or frame[:4] != ZSTD_FRAME_MAGIC:
+            raise RuntimeError("compression failed")
+        return frame[4:]
+
+
+def compress_section(data, level: int = 1, window_log: int = 0, threads: int = 0) -> bytes:
+    c = SectionCompressor(level=level, window_log=window_log, threads=threads)
+    c.write(data)
+    return c.finish()
+
+
+def decompress_section(payload: bytes, uncompressed_size: int) -> bytes:
+    """One-shot decode of a magic-stripped section payload."""
+    dctx = zstd.ZstdDecompressor(max_window_size=1 << WINDOWLOG_MAX)
+    out = dctx.decompress(
+        ZSTD_FRAME_MAGIC + payload, max_output_size=max(uncompressed_size, 1)
+    )
+    if len(out) != uncompressed_size:
+        raise RuntimeError("section decompression size mismatch")
+    return out
+
+
+class SectionDecompressor:
+    """Streaming decoder for a magic-stripped section payload.
+
+    `feed()` compressed chunks (the first must be prefixed implicitly with the
+    zstd magic, handled here); iterate decompressed chunks.
+    """
+
+    def __init__(self):
+        dctx = zstd.ZstdDecompressor(max_window_size=1 << WINDOWLOG_MAX)
+        self._obj = dctx.decompressobj()
+        self._first = True
+
+    def feed(self, chunk: bytes) -> bytes:
+        if self._first:
+            chunk = ZSTD_FRAME_MAGIC + chunk
+            self._first = False
+        return self._obj.decompress(chunk)
+
+
+def iter_decompress(payload: bytes, chunk_size: int = 1 << 20) -> Iterator[bytes]:
+    """Yield decompressed chunks of a magic-stripped section payload."""
+    d = SectionDecompressor()
+    for off in range(0, len(payload), chunk_size):
+        out = d.feed(payload[off:off + chunk_size])
+        if out:
+            yield out

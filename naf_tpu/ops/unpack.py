@@ -1,0 +1,106 @@
+"""4-bit nucleotide unpacking — the decoder's hottest per-byte transform.
+
+Reference behavior: unnaf writes two ASCII chars per packed byte through a
+256->u16 LUT (unnaf/src/utils.c:74-83, output.c:433-454).
+
+TPU design: nibble split on the VPU + arithmetic 16-way select for the
+code->char map, interleave via a (m, 2) reshape.  RNA renders code 1 as 'U'
+(unnaf/src/unnaf.c:369).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..format import constants as C
+
+_DNA_CHARS = tuple(C.CODE_TO_NUC_DNA.tolist())
+_RNA_CHARS = tuple(C.CODE_TO_NUC_RNA.tolist())
+
+
+def _code_to_char(codes: jnp.ndarray, rna: bool) -> jnp.ndarray:
+    """4-bit codes -> ASCII, arithmetically (i32 compute; see pack.py)."""
+    chars = _RNA_CHARS if rna else _DNA_CHARS
+    ci = codes.astype(jnp.int32)
+    out = jnp.full_like(ci, chars[15])
+    for code in range(15):
+        out = jnp.where(ci == code, chars[code], out)
+    return out.astype(jnp.uint8)
+
+
+def _unpack_array(packed: jnp.ndarray, rna: bool) -> jnp.ndarray:
+    lo = _code_to_char(packed & 15, rna)
+    hi = _code_to_char(packed >> 4, rna)
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
+@functools.partial(jax.jit, static_argnames=("rna",))
+def unpack_4bit_xla(packed: jnp.ndarray, rna: bool = False) -> jnp.ndarray:
+    """packed: u8[M] -> u8[2M] ASCII."""
+    return _unpack_array(packed, rna)
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+_LANES = 128
+
+
+def _unpack_kernel(rna: bool, packed_ref, lo_ref, hi_ref):
+    x = packed_ref[:].astype(jnp.int32)  # widen: no 8-bit vector shifts on TPU
+    lo_ref[:] = _code_to_char(x & 15, rna)
+    hi_ref[:] = _code_to_char(x >> 4, rna)
+
+
+@functools.partial(jax.jit, static_argnames=("rna", "interpret"))
+def unpack_4bit_pallas(packed: jnp.ndarray, rna: bool = False,
+                       interpret: bool = False) -> jnp.ndarray:
+    m = packed.shape[0]
+    assert m % _LANES == 0, m
+    rows = m // _LANES
+    block_rows = min(rows, 2048)
+    grid = (pl.cdiv(rows, block_rows),)
+    spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    x2 = packed.reshape(rows, _LANES)
+    lo, hi = pl.pallas_call(
+        functools.partial(_unpack_kernel, rna),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((rows, _LANES), jnp.uint8),
+        ),
+        grid=grid,
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        interpret=interpret,
+    )(x2)
+    # interleave in XLA: out[2i] = lo[i], out[2i+1] = hi[i]
+    return jnp.stack([lo, hi], axis=-1).reshape(rows * 2 * _LANES)
+
+
+def unpack_4bit(packed_np: np.ndarray, total_chars: int, rna: bool = False,
+                backend: str | None = None) -> np.ndarray:
+    """Host wrapper: unpack 4-bit codes to `total_chars` ASCII bytes."""
+    from .pack import bucket_size, default_backend  # avoid cycle at import time
+
+    packed_np = np.ascontiguousarray(packed_np, dtype=np.uint8)
+    if packed_np.size == 0:
+        return np.zeros(0, dtype=np.uint8)
+    m = packed_np.size
+    backend = backend or default_backend(2 * m)
+    if backend == "pallas":
+        padded = np.pad(packed_np, (0, bucket_size(m, _LANES) - m))
+        out = np.asarray(unpack_4bit_pallas(jnp.asarray(padded), rna=rna))
+    elif backend == "numpy":
+        lut = C.CODES_TO_NUCS_RNA if rna else C.CODES_TO_NUCS_DNA
+        out = lut[packed_np].reshape(-1)
+    else:
+        padded = np.pad(packed_np, (0, bucket_size(m, 1) - m))
+        out = np.asarray(unpack_4bit_xla(jnp.asarray(padded), rna=rna))
+    return out[:total_chars]

@@ -1,0 +1,368 @@
+"""NAF decoder pipeline: container -> sections -> device transform -> output.
+
+TPU-first redesign of unnaf (unnaf/src/unnaf.c, output*.c): instead of
+streaming bytes through small buffers with per-record state machines, whole
+sections are decompressed and rendered with vectorized transforms:
+
+  * 4-bit unpack     -> Pallas VPU kernel (ops.unpack)
+  * mask application -> RLE expansion via searchsorted + vector add
+  * FASTA wrapping   -> output-index gather (ops.render)
+  * record assembly  -> ragged scatter (ops.assemble)
+  * charcount        -> device scatter-add histogram
+
+Partial outputs preserve the reference's cheap-query behavior: only the
+sections needed are decompressed; earlier sections are skipped (streamed
+past) without decoding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+from ..codec import decompress_section
+from ..format import constants as C
+from ..format.container import NafFormatError, NafReader
+from ..ops.assemble import Column, const_column, ragged_concat, split_blob
+from ..ops.histogram import charcount_np, format_charcount
+from ..ops.mask import apply_mask_np, expand_mask_np, merge_units
+from ..ops.render import body_length, wrap_records_np
+from ..ops.unpack import unpack_4bit
+
+
+class DecodeError(ValueError):
+    """Fatal decode error; message mirrors unnaf's die() text."""
+
+
+@dataclass
+class DecodeOptions:
+    use_mask: bool = True
+    line_length: Optional[int] = None
+
+
+_MAXU32 = np.uint32(C.LENGTH_UNIT_MAX)
+
+
+def merge_u32_lengths(units: np.ndarray) -> np.ndarray:
+    """u32 length units -> u64 per-record lengths (0xFFFFFFFF continuation).
+
+    Parity: unnaf/src/output.c:185-197.
+    """
+    units = np.ascontiguousarray(units, dtype=np.uint32)
+    if units.size == 0:
+        return np.zeros(0, dtype=np.uint64)
+    u = units.astype(np.uint64)
+    terminal = units != _MAXU32
+    csum = np.concatenate([np.zeros(1, np.uint64), np.cumsum(u)])
+    term_idx = np.flatnonzero(terminal)
+    ends = csum[term_idx + 1]
+    starts = np.concatenate([np.zeros(1, np.uint64), ends[:-1]])
+    out = ends - starts
+    if term_idx.size == 0 or term_idx[-1] != units.size - 1:
+        tail_start = ends[-1] if term_idx.size else 0
+        out = np.concatenate([out, np.asarray([csum[-1] - tail_start], np.uint64)])
+    return out
+
+
+class Decoder:
+    """One NAF archive opened for reading."""
+
+    def __init__(self, f: BinaryIO, opts: DecodeOptions | None = None):
+        self.r = NafReader(f)
+        self.h = self.r.header
+        self.opts = opts or DecodeOptions()
+        self._lengths_units: Optional[np.ndarray] = None
+        self._ids_blob: Optional[bytes] = None
+        self._comments_blob: Optional[bytes] = None
+        self._mask_units: Optional[np.ndarray] = None
+        self._seq: Optional[np.ndarray] = None          # rendered chars
+        self._total_seq_len: Optional[int] = None
+
+    # ---- container-level info ------------------------------------------
+
+    @property
+    def is_nucleotide(self) -> bool:
+        return self.h.seq_type <= C.SEQ_TYPE_RNA
+
+    def format_name(self) -> bytes:
+        q = " with qualities" if self.h.has_quality else ""
+        return f"{self.h.seq_type_name} sequences{q} in NAF format version {self.h.format_version}\n".encode()
+
+    def part_list(self) -> bytes:
+        names = [
+            ("Title", self.h.has_title), ("IDs", self.h.has_ids),
+            ("Names", self.h.has_comments), ("Lengths", self.h.has_lengths),
+            ("Mask", self.h.has_mask), ("Data", self.h.has_sequence),
+            ("Quality", self.h.has_quality),
+        ]
+        present = [n for n, p in names if p]
+        return (", ".join(present) + "\n").encode()
+
+    def part_sizes(self) -> bytes:
+        self.r.read_counters()
+        out = []
+        if self.h.has_title:
+            title = self.r.load_title()
+            out.append(f"Title: {len(title)}\n")
+        labels = [("ids", "IDs"), ("comments", "Names"), ("lengths", "Lengths"),
+                  ("mask", "Mask"), ("sequence", "Data"), ("quality", "Quality")]
+        for key, label in labels:
+            if getattr(self.h, self.r._FLAG_ATTR[key]):
+                u, c = self.r.section_sizes(key)
+                self.r._skip_ahead(c)
+                # match C's printf %.3f for the u == 0 case (prints inf/-nan)
+                if u:
+                    out.append(f"{label}: {c} / {u} ({c / u * 100:.3f}%)\n")
+                else:
+                    out.append(f"{label}: {c} / {u} ({'inf' if c else '-nan'}%)\n")
+        return "".join(out).encode()
+
+    # ---- section loads ----------------------------------------------------
+
+    def _load_ids(self) -> bytes:
+        if self._ids_blob is None:
+            u, payload = self.r.load_section("ids")
+            self._ids_blob = decompress_section(payload, u)
+        return self._ids_blob
+
+    def _load_comments(self) -> bytes:
+        if self._comments_blob is None:
+            u, payload = self.r.load_section("comments")
+            self._comments_blob = decompress_section(payload, u)
+        return self._comments_blob
+
+    def _load_length_units(self) -> np.ndarray:
+        if self._lengths_units is None:
+            u, payload = self.r.load_section("lengths")
+            raw = decompress_section(payload, u)
+            self._lengths_units = np.frombuffer(raw, dtype="<u4")
+        return self._lengths_units
+
+    def _load_mask_units(self) -> np.ndarray:
+        if self._mask_units is None:
+            u, payload = self.r.load_section("mask")
+            raw = decompress_section(payload, u)
+            self._mask_units = np.frombuffer(raw, dtype=np.uint8)
+        return self._mask_units
+
+    def _load_seq_chars(self, masking: bool, text_toupper: bool | None = None) -> np.ndarray:
+        """Decode the sequence section to rendered characters.
+
+        For nucleotide archives: 4-bit unpack (+32 in masked runs).
+        For text/protein: raw bytes; uppercased when mask is ignored
+        (unnaf/src/output.c:363-366,500).
+        """
+        if self._seq is not None:
+            return self._seq
+        mask_runs = None
+        if masking:
+            mask_runs = merge_units(self._load_mask_units())
+        total, payload = self.r.load_section("sequence")
+        self._total_seq_len = total
+        raw = decompress_section(payload, (total + 1) // 2 if self.is_nucleotide else total)
+        if self.is_nucleotide:
+            chars = unpack_4bit(np.frombuffer(raw, dtype=np.uint8), total,
+                                rna=self.h.seq_type == C.SEQ_TYPE_RNA)
+        else:
+            chars = np.frombuffer(raw, dtype=np.uint8).copy()
+            upper = (not self.opts.use_mask) if text_toupper is None else text_toupper
+            if upper:
+                chars = C.TOUPPER[chars]
+        if masking and mask_runs is not None and total:
+            chars = apply_mask_np(chars, expand_mask_np(mask_runs, total))
+        self._seq = chars
+        return chars
+
+    @property
+    def masking(self) -> bool:
+        return self.opts.use_mask and self.h.has_mask
+
+    # ---- metadata outputs ---------------------------------------------------
+
+    def title(self) -> bytes:
+        self.r.read_counters()
+        t = self.r.load_title() if self.h.has_title else b""
+        return t + b"\n"
+
+    def number(self) -> bytes:
+        return f"{self.r.n_sequences}\n".encode()
+
+    def ids(self) -> bytes:
+        if not self.h.has_ids:
+            return b""
+        n = self.r.n_sequences
+        col = split_blob(self._load_ids(), n)
+        return ragged_concat([col, const_column(b"\n", n)], n).tobytes()
+
+    def names(self) -> bytes:
+        n = self.r.n_sequences
+        if not (self.h.has_ids or self.h.has_comments):
+            return b""
+        cols = self._name_columns(n)
+        return ragged_concat(cols + [const_column(b"\n", n)], n).tobytes()
+
+    def _name_columns(self, n: int) -> list[Column]:
+        """Columns rendering id[sep]comment per record (output.c:105-124)."""
+        if self.h.has_ids and not self.h.has_comments:
+            return [split_blob(self._load_ids(), n)]
+        if self.h.has_comments and not self.h.has_ids:
+            self.r.skip_section("ids")
+            return [split_blob(self._load_comments(), n, "names")]
+        idc = split_blob(self._load_ids(), n)
+        com = split_blob(self._load_comments(), n, "names")
+        sep = const_column(self.h.name_separator.encode(), n, present=com.length > 0)
+        return [idc, sep, com]
+
+    def lengths(self) -> bytes:
+        if not self.h.has_lengths:
+            return b""
+        self.r.skip_through("lengths")
+        merged = merge_u32_lengths(self._load_length_units())
+        return ("".join(f"{v}\n" for v in merged.tolist())).encode()
+
+    def total_length(self) -> bytes:
+        if not self.h.has_lengths:
+            return b""
+        self.r.skip_through("sequence")
+        total, c = self.r.section_sizes("sequence")
+        return f"{total}\n".encode()
+
+    def mask(self) -> bytes:
+        if not self.h.has_mask:
+            return b""
+        self.r.skip_through("mask")
+        merged = merge_units(self._load_mask_units())
+        return ("".join(f"{v}\n" for v in merged.tolist())).encode()
+
+    def total_mask_length(self) -> bytes:
+        if not self.h.has_mask:
+            return b"0\n"
+        self.r.skip_through("mask")
+        units = self._load_mask_units()
+        return f"{int(units.astype(np.uint64).sum())}\n".encode()
+
+    def four_bit(self) -> bytes:
+        if not self.h.has_sequence:
+            return b""
+        total, payload = self.r.load_section("sequence")
+        return decompress_section(payload, (total + 1) // 2)
+
+    # ---- sequence outputs -----------------------------------------------------
+
+    def seq_concat(self, masking: Optional[bool] = None) -> bytes:
+        """--seq: the concatenated sequence stream, no separators."""
+        if not self.h.has_sequence:
+            return b""
+        masking = self.masking if masking is None else masking
+        return self._load_seq_chars(masking).tobytes()
+
+    def sequences(self, masking: Optional[bool] = None) -> bytes:
+        """--sequences: one sequence per line, no names."""
+        if not self.h.has_sequence:
+            return b""
+        masking = self.masking if masking is None else masking
+        merged = merge_u32_lengths(self._load_length_units())
+        chars = self._load_seq_chars(masking)
+        if self._total_seq_len == 0:
+            # reference prints nothing when there are no sequence bp
+            # (output-sequences.c:82: loop gated on total_seq_n_bp_remaining)
+            return b""
+        n = merged.size
+        ends = np.cumsum(merged.astype(np.int64))
+        starts = ends - merged.astype(np.int64)
+        col = Column(chars, starts, merged.astype(np.int64))
+        out = ragged_concat([col, const_column(b"\n", n)], n).tobytes()
+        # bytes beyond sum(lengths) spill after the last record, raw
+        # (output-sequences.c:38-43; can occur with quirky archives)
+        if int(ends[-1]) < chars.size:
+            out += chars[int(ends[-1]):].tobytes()
+        return out
+
+    def charcount(self, masking: Optional[bool] = None) -> bytes:
+        if not self.h.has_sequence:
+            return b""
+        masking = self.masking if masking is None else masking
+        chars = self._load_seq_chars(masking)
+        return format_charcount(charcount_np(chars)).encode()
+
+    def fasta(self, masking: Optional[bool] = None) -> bytes:
+        if not self.h.has_sequence:
+            return b""
+        masking = self.masking if masking is None else masking
+        n = self.r.n_sequences
+        line_len = self.r.line_length
+        if self.opts.line_length is not None:
+            line_len = self.opts.line_length
+        name_cols = self._name_columns(n)
+        merged = merge_u32_lengths(self._load_length_units())
+        chars = self._load_seq_chars(masking)
+        if merged.size != n:
+            merged = np.resize(merged, n) if merged.size else np.zeros(n, np.uint64)
+        slens = merged.astype(np.int64)
+        bodies = wrap_records_np(chars[: int(slens.sum())], slens, line_len)
+        blens = body_length(slens, line_len)
+        body_starts = np.concatenate([[0], np.cumsum(blens)[:-1]])
+        cols = (
+            [const_column(b">", n)] + name_cols + [const_column(b"\n", n)]
+            + [Column(bodies, body_starts, blens)]
+        )
+        out = ragged_concat(cols, n).tobytes()
+        # Spill bytes beyond sum(lengths) after the last record, continuing
+        # its line-wrap state (print_dna_buffer_as_fasta tail, output.c:420).
+        used = int(slens.sum())
+        if used < chars.size:
+            out += self._wrap_tail(chars[used:], slens, line_len)
+        return out
+
+    @staticmethod
+    def _wrap_tail(extra: np.ndarray, slens: np.ndarray, line_len: int) -> bytes:
+        nz = np.flatnonzero(slens)
+        if nz.size == 0:
+            # all records empty: reference returns before decompressing
+            # (print_fasta early return, output.c:629) — no spill
+            return b""
+        if line_len <= 0:
+            return extra.tobytes()
+        # line-wrap state continues from the last record with data; a record
+        # ending exactly at a line boundary leaves 0 bp in the current line
+        last = int(slens[nz[-1]])
+        rem = last % line_len
+        cur = line_len - rem if rem else 0
+        pieces = []
+        pos = 0
+        rem = extra.size
+        while rem > cur:
+            pieces.append(extra[pos:pos + cur].tobytes())
+            pieces.append(b"\n")
+            pos += cur
+            rem -= cur
+            cur = line_len
+        pieces.append(extra[pos:].tobytes())
+        return b"".join(pieces)
+
+    def fastq(self) -> bytes:
+        if not self.h.has_sequence:
+            return b""
+        if self.r.n_sequences == 0:
+            return b""
+        if not self.h.has_quality:
+            raise DecodeError("FASTQ output requested, but input has no qualities")
+        n = self.r.n_sequences
+        name_cols = self._name_columns(n)
+        merged = merge_u32_lengths(self._load_length_units())
+        # FASTQ output never applies the mask and never uppercases
+        # (unnaf.c:443 print_fastq(0); output-fastq.c memory path)
+        chars = self._load_seq_chars(False, text_toupper=False)
+        qu, qpayload = self.r.load_section("quality")
+        qual = np.frombuffer(decompress_section(qpayload, qu), dtype=np.uint8)
+        slens = merged.astype(np.int64)
+        ends = np.cumsum(slens)
+        starts = ends - slens
+        cols = (
+            [const_column(b"@", n)] + name_cols + [const_column(b"\n", n)]
+            + [Column(chars, starts, slens), const_column(b"\n+\n", n),
+               Column(qual, starts, slens), const_column(b"\n", n)]
+        )
+        return ragged_concat(cols, n).tobytes()
