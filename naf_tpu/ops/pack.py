@@ -113,9 +113,11 @@ def pack_4bit_pallas(seq: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
 # Public entry: pick the best available path
 # ---------------------------------------------------------------------------
 
-#: below this many bytes the host numpy path wins (device launch + transfer
-#: overhead dominates; threshold measured on v5e, see bench notes)
-DEVICE_THRESHOLD = 1 << 20
+#: below this many bytes the host numpy path wins.  Default is high because
+#: the current TPU attachment is a remote tunnel (~36 MB/s host<->device), so
+#: host-resident streams pack faster in numpy; the device path is for data
+#: already on device (sharded pipeline).  Override with NAF_TPU_DEVICE_THRESHOLD.
+DEVICE_THRESHOLD = int(__import__("os").environ.get("NAF_TPU_DEVICE_THRESHOLD", 1 << 34))
 
 
 def default_backend(n: int | None = None) -> str:

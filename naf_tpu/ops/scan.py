@@ -1,0 +1,168 @@
+"""Device-side vectorized FASTA token scan.
+
+The same array program as pipeline/parser.py (the host oracle), expressed in
+jnp with static shapes so it jits and shards: record markers via a
+prev-is-EOL test, region intervals via searchsorted over EOL/space positions
+(using size=-bounded nonzero), per-byte classification via LUT gathers, and
+compaction via cumsum + scatter.
+
+This is the per-block data plane of the distributed pipeline
+(naf_tpu/parallel/block.py): each device scans its own block (blocks are
+split at record boundaries by the host reader), so no cross-device
+communication is needed during the scan itself; only the tiny carry state
+(nibble parity, mask-run, histograms) is exchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..format import constants as C
+from . import tables as T
+
+_GT = ord(">")
+
+
+@functools.partial(jax.jit, static_argnames=("seq_type",))
+def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
+                     seq_type: int = C.SEQ_TYPE_DNA) -> dict:
+    """Classify every byte of a FASTA block (bytes after any leading '>').
+
+    block: u8[B]; prev_byte: u8[] — the byte preceding the block ('>' for the
+    very first block, since scan starts right after the first marker).
+
+    Returns per-byte arrays (all length B):
+      rec_start  bool  — '>' markers starting a new record
+      region     i32   — 0 none/marker, 1 id, 2 comment, 3 sequence
+      stream_keep bool — byte contributes to the sequence stream
+      stream_val u8    — its value (after replacement)
+      seq_keep   bool  — byte counted in its record's length
+      is_eol     bool
+      id_keep/id_unex/com_keep/com_unex bool — header classification
+    plus 'hist_id', 'hist_comment', 'hist_seq' i32[256] unexpected counts.
+    """
+    B = block.shape[0]
+    b = block
+    is_eol = T.IS_EOL[b.astype(jnp.int32)]
+    is_space = T.IS_SPACE[b.astype(jnp.int32)]
+
+    prev_is_eol = jnp.concatenate(
+        [T.IS_EOL[prev_byte.astype(jnp.int32)].reshape(1), is_eol[:-1]]
+    )
+    rec_start = (b == _GT) & prev_is_eol
+
+    # positions (padded with B) of markers / eols / spaces
+    pos = jnp.arange(B, dtype=jnp.int32)
+
+    # record id per byte (marker byte belongs to the record it starts)
+    rec_id = jnp.cumsum(rec_start.astype(jnp.int32))
+
+    # for each byte, the position of its record's marker ('-1' for record 0)
+    marker_pos = jnp.where(rec_start, pos, -1)
+    rec_marker = jax.lax.associative_scan(jnp.maximum, marker_pos)
+
+    # first EOL at/after each position (suffix scan of eol positions)
+    eolpos = jnp.where(is_eol, pos, B)
+    next_eol_incl = jax.lax.associative_scan(jnp.minimum, eolpos, reverse=True)
+    # first space-class at/after each position
+    sppos = jnp.where(is_space, pos, B)
+    next_space_incl = jax.lax.associative_scan(jnp.minimum, sppos, reverse=True)
+
+    def at_or_b(arr, idx):
+        # arr[idx] with idx possibly == B -> B
+        safe = jnp.minimum(idx, B - 1)
+        return jnp.where(idx >= B, B, arr[safe])
+
+    # per byte: its record's header_end = first eol at/after marker+1,
+    # id_end = first space at/after marker+1
+    m1 = jnp.clip(rec_marker + 1, 0, B)
+    header_end = at_or_b(next_eol_incl, m1)
+    id_end = at_or_b(next_space_incl, m1)
+
+    in_id = (pos >= m1) & (pos < id_end)
+    in_comment = (pos > id_end) & (pos < header_end) & (id_end < header_end)
+    in_seq = pos > header_end
+    region = jnp.where(in_id, 1, jnp.where(in_comment, 2, jnp.where(in_seq, 3, 0)))
+    region = jnp.where(rec_start, 0, region)
+
+    unex_text = T.IS_UNEXPECTED_TEXT[b.astype(jnp.int32)]
+    unex_com = T.IS_UNEXPECTED_COMMENT[b.astype(jnp.int32)]
+    unex_seq_tab = T.UNEXPECTED_BY_TYPE[seq_type]
+    unex_seq_b = unex_seq_tab[b.astype(jnp.int32)]
+    if seq_type == C.SEQ_TYPE_TEXT:
+        keep_gt = b == _GT
+        unex_seq_b = unex_seq_b & ~keep_gt
+    else:
+        unex_seq_b = unex_seq_b
+
+    id_unex = in_id & unex_text
+    id_keep = in_id & ~unex_text
+    com_unex = in_comment & unex_com
+    com_keep = in_comment
+
+    seq_keep = in_seq & ~is_space
+    seq_unex = seq_keep & unex_seq_b
+    repl = jnp.uint8(C.REPLACEMENT_SEQ[seq_type])
+    seq_val = jnp.where(seq_unex, repl, b)
+
+    stream_keep = seq_keep | id_unex
+    stream_val = jnp.where(id_unex, jnp.uint8(C.REPLACEMENT_NAME), seq_val)
+
+    def hist(mask):
+        return jnp.zeros(256, jnp.int32).at[
+            jnp.where(mask, b.astype(jnp.int32), 256)
+        ].add(1, mode="drop")
+
+    return dict(
+        rec_start=rec_start,
+        rec_id=rec_id,
+        region=region,
+        stream_keep=stream_keep,
+        stream_val=stream_val,
+        seq_keep=seq_keep,
+        is_eol=is_eol,
+        id_keep=id_keep,
+        id_unex=id_unex,
+        com_keep=com_keep,
+        com_unex=com_unex,
+        hist_id=hist(id_unex),
+        hist_comment=hist(com_unex),
+        hist_seq=hist(seq_unex),
+    )
+
+
+@jax.jit
+def compact(mask: jnp.ndarray, values: jnp.ndarray):
+    """Stable compaction: kept values move to the front; returns (out, count).
+
+    out has the same (static) length as values; positions >= count are zero.
+    """
+    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    B = values.shape[0]
+    out = jnp.zeros(B, values.dtype).at[
+        jnp.where(mask, idx, B)
+    ].set(values, mode="drop")
+    return out, jnp.sum(mask.astype(jnp.int32))
+
+
+@jax.jit
+def pack_even(seq_padded: jnp.ndarray) -> jnp.ndarray:
+    """Pack a compacted (padded) char block at even alignment: u8[B] -> u8[B/2].
+
+    Boundary nibbles across blocks are fixed up by the caller using the
+    per-block counts (see parallel/block.py).
+    """
+    codes = jnp.take(T.NUC_CODE, seq_padded.astype(jnp.int32))
+    return codes[0::2] | (codes[1::2] << 4)
+
+
+@jax.jit
+def longest_line_block(seq_keep: jnp.ndarray, is_eol: jnp.ndarray) -> jnp.ndarray:
+    """Max kept-chars between EOLs within the block (line-length reduce)."""
+    B = seq_keep.shape[0]
+    line_id = jnp.cumsum(is_eol.astype(jnp.int32))
+    counts = jnp.zeros(B + 1, jnp.int32).at[line_id].add(seq_keep.astype(jnp.int32))
+    return jnp.max(counts)
