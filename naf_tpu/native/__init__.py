@@ -1,0 +1,244 @@
+"""ctypes bridge to the native host runtime (libnaf_native.so).
+
+The TPU compute path (Pallas kernels, shard_map pipeline) works on
+device-resident data; this library is the *host runtime* fast path: a fused
+single-pass FASTA/FASTQ scanner and fused decode renderers, replacing the
+numpy implementations in ``naf_tpu.pipeline.parser`` / ``naf_tpu.ops`` on
+the host data path.  The numpy implementations remain the property-test
+oracle (and the fallback when no C++ toolchain is present).
+
+Build: ``make -C naf_tpu/native`` (done lazily on first import when g++ is
+available).  Disable entirely with ``NAF_TPU_NO_NATIVE=1``.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libnaf_native.so")
+
+_lib: Optional[ct.CDLL] = None
+_lock = threading.Lock()
+_tried = False
+
+
+class _NafScan(ct.Structure):
+    _fields_ = [
+        ("seq", ct.c_void_p), ("seq_len", ct.c_uint64),
+        ("packed", ct.c_void_p), ("packed_len", ct.c_uint64),
+        ("ids", ct.c_void_p), ("ids_len", ct.c_uint64),
+        ("comments", ct.c_void_p), ("comments_len", ct.c_uint64),
+        ("qual", ct.c_void_p), ("qual_len", ct.c_uint64),
+        ("lengths", ct.c_void_p), ("n_records", ct.c_uint64),
+        ("mask_units", ct.c_void_p), ("n_mask_units", ct.c_uint64),
+        ("longest_line", ct.c_uint64),
+        ("hist_id", ct.c_uint64 * 257),
+        ("hist_comment", ct.c_uint64 * 257),
+        ("hist_seq", ct.c_uint64 * 257),
+        ("hist_qual", ct.c_uint64 * 257),
+        ("error", ct.c_int32),
+        ("error_record", ct.c_uint64),
+        ("error_char", ct.c_uint32),
+        ("error_a", ct.c_uint64), ("error_b", ct.c_uint64),
+    ]
+
+
+def _build() -> bool:
+    r = subprocess.run(["make", "-C", _DIR, "-s"], capture_output=True)
+    return r.returncode == 0 and os.path.exists(_SO)
+
+
+def _load() -> Optional[ct.CDLL]:
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("NAF_TPU_NO_NATIVE"):
+            return None
+        src = os.path.join(_DIR, "naf_native.cpp")
+        if not os.path.exists(_SO) or (
+            os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(_SO)
+        ):
+            if not _build():
+                return None
+        try:
+            lib = ct.CDLL(_SO)
+        except OSError:
+            return None
+        u8p = ct.c_void_p
+        lib.naf_scan_fasta.restype = ct.c_int32
+        lib.naf_scan_fasta.argtypes = [
+            u8p, ct.c_uint64, ct.c_int32, ct.c_int32, ct.c_int32, ct.c_int32,
+            ct.c_int32, ct.POINTER(_NafScan)]
+        lib.naf_scan_fastq.restype = ct.c_int32
+        lib.naf_scan_fastq.argtypes = lib.naf_scan_fasta.argtypes
+        lib.naf_render.restype = ct.c_uint64
+        lib.naf_render.argtypes = [
+            ct.c_int32,
+            u8p, ct.c_uint64, ct.c_int32, ct.c_int32, ct.c_int32,
+            u8p, ct.c_uint64,
+            u8p, ct.c_uint64,
+            u8p, ct.c_uint64,
+            u8p, ct.c_uint64,
+            u8p, ct.c_uint64,
+            ct.c_uint8, ct.c_uint64,
+            u8p, u8p]
+        lib.naf_unpack.restype = None
+        lib.naf_unpack.argtypes = [u8p, ct.c_uint64, ct.c_int32, u8p]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: Optional[np.ndarray]):
+    if a is None or a.size == 0:
+        return None
+    return a.ctypes.data_as(ct.c_void_p)
+
+
+# render modes (keep in sync with naf_native.cpp)
+MODE_FASTA = 0
+MODE_SEQUENCES = 1
+MODE_SEQ = 2
+MODE_CHARCOUNT = 3
+MODE_FASTQ = 4
+
+
+class NativeScan:
+    """Result of a native scan, trimmed numpy views over the C buffers."""
+
+    __slots__ = ("seq", "packed", "ids_blob", "comments_blob", "qual",
+                 "lengths", "mask_units", "longest_line", "n_sequences",
+                 "unexpected_id", "unexpected_comment", "unexpected_seq",
+                 "unexpected_qual")
+
+
+class NativeScanError(Exception):
+    """Scan-level failure; carries the reference-parity error code/fields."""
+
+    def __init__(self, code: int, record: int, char: int, a: int, b: int):
+        self.code, self.record, self.char, self.a, self.b = code, record, char, a, b
+        super().__init__(f"native scan error {code}")
+
+
+def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
+         well_formed: bool, do_mask: bool, do_upper: bool,
+         marker_pos: int) -> NativeScan:
+    """Run the fused native scanner over ``data[marker_pos+1:]``.
+
+    Raises NativeScanError on reference-fatal input; the caller maps codes
+    to the reference's die() messages.
+    """
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, dtype=np.uint8)[marker_pos + 1:]
+    n = int(buf.size)
+
+    seq = np.empty(n + 2, np.uint8)
+    packed = np.empty(n // 2 + 2, np.uint8)
+    ids = np.empty(n + 2, np.uint8)
+    comments = np.empty(n + 2, np.uint8)
+    qual = np.empty((n + 2) if fastq else 1, np.uint8)
+    lengths = np.empty(n // 2 + 4, np.uint64)
+    mask = np.empty((n + 4) if do_mask else 1, np.uint8)
+
+    r = _NafScan()
+    r.seq = seq.ctypes.data
+    r.packed = packed.ctypes.data
+    r.ids = ids.ctypes.data
+    r.comments = comments.ctypes.data
+    r.qual = qual.ctypes.data
+    r.lengths = lengths.ctypes.data
+    r.mask_units = mask.ctypes.data
+
+    fn = lib.naf_scan_fastq if fastq else lib.naf_scan_fasta
+    data_ptr = buf.ctypes.data_as(ct.c_void_p) if n else None
+    code = fn(data_ptr, n, seq_type, int(strict), int(well_formed),
+              int(do_mask), int(do_upper), ct.byref(r))
+    if code != 0:
+        raise NativeScanError(code, int(r.error_record), int(r.error_char),
+                              int(r.error_a), int(r.error_b))
+
+    out = NativeScan()
+    out.seq = seq[: r.seq_len]
+    out.packed = packed[: r.packed_len]
+    out.ids_blob = ids[: r.ids_len].tobytes()
+    out.comments_blob = comments[: r.comments_len].tobytes()
+    out.qual = qual[: r.qual_len] if fastq else np.zeros(0, np.uint8)
+    out.lengths = lengths[: r.n_records]
+    out.mask_units = mask[: r.n_mask_units] if do_mask else np.zeros(0, np.uint8)
+    out.longest_line = int(r.longest_line)
+    out.n_sequences = int(r.n_records)
+    out.unexpected_id = np.ctypeslib.as_array(r.hist_id).copy()
+    out.unexpected_comment = np.ctypeslib.as_array(r.hist_comment).copy()
+    out.unexpected_seq = np.ctypeslib.as_array(r.hist_seq).copy()
+    out.unexpected_qual = np.ctypeslib.as_array(r.hist_qual).copy()
+    return out
+
+
+def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
+           is_packed: bool, is_rna: bool, do_upper: bool,
+           mask_units: Optional[np.ndarray],
+           lengths: Optional[np.ndarray],
+           ids_blob: Optional[bytes], comments_blob: Optional[bytes],
+           qual: Optional[np.ndarray],
+           name_sep: int, line_len: int,
+           out_capacity: int) -> bytes | np.ndarray:
+    """Fused decode render.  Returns output bytes (or the charcount array)."""
+    lib = _load()
+    assert lib is not None
+    ids_a = np.frombuffer(ids_blob, np.uint8) if ids_blob is not None else None
+    com_a = np.frombuffer(comments_blob, np.uint8) if comments_blob is not None else None
+    lengths = (np.ascontiguousarray(lengths, dtype=np.uint64)
+               if lengths is not None else None)
+    n_rec = int(lengths.size) if lengths is not None else 0
+
+    qual_len = 0 if qual is None else int(qual.size)
+    if mode == MODE_CHARCOUNT:
+        counts = np.zeros(256, np.uint64)
+        lib.naf_render(mode, _ptr(seq_data), total_chars, int(is_packed),
+                       int(is_rna), int(do_upper),
+                       _ptr(mask_units), 0 if mask_units is None else mask_units.size,
+                       _ptr(lengths), n_rec,
+                       _ptr(ids_a), 0 if ids_a is None else ids_a.size,
+                       _ptr(com_a), 0 if com_a is None else com_a.size,
+                       _ptr(qual), qual_len, name_sep, line_len,
+                       None, counts.ctypes.data_as(ct.c_void_p))
+        return counts
+
+    out = np.empty(out_capacity, np.uint8)
+    w = lib.naf_render(mode, _ptr(seq_data), total_chars, int(is_packed),
+                       int(is_rna), int(do_upper),
+                       _ptr(mask_units), 0 if mask_units is None else mask_units.size,
+                       _ptr(lengths), n_rec,
+                       _ptr(ids_a), 0 if ids_a is None else ids_a.size,
+                       _ptr(com_a), 0 if com_a is None else com_a.size,
+                       _ptr(qual), qual_len, name_sep, line_len,
+                       out.ctypes.data_as(ct.c_void_p), None)
+    assert w <= out_capacity, "native render overflowed its buffer"
+    return out[:w].tobytes()
+
+
+def unpack_4bit(packed: np.ndarray, total: int, rna: bool) -> np.ndarray:
+    """Standalone fast nibble unpack (2 chars per input byte, trimmed)."""
+    lib = _load()
+    assert lib is not None
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    out = np.empty(packed.size * 2, np.uint8)
+    if packed.size:
+        lib.naf_unpack(packed.ctypes.data_as(ct.c_void_p), packed.size,
+                       int(rna), out.ctypes.data_as(ct.c_void_p))
+    return out[:total]

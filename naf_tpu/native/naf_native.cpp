@@ -1,0 +1,668 @@
+// naf_tpu native fast path — host-side hot loops.
+//
+// The TPU compute path (Pallas kernels, shard_map pipeline) handles
+// device-resident data; this library is the *host runtime*: a fused
+// single-pass FASTA/FASTQ scanner (classification + replacement + length
+// accounting + case-mask RLE + 4-bit packing in one traversal) and fused
+// decode renderers (nibble unpack + mask + line wrap + record assembly).
+//
+// Semantics replicate the reference NAF tools bug-for-bug (see
+// naf_tpu/pipeline/parser.py for the commented spec and the file:line
+// citations into /root/reference); the Python/numpy implementation is the
+// oracle these loops are property-tested against.
+//
+// Plain C ABI (loaded with ctypes). All output buffers are caller-allocated
+// with documented worst-case capacities.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// tables (built at init)
+// ---------------------------------------------------------------------------
+
+static uint8_t g_nuc_code[256];
+static uint16_t g_codes_to_nucs_dna[256];
+static uint16_t g_codes_to_nucs_rna[256];
+static bool g_is_eol[256];
+static bool g_is_space[256];
+static bool g_unex_text[256];
+static bool g_unex_comment[256];
+static bool g_unex_qual[256];
+static bool g_unex_by_type[4][256];
+static bool g_tables_ready = false;
+
+static const char DNA_CHARS[17] = "-TGKCYSBAWRDMHVN";
+
+void naf_init_tables(void) {
+  if (g_tables_ready) return;
+  for (int i = 0; i < 256; i++) g_nuc_code[i] = 15;
+  for (int code = 0; code < 16; code++) {
+    unsigned char ch = (unsigned char)DNA_CHARS[code];
+    g_nuc_code[ch] = (uint8_t)code;
+    if (ch >= 'A' && ch <= 'Z') g_nuc_code[ch + 32] = (uint8_t)code;
+  }
+  g_nuc_code[(unsigned)'U'] = g_nuc_code[(unsigned)'T'];
+  g_nuc_code[(unsigned)'u'] = g_nuc_code[(unsigned)'t'];
+
+  for (int b = 0; b < 256; b++) {
+    unsigned char lo = (unsigned char)DNA_CHARS[b & 15];
+    unsigned char hi = (unsigned char)DNA_CHARS[b >> 4];
+    g_codes_to_nucs_dna[b] = (uint16_t)(lo | (hi << 8));
+    unsigned char lo_r = (b & 15) == 1 ? 'U' : lo;
+    unsigned char hi_r = (b >> 4) == 1 ? 'U' : hi;
+    g_codes_to_nucs_rna[b] = (uint16_t)(lo_r | (hi_r << 8));
+  }
+
+  for (int i = 0; i < 256; i++) {
+    g_is_eol[i] = (i >= 0x0A && i <= 0x0D);
+    g_is_space[i] = (i == 0x09 || (i >= 0x0A && i <= 0x0D) || i == 0x20);
+    g_unex_text[i] = !((i >= 33 && i <= 126) || (i >= 128 && i <= 254));
+    g_unex_comment[i] = !((i >= 32 && i <= 126) || (i >= 128 && i <= 254));
+    g_unex_qual[i] = !(i >= 33 && i <= 126);
+  }
+
+  // nucleotide / protein alphabets
+  const char *dna = "ABCDGHKMNRSTVWY";
+  const char *rna = "ABCDGHKMNRSUVWY";
+  for (int i = 0; i < 256; i++) {
+    g_unex_by_type[0][i] = true;
+    g_unex_by_type[1][i] = true;
+    g_unex_by_type[2][i] = true;
+    g_unex_by_type[3][i] = g_unex_text[i];
+  }
+  for (const char *p = dna; *p; p++) {
+    g_unex_by_type[0][(unsigned char)*p] = false;
+    g_unex_by_type[0][(unsigned char)(*p + 32)] = false;
+  }
+  for (const char *p = rna; *p; p++) {
+    g_unex_by_type[1][(unsigned char)*p] = false;
+    g_unex_by_type[1][(unsigned char)(*p + 32)] = false;
+  }
+  for (int c = 'A'; c <= 'Z'; c++) {
+    g_unex_by_type[2][c] = false;
+    g_unex_by_type[2][c + 32] = false;
+  }
+  g_unex_by_type[0][(unsigned)'-'] = false;
+  g_unex_by_type[1][(unsigned)'-'] = false;
+  g_unex_by_type[2][(unsigned)'-'] = false;
+  g_unex_by_type[2][(unsigned)'*'] = false;
+  g_tables_ready = true;
+}
+
+// ---------------------------------------------------------------------------
+// scan result (shared by FASTA and FASTQ scanners)
+// ---------------------------------------------------------------------------
+
+// Error codes
+enum {
+  NAF_OK = 0,
+  NAF_ERR_STRICT_ID = 1,
+  NAF_ERR_STRICT_COMMENT = 2,
+  NAF_ERR_STRICT_SEQ = 3,
+  NAF_ERR_STRICT_QUAL = 4,
+  NAF_ERR_FQ_NO_SEQ = 10,     // truncated: last sequence has no sequence data
+  NAF_ERR_FQ_NO_QUAL = 11,    // truncated: last sequence has no quality
+  NAF_ERR_FQ_NO_PLUS = 12,    // can't find '+' line
+  NAF_ERR_FQ_NO_AT = 13,      // Can't find '@' after sequence
+  NAF_ERR_FQ_LEN = 14,        // quality length mismatch
+  NAF_ERR_FQ_NOT_WF = 15,     // not well-formed FASTQ input
+};
+
+typedef struct {
+  // caller-allocated outputs; capacities: seq,ids,comments,qual >= n + 2;
+  // packed >= n/2 + 2; lengths >= n/2 + 2 entries; mask >= n + 2
+  uint8_t *seq;        uint64_t seq_len;
+  uint8_t *packed;     uint64_t packed_len;   // includes trailing parity byte
+  uint8_t *ids;        uint64_t ids_len;      // '\0' after every record
+  uint8_t *comments;   uint64_t comments_len;
+  uint8_t *qual;       uint64_t qual_len;
+  uint64_t *lengths;   uint64_t n_records;
+  uint8_t *mask_units; uint64_t n_mask_units;
+  uint64_t longest_line;
+  uint64_t hist_id[257];
+  uint64_t hist_comment[257];
+  uint64_t hist_seq[257];
+  uint64_t hist_qual[257];
+  // error reporting
+  int32_t error;
+  uint64_t error_record;   // 1-based record number for the message
+  uint32_t error_char;
+  uint64_t error_a, error_b;  // lengths for the mismatch message
+} NafScan;
+
+// mask RLE emitter
+struct MaskState {
+  bool on = false;
+  uint64_t run = 0;
+  uint8_t *units;
+  uint64_t n = 0;
+  inline void emit(uint64_t len) {
+    while (len >= 255) { units[n++] = 255; len -= 255; }
+    units[n++] = (uint8_t)len;
+  }
+  inline void push(uint8_t c) {
+    bool lower = c >= 96;
+    if (lower != on) { emit(run); run = 0; on = lower; }
+    run++;
+  }
+  inline void finish() {
+    if (run > 0) { emit(run); run = 0; }
+  }
+};
+
+struct PackState {
+  uint8_t *out;
+  uint64_t n = 0;
+  bool parity = false;
+  inline void push(uint8_t code) {
+    if (parity) { out[n - 1] |= (uint8_t)(code << 4); parity = false; }
+    else { out[n++] = code; parity = true; }
+  }
+};
+
+// ---------------------------------------------------------------------------
+// FASTA scanner: data points at the byte AFTER the first '>' marker.
+// seq_type: 0 dna, 1 rna, 2 protein, 3 text. 4-bit packing only for 0/1.
+// ---------------------------------------------------------------------------
+
+int32_t naf_scan_fasta(const uint8_t *data, uint64_t n, int32_t seq_type,
+                       int32_t strict, int32_t well_formed, int32_t do_mask,
+                       int32_t do_upper, NafScan *r) {
+  naf_init_tables();
+  const bool *unex_seq = g_unex_by_type[seq_type];
+  bool unex_seq_text_fasta[256];
+  if (seq_type == 3) {
+    std::memcpy(unex_seq_text_fasta, g_unex_by_type[3], 256);
+    unex_seq_text_fasta[(unsigned)'>'] = true;  // ennaf.c:478
+    unex_seq = unex_seq_text_fasta;
+  }
+  const uint8_t repl = seq_type <= 1 ? 'N' : (seq_type == 2 ? 'X' : '?');
+  const bool nuc = seq_type <= 1;
+  const bool wf = well_formed != 0;
+
+  MaskState mask; mask.units = r->mask_units;
+  PackState pack; pack.out = r->packed;
+  uint64_t seq_n = 0, ids_n = 0, com_n = 0;
+  uint64_t n_rec = 0;
+  uint64_t cur_len = 0, line_len = 0, longest = 0;
+
+  enum { ID, COMMENT, SEQ } state = ID;
+  bool prev_eol = false;
+
+  auto push_seq = [&](uint8_t c, bool counted) {
+    r->seq[seq_n++] = c;
+    if (do_mask) mask.push(c);
+    if (nuc) pack.push(g_nuc_code[c]);
+    if (counted) { cur_len++; line_len++; }
+  };
+
+  uint64_t i = 0;
+  for (; i < n; i++) {
+    uint8_t c = data[i];
+    switch (state) {
+      case ID:
+        if (wf ? (c == '\n' || c == ' ') : g_is_space[c]) {
+          r->ids[ids_n++] = 0;
+          bool eol = wf ? (c == '\n') : g_is_eol[c];
+          if (eol) { r->comments[com_n++] = 0; state = SEQ; }
+          else state = COMMENT;
+        } else if (!wf && g_unex_text[c]) {
+          r->hist_id[c]++;
+          if (strict) { r->error = NAF_ERR_STRICT_ID; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
+          push_seq('?', false);   // reference quirk: goes to the seq stream
+        } else {
+          r->ids[ids_n++] = c;
+        }
+        break;
+      case COMMENT:
+        if (wf ? (c == '\n') : g_is_eol[c]) {
+          r->comments[com_n++] = 0;
+          state = SEQ;
+        } else if (!wf && g_unex_comment[c]) {
+          r->hist_comment[c]++;
+          if (strict) { r->error = NAF_ERR_STRICT_COMMENT; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
+          r->comments[com_n++] = '?';
+        } else {
+          r->comments[com_n++] = c;
+        }
+        break;
+      case SEQ:
+        if (c == '>' && prev_eol) {
+          // finalize record, start next
+          r->lengths[n_rec++] = cur_len;
+          cur_len = 0;
+          state = ID;
+        } else if (wf ? (c == '\n') : g_is_eol[c]) {
+          if (line_len > longest) longest = line_len;
+          line_len = 0;
+        } else if (!wf && g_is_space[c]) {
+          // dropped
+        } else if (wf) {
+          push_seq(c, true);
+        } else if (unex_seq[c]) {
+          if (seq_type == 3 && c == '>') {
+            push_seq(c, true);    // text keeps mid-line '>'
+          } else {
+            r->hist_seq[c]++;
+            if (strict) { r->error = NAF_ERR_STRICT_SEQ; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
+            push_seq(repl, true);
+          }
+        } else {
+          push_seq(c, true);
+        }
+        break;
+    }
+    prev_eol = wf ? (c == '\n') : g_is_eol[c];
+  }
+
+  // EOF
+  if (state == ID) { r->ids[ids_n++] = 0; r->comments[com_n++] = 0; }
+  else if (state == COMMENT) { r->comments[com_n++] = 0; }
+  if (line_len > longest) longest = line_len;
+  r->lengths[n_rec++] = cur_len;
+
+  if (do_mask) mask.finish();
+  if (pack.parity) pack.parity = false;  // trailing low-nibble byte already in place
+
+  if (do_upper && !nuc) {
+    for (uint64_t k = 0; k < seq_n; k++) {
+      uint8_t c = r->seq[k];
+      if (c >= 'a' && c <= 'z') r->seq[k] = c - 32;
+    }
+  }
+
+  r->seq_len = seq_n;
+  r->packed_len = pack.n;
+  r->ids_len = ids_n;
+  r->comments_len = com_n;
+  r->qual_len = 0;
+  r->n_records = n_rec;
+  r->n_mask_units = mask.n;
+  r->longest_line = longest;
+  r->error = NAF_OK;
+  return NAF_OK;
+
+fail:
+  return r->error;
+}
+
+// ---------------------------------------------------------------------------
+// FASTQ scanner: data points at the byte AFTER the first '@' marker.
+// ---------------------------------------------------------------------------
+
+int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
+                       int32_t strict, int32_t well_formed, int32_t do_mask,
+                       int32_t do_upper, NafScan *r) {
+  naf_init_tables();
+  const bool *unex_seq = g_unex_by_type[seq_type];
+  const uint8_t repl = seq_type <= 1 ? 'N' : (seq_type == 2 ? 'X' : '?');
+  const bool nuc = seq_type <= 1;
+  const bool wf = well_formed != 0;
+
+  MaskState mask; mask.units = r->mask_units;
+  PackState pack; pack.out = r->packed;
+  uint64_t seq_n = 0, ids_n = 0, com_n = 0, qual_n = 0;
+  uint64_t n_rec = 0;
+  uint64_t read_len = 0, rec_qual_len = 0, longest = 0;
+
+  enum { ID, COMMENT, SEQ, PRE_PLUS, PLUS_SKIP, PRE_QUAL, QUAL, PRE_AT } state = ID;
+
+  auto push_seq = [&](uint8_t c, bool counted) {
+    r->seq[seq_n++] = c;
+    if (do_mask) mask.push(c);
+    if (nuc) pack.push(g_nuc_code[c]);
+    if (counted) read_len++;
+  };
+
+  auto eol = [&](uint8_t c) { return wf ? (c == '\n') : g_is_eol[c]; };
+
+  uint64_t i = 0;
+  for (; i < n; i++) {
+    uint8_t c = data[i];
+    switch (state) {
+      case ID:
+        if (wf ? (c == '\n' || c == ' ') : g_is_space[c]) {
+          r->ids[ids_n++] = 0;
+          if (eol(c)) { r->comments[com_n++] = 0; state = SEQ; }
+          else state = COMMENT;
+        } else if (!wf && g_unex_text[c]) {
+          r->hist_id[c]++;
+          if (strict) { r->error = NAF_ERR_STRICT_ID; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
+          push_seq('?', false);
+        } else {
+          r->ids[ids_n++] = c;
+        }
+        break;
+      case COMMENT:
+        if (eol(c)) { r->comments[com_n++] = 0; state = SEQ; }
+        else if (!wf && g_unex_comment[c]) {
+          r->hist_comment[c]++;
+          if (strict) { r->error = NAF_ERR_STRICT_COMMENT; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
+          r->comments[com_n++] = '?';
+        } else {
+          r->comments[com_n++] = c;
+        }
+        break;
+      case SEQ:
+        if (eol(c)) {
+          if (read_len > longest) longest = read_len;
+          state = PRE_PLUS;
+        } else if (wf) {
+          push_seq(c, true);
+        } else if (g_is_space[c]) {
+          // dropped
+        } else if (unex_seq[c]) {
+          r->hist_seq[c]++;
+          if (strict) { r->error = NAF_ERR_STRICT_SEQ; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
+          push_seq(repl, true);
+        } else {
+          push_seq(c, true);
+        }
+        break;
+      case PRE_PLUS:
+        if (wf) {
+          if (c != '+') { r->error = NAF_ERR_FQ_NOT_WF; goto fail; }
+          if (i + 1 >= n) { r->error = NAF_ERR_FQ_NOT_WF; goto fail; }
+          if (data[i + 1] != '\n') { r->error = NAF_ERR_FQ_NOT_WF; goto fail; }
+          i++;  // consume the '\n'
+          state = PRE_QUAL;
+          break;
+        }
+        if (g_is_eol[c]) break;  // skip empty lines
+        if (c != '+') { r->error = NAF_ERR_FQ_NO_PLUS; r->error_record = n_rec + 1; goto fail; }
+        state = PLUS_SKIP;
+        break;
+      case PLUS_SKIP:
+        if (g_is_eol[c]) state = PRE_QUAL;
+        break;
+      case PRE_QUAL:
+        if (wf) {
+          // well-formed: quality starts immediately (may be an empty line)
+          if (c == '\n') {
+            rec_qual_len = 0;
+            if (rec_qual_len != read_len) { r->error = NAF_ERR_FQ_LEN; r->error_record = n_rec + 1; r->error_a = rec_qual_len; r->error_b = read_len; goto fail; }
+            r->lengths[n_rec++] = read_len;
+            read_len = 0;
+            state = PRE_AT;
+          } else {
+            r->qual[qual_n++] = c;
+            rec_qual_len = 1;
+            state = QUAL;
+          }
+          break;
+        }
+        if (g_is_eol[c]) break;  // skip empty lines
+        r->qual[qual_n++] = c;   // first char verbatim (process.c:523)
+        rec_qual_len = 1;
+        state = QUAL;
+        break;
+      case QUAL:
+        if (eol(c)) {
+          if (rec_qual_len != read_len) { r->error = NAF_ERR_FQ_LEN; r->error_record = n_rec + 1; r->error_a = rec_qual_len; r->error_b = read_len; goto fail; }
+          r->lengths[n_rec++] = read_len;
+          read_len = 0; rec_qual_len = 0;
+          state = PRE_AT;
+        } else if (wf) {
+          r->qual[qual_n++] = c;
+          rec_qual_len++;
+        } else if (g_is_space[c]) {
+          // dropped
+        } else if (g_unex_qual[c]) {
+          r->hist_qual[c]++;
+          if (strict) { r->error = NAF_ERR_STRICT_QUAL; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
+          r->qual[qual_n++] = '!';
+          rec_qual_len++;
+        } else {
+          r->qual[qual_n++] = c;
+          rec_qual_len++;
+        }
+        break;
+      case PRE_AT:
+        if (wf) {
+          if (c != '@') { r->error = NAF_ERR_FQ_NOT_WF; goto fail; }
+          state = ID;
+          break;
+        }
+        if (g_is_eol[c]) break;
+        if (c != '@') { r->error = NAF_ERR_FQ_NO_AT; r->error_record = n_rec; goto fail; }
+        state = ID;
+        break;
+    }
+  }
+
+  // EOF handling
+  switch (state) {
+    case ID:
+      r->ids[ids_n++] = 0; r->comments[com_n++] = 0;
+      r->error = NAF_ERR_FQ_NO_SEQ; r->error_record = n_rec + 1; goto fail;
+    case COMMENT:
+      r->comments[com_n++] = 0;
+      r->error = NAF_ERR_FQ_NO_SEQ; r->error_record = n_rec + 1; goto fail;
+    case SEQ:
+      if (read_len > longest) longest = read_len;
+      r->error = NAF_ERR_FQ_NO_QUAL; r->error_record = n_rec + 1; goto fail;
+    case PRE_PLUS:
+    case PLUS_SKIP:
+    case PRE_QUAL:
+      r->error = wf ? NAF_ERR_FQ_NO_QUAL : NAF_ERR_FQ_NO_QUAL;
+      r->error_record = n_rec + 1; goto fail;
+    case QUAL:
+      if (rec_qual_len != read_len) { r->error = NAF_ERR_FQ_LEN; r->error_record = n_rec + 1; r->error_a = rec_qual_len; r->error_b = read_len; goto fail; }
+      r->lengths[n_rec++] = read_len;
+      break;
+    case PRE_AT:
+      break;
+  }
+
+  if (do_mask) mask.finish();
+  if (do_upper && !nuc) {
+    for (uint64_t k = 0; k < seq_n; k++) {
+      uint8_t c = r->seq[k];
+      if (c >= 'a' && c <= 'z') r->seq[k] = c - 32;
+    }
+  }
+
+  r->seq_len = seq_n;
+  r->packed_len = pack.n;
+  r->ids_len = ids_n;
+  r->comments_len = com_n;
+  r->qual_len = qual_n;
+  r->n_records = n_rec;
+  r->n_mask_units = mask.n;
+  r->longest_line = longest;
+  r->error = NAF_OK;
+  return NAF_OK;
+
+fail:
+  r->seq_len = seq_n; r->packed_len = pack.n; r->ids_len = ids_n;
+  r->comments_len = com_n; r->qual_len = qual_n; r->n_records = n_rec;
+  r->n_mask_units = mask.n; r->longest_line = longest;
+  return r->error;
+}
+
+// ---------------------------------------------------------------------------
+// Decode: fused 4-bit unpack + mask + per-record line wrap + header assembly
+// ---------------------------------------------------------------------------
+
+// mask reader over the unit stream (unnaf/src/output.c:295 semantics)
+struct MaskReader {
+  const uint8_t *units;
+  uint64_t n, i = 0;
+  bool on = false;
+  uint64_t remaining = 0;
+  bool active;
+  inline void init(const uint8_t *u, uint64_t count) {
+    units = u; n = count; active = (u != nullptr && count > 0);
+    if (!active) return;
+    if (units[0] == 0 && count > 1) { on = true; i = 1; }  // leading masked run
+    remaining = units[i];
+  }
+  // returns +32 or 0 for the next character; when the unit stream is
+  // exhausted the last run's state extends (clamped, matching
+  // ops.mask.expand_mask_np; the reference reads past its buffer here)
+  inline uint8_t step() {
+    if (!active) return on ? 32 : 0;
+    while (remaining == 0) {
+      if (i + 1 >= n) { active = false; return on ? 32 : 0; }
+      if (units[i] != 255) on = !on;
+      i++;
+      remaining = units[i];
+    }
+    remaining--;
+    return on ? 32 : 0;
+  }
+};
+
+// sequence source: either 4-bit packed or raw text
+struct SeqSource {
+  const uint8_t *data;
+  uint64_t total;       // chars available
+  uint64_t pos = 0;     // chars consumed
+  bool packed;
+  bool rna;
+  bool upper;           // uppercase raw text
+  inline uint8_t next() {
+    uint8_t ch;
+    if (packed) {
+      uint8_t b = data[pos >> 1];
+      uint8_t code = (pos & 1) ? (b >> 4) : (b & 15);
+      ch = (uint8_t)(rna ? (g_codes_to_nucs_rna[code] & 0xFF)
+                         : (g_codes_to_nucs_dna[code] & 0xFF));
+    } else {
+      ch = data[pos];
+      if (upper && ch >= 'a' && ch <= 'z') ch -= 32;
+    }
+    pos++;
+    return ch;
+  }
+};
+
+// render modes
+enum { MODE_FASTA = 0, MODE_SEQUENCES = 1, MODE_SEQ = 2, MODE_CHARCOUNT = 3,
+       MODE_FASTQ = 4 };
+
+// Renders the full output in one pass.
+//   seq_data: packed nibbles (nuc) or raw chars (text/protein)
+//   total_chars: the container's sequence uncompressed size
+//   lengths: merged per-record lengths (u64), n_records entries
+//   ids/comments: '\0'-separated blobs or NULL
+//   qual: raw quality chars (FASTQ mode)
+//   out: caller buffer; returns bytes written (or needed if out==NULL)
+uint64_t naf_render(int32_t mode,
+                    const uint8_t *seq_data, uint64_t total_chars,
+                    int32_t is_packed, int32_t is_rna, int32_t do_upper,
+                    const uint8_t *mask_units, uint64_t n_mask_units,
+                    const uint64_t *lengths, uint64_t n_records,
+                    const uint8_t *ids, uint64_t ids_len,
+                    const uint8_t *comments, uint64_t comments_len,
+                    const uint8_t *qual, uint64_t qual_len,
+                    uint8_t name_sep, uint64_t line_len,
+                    uint8_t *out, uint64_t *charcounts) {
+  naf_init_tables();
+  SeqSource src{seq_data, total_chars, 0, is_packed != 0, is_rna != 0,
+                do_upper != 0};
+  MaskReader mr; mr.init(mask_units, n_mask_units);
+
+  uint64_t w = 0;
+  const uint8_t *id_p = ids, *id_end = ids + ids_len;
+  const uint8_t *co_p = comments, *co_end = comments + comments_len;
+
+  auto put = [&](uint8_t c) { out[w++] = c; };
+  auto put_name = [&](uint8_t marker) {
+    put(marker);
+    bool has_ids = ids != nullptr, has_com = comments != nullptr;
+    const uint8_t *cstart = co_p;
+    uint64_t clen = 0;
+    if (has_com) { while (co_p < co_end && *co_p) { co_p++; clen++; } co_p++; }
+    if (has_ids) {
+      while (id_p < id_end && *id_p) put(*id_p++);
+      id_p++;
+      if (has_com && clen) { put(name_sep); std::memcpy(out + w, cstart, clen); w += clen; }
+    } else if (has_com) {
+      std::memcpy(out + w, cstart, clen); w += clen;
+    }
+    put('\n');
+  };
+
+  if (mode == MODE_CHARCOUNT) {
+    for (uint64_t k = 0; k < total_chars; k++) {
+      uint8_t ch = (uint8_t)(src.next() + mr.step());
+      charcounts[ch]++;
+    }
+    return 0;
+  }
+
+  if (mode == MODE_SEQ) {
+    for (uint64_t k = 0; k < total_chars; k++) out[w++] = (uint8_t)(src.next() + mr.step());
+    return w;
+  }
+
+  if (mode == MODE_FASTQ) {
+    const uint8_t *q = qual;
+    const uint8_t *q_end = qual + qual_len;
+    for (uint64_t rec = 0; rec < n_records; rec++) {
+      put_name('@');
+      uint64_t len = lengths[rec];
+      for (uint64_t k = 0; k < len && src.pos < total_chars; k++) put(src.next());
+      put('\n'); put('+'); put('\n');
+      uint64_t qn = len;
+      if (q + qn > q_end) qn = (uint64_t)(q_end - q);
+      std::memcpy(out + w, q, qn); w += qn; q += qn;
+      put('\n');
+    }
+    return w;
+  }
+
+  if (mode == MODE_SEQUENCES) {
+    if (total_chars == 0) return 0;
+    for (uint64_t rec = 0; rec < n_records; rec++) {
+      uint64_t len = lengths[rec];
+      for (uint64_t k = 0; k < len && src.pos < total_chars; k++)
+        put((uint8_t)(src.next() + mr.step()));
+      put('\n');
+    }
+    while (src.pos < total_chars) put((uint8_t)(src.next() + mr.step()));  // spill
+    return w;
+  }
+
+  // MODE_FASTA
+  uint64_t cur_line = 0;
+  bool any_data = false;
+  for (uint64_t rec = 0; rec < n_records; rec++) {
+    put_name('>');
+    uint64_t len = lengths[rec];
+    if (len == 0) continue;
+    any_data = true;
+    cur_line = line_len;
+    for (uint64_t k = 0; k < len && src.pos < total_chars; k++) {
+      if (line_len > 0 && cur_line == 0) { put('\n'); cur_line = line_len; }
+      put((uint8_t)(src.next() + mr.step()));
+      if (line_len > 0) cur_line--;
+    }
+    put('\n');
+  }
+  // spill bytes beyond sum(lengths): continue last record's wrap state
+  if (any_data) {
+    while (src.pos < total_chars) {
+      if (line_len > 0 && cur_line == 0) { put('\n'); cur_line = line_len; }
+      put((uint8_t)(src.next() + mr.step()));
+      if (line_len > 0) cur_line--;
+    }
+  }
+  return w;
+}
+
+// Fast standalone 4-bit unpack (decoder --seq fast path without mask)
+void naf_unpack(const uint8_t *packed, uint64_t n_bytes, int32_t is_rna,
+                uint8_t *out) {
+  naf_init_tables();
+  const uint16_t *lut = is_rna ? g_codes_to_nucs_rna : g_codes_to_nucs_dna;
+  uint16_t *o16 = (uint16_t *)out;
+  for (uint64_t i = 0; i < n_bytes; i++) o16[i] = lut[packed[i]];
+}
+
+}  // extern "C"

@@ -22,6 +22,7 @@ from typing import BinaryIO, Optional
 
 import numpy as np
 
+from .. import native
 from ..codec import decompress_section
 from ..format import constants as C
 from ..format.container import NafFormatError, NafReader
@@ -78,6 +79,7 @@ class Decoder:
         self._comments_blob: Optional[bytes] = None
         self._mask_units: Optional[np.ndarray] = None
         self._seq: Optional[np.ndarray] = None          # rendered chars
+        self._seq_raw: Optional[np.ndarray] = None      # section bytes as stored
         self._total_seq_len: Optional[int] = None
 
     # ---- container-level info ------------------------------------------
@@ -146,6 +148,60 @@ class Decoder:
             raw = decompress_section(payload, u)
             self._mask_units = np.frombuffer(raw, dtype=np.uint8)
         return self._mask_units
+
+    def _load_seq_raw(self) -> tuple[int, np.ndarray]:
+        """Decompress the sequence section as stored (packed nibbles / raw)."""
+        if self._seq_raw is None:
+            total, payload = self.r.load_section("sequence")
+            self._total_seq_len = total
+            expect = (total + 1) // 2 if self.is_nucleotide else total
+            self._seq_raw = np.frombuffer(
+                decompress_section(payload, expect), np.uint8)
+        return self._total_seq_len, self._seq_raw  # type: ignore[return-value]
+
+    # ---- native fused render path ----------------------------------------
+
+    def _native_render(self, mode: int, masking: bool, *, with_names: bool,
+                       with_lengths: bool, with_qual: bool = False,
+                       resize_lengths: bool = False):
+        """Load sections in container order and run the C++ renderer."""
+        h = self.h
+        n = self.r.n_sequences
+        line_len = self.r.line_length
+        if self.opts.line_length is not None:
+            line_len = self.opts.line_length
+        ids_blob = com_blob = None
+        if with_names:
+            ids_blob = self._load_ids() if h.has_ids else None
+            com_blob = self._load_comments() if h.has_comments else None
+        merged = None
+        if with_lengths and h.has_lengths:
+            merged = merge_u32_lengths(self._load_length_units())
+            if resize_lengths and merged.size != n:
+                merged = (np.resize(merged, n) if merged.size
+                          else np.zeros(n, np.uint64))
+        mask_units = self._load_mask_units() if masking else None
+        total, raw = self._load_seq_raw()
+        qual = None
+        if with_qual:
+            qu, qpayload = self.r.load_section("quality")
+            qual = np.frombuffer(decompress_section(qpayload, qu), np.uint8)
+        nuc = self.is_nucleotide
+        do_upper = (not nuc) and (not self.opts.use_mask) and mode != native.MODE_FASTQ
+        n_hdr = merged.size if merged is not None else 0
+        cap = (total + len(ids_blob or b"") + len(com_blob or b"")
+               + 6 * n_hdr + (qual.size if qual is not None else 0) + 64)
+        if line_len > 0:
+            cap += total // line_len + 2 * n_hdr + 8
+        else:
+            cap += n_hdr + 8
+        return native.render(
+            mode, seq_data=raw, total_chars=total, is_packed=nuc,
+            is_rna=h.seq_type == C.SEQ_TYPE_RNA, do_upper=do_upper,
+            mask_units=mask_units, lengths=merged,
+            ids_blob=ids_blob, comments_blob=com_blob, qual=qual,
+            name_sep=ord(h.name_separator), line_len=line_len,
+            out_capacity=cap)
 
     def _load_seq_chars(self, masking: bool, text_toupper: bool | None = None) -> np.ndarray:
         """Decode the sequence section to rendered characters.
@@ -256,6 +312,9 @@ class Decoder:
         if not self.h.has_sequence:
             return b""
         masking = self.masking if masking is None else masking
+        if native.available():
+            return self._native_render(native.MODE_SEQ, masking,
+                                       with_names=False, with_lengths=False)
         return self._load_seq_chars(masking).tobytes()
 
     def sequences(self, masking: Optional[bool] = None) -> bytes:
@@ -263,6 +322,9 @@ class Decoder:
         if not self.h.has_sequence:
             return b""
         masking = self.masking if masking is None else masking
+        if native.available():
+            return self._native_render(native.MODE_SEQUENCES, masking,
+                                       with_names=False, with_lengths=True)
         merged = merge_u32_lengths(self._load_length_units())
         chars = self._load_seq_chars(masking)
         if self._total_seq_len == 0:
@@ -284,6 +346,10 @@ class Decoder:
         if not self.h.has_sequence:
             return b""
         masking = self.masking if masking is None else masking
+        if native.available():
+            counts = self._native_render(native.MODE_CHARCOUNT, masking,
+                                         with_names=False, with_lengths=False)
+            return format_charcount(counts).encode()
         chars = self._load_seq_chars(masking)
         return format_charcount(charcount_np(chars)).encode()
 
@@ -291,6 +357,10 @@ class Decoder:
         if not self.h.has_sequence:
             return b""
         masking = self.masking if masking is None else masking
+        if native.available():
+            return self._native_render(native.MODE_FASTA, masking,
+                                       with_names=True, with_lengths=True,
+                                       resize_lengths=True)
         n = self.r.n_sequences
         line_len = self.r.line_length
         if self.opts.line_length is not None:
@@ -349,6 +419,10 @@ class Decoder:
             return b""
         if not self.h.has_quality:
             raise DecodeError("FASTQ output requested, but input has no qualities")
+        if native.available():
+            return self._native_render(native.MODE_FASTQ, False,
+                                       with_names=True, with_lengths=True,
+                                       with_qual=True)
         n = self.r.n_sequences
         name_cols = self._name_columns(n)
         merged = merge_u32_lengths(self._load_length_units())

@@ -104,10 +104,12 @@ def encode(data: bytes, opts: EncodeOptions) -> tuple[bytes, EncodeStats]:
         res = P.ParseResult()   # empty input -> empty archive (ennaf does this)
     elif is_fastq:
         res = P.parse_fastq(data, opts.seq_type, strict=opts.strict,
-                            well_formed=opts.well_formed, marker_pos=marker)
+                            well_formed=opts.well_formed, marker_pos=marker,
+                            want_mask=store_mask)
     else:
         res = P.parse_fasta(data, opts.seq_type, strict=opts.strict,
-                            well_formed=opts.well_formed, marker_pos=marker)
+                            well_formed=opts.well_formed, marker_pos=marker,
+                            want_mask=store_mask)
 
     stats.n_sequences = res.n_sequences
     stats.longest_line = res.longest_line
@@ -131,7 +133,8 @@ def encode(data: bytes, opts: EncodeOptions) -> tuple[bytes, EncodeStats]:
     sections["lengths"] = compress_bytes(split_lengths(res.lengths).tobytes())
 
     if store_mask:
-        units = mask_units_from_bytes(res.seq)
+        units = (res.mask_units if res.mask_units is not None
+                 else mask_units_from_bytes(res.seq))
         sections["mask"] = compress_bytes(units.tobytes())
 
     if text_like:
@@ -142,9 +145,12 @@ def encode(data: bytes, opts: EncodeOptions) -> tuple[bytes, EncodeStats]:
         # uncompressed size in the container is the original char count
         sections["sequence"] = Section(uncompressed_size=res.seq.size, payload=sec.payload)
     else:
-        packed, carry = pack_4bit(res.seq)
-        if carry is not None:
-            packed = np.concatenate([packed, np.asarray([carry], dtype=np.uint8)])
+        if res.packed is not None:
+            packed = res.packed          # fused native scan already packed
+        else:
+            packed, carry = pack_4bit(res.seq)
+            if carry is not None:
+                packed = np.concatenate([packed, np.asarray([carry], dtype=np.uint8)])
         sec = compress_bytes(packed.tobytes(), window_log=opts.long_window_log)
         sections["sequence"] = Section(uncompressed_size=int(res.seq.size), payload=sec.payload)
 

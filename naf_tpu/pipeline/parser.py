@@ -32,6 +32,7 @@ from typing import Optional
 import numpy as np
 
 from ..format import constants as C
+from .. import native
 
 
 class InputError(ValueError):
@@ -52,6 +53,65 @@ class ParseResult:
     unexpected_comment: np.ndarray = field(default_factory=lambda: np.zeros(257, np.uint64))
     unexpected_seq: np.ndarray = field(default_factory=lambda: np.zeros(257, np.uint64))
     unexpected_qual: np.ndarray = field(default_factory=lambda: np.zeros(257, np.uint64))
+    # filled by the native fused scanner (fallback paths leave them None and
+    # the encoder recomputes with ops.pack / ops.mask)
+    packed: Optional[np.ndarray] = None       # 4-bit codes incl. parity byte
+    mask_units: Optional[np.ndarray] = None   # case-mask RLE u8 units
+
+
+def _native_error(e: "native.NativeScanError", seq_type: int,
+                  well_formed: bool) -> InputError:
+    """Map native scan error codes to the reference's die() messages."""
+    ch = chr(e.char)
+    name = C.SEQ_TYPE_NAMES[seq_type]
+    msgs = {
+        1: f"unexpected character '{ch}' in ID of sequence {e.record}",
+        2: f"unexpected character '{ch}' in comment of sequence {e.record}",
+        3: f"unexpected {name} code '{ch}' in sequence {e.record}",
+        4: f"unexpected quality code '{ch}' in sequence {e.record}",
+        10: "truncated FASTQ input: last sequence has no sequence data",
+        11: "truncated FASTQ input: last sequence has no quality",
+        12: f"invalid FASTQ input: can't find '+' line of sequence {e.record}",
+        13: f"invalid FASTQ input: Can't find '@' after sequence {e.record}",
+        15: "not well-formed FASTQ input",
+    }
+    if e.code == 14:
+        if well_formed:
+            msg = f"quality length of sequence {e.record} doesn't match sequence length"
+        else:
+            msg = (f"quality length of sequence {e.record} ({e.a}) "
+                   f"doesn't match sequence length ({e.b})")
+        return InputError(msg)
+    return InputError(msgs[e.code])
+
+
+def _native_parse(data: bytes, fastq: bool, seq_type: int, *, strict: bool,
+                  well_formed: bool, marker_pos: int,
+                  want_mask: bool) -> ParseResult:
+    try:
+        s = native.scan(data, fastq=fastq, seq_type=seq_type, strict=strict,
+                        well_formed=well_formed,
+                        do_mask=want_mask, do_upper=False,
+                        marker_pos=marker_pos)
+    except native.NativeScanError as e:
+        raise _native_error(e, seq_type, well_formed) from None
+    res = ParseResult()
+    res.n_sequences = s.n_sequences
+    res.ids_blob = s.ids_blob
+    res.comments_blob = s.comments_blob
+    res.seq = s.seq
+    res.qual = s.qual
+    res.lengths = s.lengths
+    res.longest_line = s.longest_line
+    res.unexpected_id = s.unexpected_id
+    res.unexpected_comment = s.unexpected_comment
+    res.unexpected_seq = s.unexpected_seq
+    res.unexpected_qual = s.unexpected_qual
+    if seq_type <= C.SEQ_TYPE_RNA:
+        res.packed = s.packed
+    if want_mask:
+        res.mask_units = s.mask_units
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -161,13 +221,19 @@ def detect_format(data: bytes) -> tuple[int, int]:
 
 def parse_fasta(data: bytes, seq_type: int = C.SEQ_TYPE_DNA, *,
                 strict: bool = False, well_formed: bool = False,
-                marker_pos: Optional[int] = None) -> ParseResult:
+                marker_pos: Optional[int] = None,
+                want_mask: bool = False) -> ParseResult:
     if marker_pos is None:
         fmt, marker_pos = detect_format(data)
         if fmt == C.IN_FORMAT_UNKNOWN:
             return ParseResult()
         if fmt != C.IN_FORMAT_FASTA:
             raise InputError("input format is different from format specified in the command line")
+
+    if native.available():
+        return _native_parse(data, False, seq_type, strict=strict,
+                             well_formed=well_formed, marker_pos=marker_pos,
+                             want_mask=want_mask)
 
     b = np.frombuffer(data, dtype=np.uint8)[marker_pos + 1:]
     n = b.size
@@ -272,13 +338,19 @@ def parse_fasta(data: bytes, seq_type: int = C.SEQ_TYPE_DNA, *,
 
 def parse_fastq(data: bytes, seq_type: int = C.SEQ_TYPE_DNA, *,
                 strict: bool = False, well_formed: bool = False,
-                marker_pos: Optional[int] = None) -> ParseResult:
+                marker_pos: Optional[int] = None,
+                want_mask: bool = False) -> ParseResult:
     if marker_pos is None:
         fmt, marker_pos = detect_format(data)
         if fmt == C.IN_FORMAT_UNKNOWN:
             return ParseResult()
         if fmt != C.IN_FORMAT_FASTQ:
             raise InputError("input format is different from format specified in the command line")
+
+    if native.available():
+        return _native_parse(data, True, seq_type, strict=strict,
+                             well_formed=well_formed, marker_pos=marker_pos,
+                             want_mask=want_mask)
 
     b = np.frombuffer(data, dtype=np.uint8)[marker_pos + 1:]
     if well_formed:
@@ -336,6 +408,9 @@ def _parse_fastq_lines(b: np.ndarray, seq_type: int, *, strict: bool,
         and n_lines > 0
         and bool((line_len > 0).all())
         and bool((b[line_start[2::4]] == ord("+")).all())
+        # well-formed mode requires the '+' line to be exactly "+"
+        # (process.c:448-456: next char after '+' must be '\n')
+        and (not well_formed or bool((line_len[2::4] == 1).all()))
         and bool((b[line_start[4::4]] == _AT).all() if n_lines > 4 else True)
         and bool(is_eol[-1]) if n else False
     )

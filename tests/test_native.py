@@ -1,0 +1,169 @@
+"""Property tests: native C++ scanner == numpy parser (the oracle).
+
+The fused native scanner (naf_tpu/native/naf_native.cpp) must reproduce the
+vectorized numpy parse bit-for-bit on every field, including the quirky
+reference semantics (id '?'-to-seq, mask RLE framing, FASTQ error ordering).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from naf_tpu import native
+from naf_tpu.format import constants as C
+from naf_tpu.ops.mask import mask_units_from_bytes
+from naf_tpu.ops.pack import pack_4bit
+from naf_tpu.pipeline import parser as P
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="no native lib")
+
+
+def _numpy_parse(data, fastq, seq_type, strict=False, well_formed=False):
+    os.environ["NAF_TPU_NO_NATIVE"] = "1"
+    try:
+        native._lib_save = native._lib
+        native._lib = None
+        native._tried_save = native._tried
+        native._tried = True  # force unavailable
+        fn = P.parse_fastq if fastq else P.parse_fasta
+        return fn(data, seq_type, strict=strict, well_formed=well_formed)
+    finally:
+        native._lib = native._lib_save
+        native._tried = native._tried_save
+        del os.environ["NAF_TPU_NO_NATIVE"]
+
+
+def _native_parse(data, fastq, seq_type, strict=False, well_formed=False):
+    fn = P.parse_fastq if fastq else P.parse_fasta
+    return fn(data, seq_type, strict=strict, well_formed=well_formed,
+              want_mask=True)
+
+
+def _assert_equal(data, fastq, seq_type, strict=False, well_formed=False):
+    err_np = err_nat = None
+    try:
+        a = _numpy_parse(data, fastq, seq_type, strict, well_formed)
+    except P.InputError as e:
+        err_np = str(e)
+    try:
+        b = _native_parse(data, fastq, seq_type, strict, well_formed)
+    except P.InputError as e:
+        err_nat = str(e)
+    assert err_np == err_nat, (err_np, err_nat, data[:200])
+    if err_np is not None:
+        return
+    assert a.n_sequences == b.n_sequences, data[:200]
+    assert a.ids_blob == b.ids_blob, data[:200]
+    assert a.comments_blob == b.comments_blob, data[:200]
+    assert a.seq.tobytes() == b.seq.tobytes(), data[:200]
+    assert a.qual.tobytes() == b.qual.tobytes(), data[:200]
+    assert np.array_equal(a.lengths, b.lengths), data[:200]
+    assert a.longest_line == b.longest_line, data[:200]
+    for f in ("unexpected_id", "unexpected_comment", "unexpected_seq",
+              "unexpected_qual"):
+        assert np.array_equal(getattr(a, f), getattr(b, f)), (f, data[:200])
+    # packed / mask vs the op-level oracles over the parsed stream
+    if seq_type <= C.SEQ_TYPE_RNA and b.packed is not None:
+        packed, carry = pack_4bit(a.seq)
+        if carry is not None:
+            packed = np.concatenate([packed, np.asarray([carry], np.uint8)])
+        assert packed.tobytes() == b.packed.tobytes(), data[:200]
+    if b.mask_units is not None:
+        assert mask_units_from_bytes(a.seq).tobytes() == b.mask_units.tobytes()
+
+
+FASTA_CASES = [
+    b">a\nACGT\n",
+    b">a desc here\nacgtACGT\nNNNN\n>b\n\n>c x\nTTTT",
+    b">\n\n",
+    b">a\r\nAC GT\r\n>b\tcomment\nacgt",
+    b">x\nACGT\n>y\n>z\nA",
+    b">m\naaaaAAAAaaaa\n",
+    b">weird\x01id\nACGT\n",          # unexpected char in id -> '?' to seq
+    b">a\nAC>GT\n",                   # mid-line '>'
+    b">a\nACGT\n\n\n>b\nGG\n",
+]
+
+
+@pytest.mark.parametrize("seq_type", [0, 1, 2, 3])
+@pytest.mark.parametrize("i", range(len(FASTA_CASES)))
+def test_fasta_cases(i, seq_type):
+    _assert_equal(FASTA_CASES[i], False, seq_type)
+
+
+@pytest.mark.parametrize("wf", [False, True])
+def test_fasta_wf(wf):
+    _assert_equal(b">a x\nACGT\nGGGG\n>b\nTT\n", False, 0, well_formed=wf)
+
+
+FASTQ_CASES = [
+    b"@r1\nACGT\n+\nIIII\n",
+    b"@r1 c\nACGT\n+junk\nII!I\n@r2\nGG\n+\nII\n",
+    b"@r1\nACGT\n+\nII\n",             # length mismatch
+    b"@r1\nACGT\n+\n",                 # truncated: no quality
+    b"@r1\nACGT\n",                    # truncated: no '+' line
+    b"@r1\n",                          # truncated: no sequence data
+    b"@r1\nACGT\nIIII\nIIII\n",        # missing '+'
+    b"@r1\nACGT\n+\nIIII\nX",          # junk instead of '@'
+    b"@r1\nAC GT\n+\nII II\n",         # spaces dropped in robust mode
+    b"@r1\r\nACGT\r\n+\r\nIIII\r\n",
+    b"@r1\nACGT\n+\n!!!!\n\n\n@r2\nA\n+\nJ\n",
+]
+
+
+@pytest.mark.parametrize("i", range(len(FASTQ_CASES)))
+def test_fastq_cases(i):
+    _assert_equal(FASTQ_CASES[i], True, 0)
+
+
+@pytest.mark.parametrize("i", [0, 1])
+def test_fastq_wf(i):
+    _assert_equal(FASTQ_CASES[i], True, 0, well_formed=True)
+
+
+def test_fastq_wf_rejects_sloppy():
+    _assert_equal(b"@r1\nACGT\n+x\nIIII\n", True, 0, well_formed=True)
+
+
+@pytest.mark.parametrize("strict", [False, True])
+@pytest.mark.parametrize("seq_type", [0, 2])
+def test_strict(strict, seq_type):
+    _assert_equal(b">a\x02b\nAC\x7fGT\n", False, seq_type, strict=strict)
+    _assert_equal(b"@a\nAC\x7fG\n+\nI\x03II\n", True, seq_type, strict=strict)
+
+
+def test_fuzz_fasta():
+    rng = np.random.default_rng(7)
+    alphabet = np.frombuffer(
+        b"ACGTacgtNnRYKM->\n\r \t@+IX\x01\xff", np.uint8)
+    for trial in range(40):
+        n = int(rng.integers(0, 400))
+        body = rng.choice(alphabet, size=n).tobytes()
+        data = b">" + body
+        for st in (0, 3):
+            _assert_equal(data, False, st)
+
+
+def test_fuzz_fastq():
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        recs = []
+        for r in range(int(rng.integers(1, 6))):
+            ln = int(rng.integers(0, 30))
+            seq = rng.choice(np.frombuffer(b"ACGTacgtN \x05", np.uint8),
+                             size=ln).tobytes()
+            qlen = ln if rng.random() < 0.8 else int(rng.integers(0, 30))
+            qual = rng.choice(np.frombuffer(b"IJK!~ \x02", np.uint8),
+                              size=qlen).tobytes()
+            recs.append(b"@r%d some c\n%s\n+\n%s\n" % (r, seq, qual))
+        _assert_equal(b"".join(recs), True, 0)
+
+
+def test_fuzz_random_bytes():
+    rng = np.random.default_rng(13)
+    for trial in range(30):
+        n = int(rng.integers(1, 300))
+        data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
+        for prefix, fastq in ((b">", False), (b"@", True)):
+            _assert_equal(prefix + data, fastq, 0)
