@@ -20,6 +20,9 @@
 
 extern "C" {
 
+// 64K pair-pack LUT: two ASCII chars -> one packed byte (lo nibble first)
+static uint8_t g_pack_pair[65536];
+
 // ---------------------------------------------------------------------------
 // tables (built at init)
 // ---------------------------------------------------------------------------
@@ -90,6 +93,11 @@ void naf_init_tables(void) {
   g_unex_by_type[1][(unsigned)'-'] = false;
   g_unex_by_type[2][(unsigned)'-'] = false;
   g_unex_by_type[2][(unsigned)'*'] = false;
+
+  for (int c2 = 0; c2 < 256; c2++)
+    for (int c1 = 0; c1 < 256; c1++)
+      g_pack_pair[c1 | (c2 << 8)] =
+          (uint8_t)(g_nuc_code[c1] | (g_nuc_code[c2] << 4));
   g_tables_ready = true;
 }
 
@@ -149,6 +157,18 @@ struct MaskState {
     if (lower != on) { emit(run); run = 0; on = lower; }
     run++;
   }
+  // bulk RLE over a span of already-validated sequence bytes
+  inline void span(const uint8_t *p, uint64_t len) {
+    uint64_t k = 0;
+    while (k < len) {
+      bool low = p[k] >= 96;
+      if (low != on) { emit(run); run = 0; on = low; }
+      uint64_t s = k;
+      if (low) { while (k < len && p[k] >= 96) k++; }
+      else     { while (k < len && p[k] <  96) k++; }
+      run += k - s;
+    }
+  }
   inline void finish() {
     if (run > 0) { emit(run); run = 0; }
   }
@@ -161,6 +181,17 @@ struct PackState {
   inline void push(uint8_t code) {
     if (parity) { out[n - 1] |= (uint8_t)(code << 4); parity = false; }
     else { out[n++] = code; parity = true; }
+  }
+  // bulk pack a span of chars: one 64K-LUT lookup per output byte
+  inline void span(const uint8_t *p, uint64_t len) {
+    uint64_t k = 0;
+    if (parity && len) { push(g_nuc_code[p[0]]); k = 1; }
+    for (; k + 1 < len; k += 2) {
+      uint16_t pair;
+      std::memcpy(&pair, p + k, 2);          // little-endian load
+      out[n++] = g_pack_pair[pair];
+    }
+    if (k < len) push(g_nuc_code[p[k]]);
   }
 };
 
@@ -183,6 +214,14 @@ int32_t naf_scan_fasta(const uint8_t *data, uint64_t n, int32_t seq_type,
   const uint8_t repl = seq_type <= 1 ? 'N' : (seq_type == 2 ? 'X' : '?');
   const bool nuc = seq_type <= 1;
   const bool wf = well_formed != 0;
+
+  // span fast path: bytes that are unconditionally sequence data.  Record
+  // starts ('>' after EOL) are checked before span entry, and EOLs are never
+  // plain, so no state transition can hide inside a span.
+  bool plain_seq[256];
+  for (int k = 0; k < 256; k++)
+    plain_seq[k] = wf ? (k != '\n') : (!g_is_space[k] && !unex_seq[k]);
+  if (!wf && seq_type == 3) plain_seq[(unsigned)'>'] = true;
 
   MaskState mask; mask.units = r->mask_units;
   PackState pack; pack.out = r->packed;
@@ -236,6 +275,17 @@ int32_t naf_scan_fasta(const uint8_t *data, uint64_t n, int32_t seq_type,
           r->lengths[n_rec++] = cur_len;
           cur_len = 0;
           state = ID;
+        } else if (plain_seq[c]) {
+          uint64_t j = i + 1;
+          while (j < n && plain_seq[data[j]]) j++;
+          uint64_t len = j - i;
+          std::memcpy(r->seq + seq_n, data + i, len);
+          if (do_mask) mask.span(data + i, len);
+          if (nuc) pack.span(data + i, len);
+          seq_n += len; cur_len += len; line_len += len;
+          i = j - 1;
+          prev_eol = false;
+          continue;
         } else if (wf ? (c == '\n') : g_is_eol[c]) {
           if (line_len > longest) longest = line_len;
           line_len = 0;
@@ -303,6 +353,12 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
   const bool nuc = seq_type <= 1;
   const bool wf = well_formed != 0;
 
+  bool plain_seq[256], plain_qual[256];
+  for (int k = 0; k < 256; k++) {
+    plain_seq[k] = wf ? (k != '\n') : (!g_is_space[k] && !unex_seq[k]);
+    plain_qual[k] = wf ? (k != '\n') : (!g_is_space[k] && !g_unex_qual[k]);
+  }
+
   MaskState mask; mask.units = r->mask_units;
   PackState pack; pack.out = r->packed;
   uint64_t seq_n = 0, ids_n = 0, com_n = 0, qual_n = 0;
@@ -348,19 +404,24 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
         }
         break;
       case SEQ:
-        if (eol(c)) {
+        if (plain_seq[c]) {
+          uint64_t j = i + 1;
+          while (j < n && plain_seq[data[j]]) j++;
+          uint64_t len = j - i;
+          std::memcpy(r->seq + seq_n, data + i, len);
+          if (do_mask) mask.span(data + i, len);
+          if (nuc) pack.span(data + i, len);
+          seq_n += len; read_len += len;
+          i = j - 1;
+        } else if (eol(c)) {
           if (read_len > longest) longest = read_len;
           state = PRE_PLUS;
-        } else if (wf) {
-          push_seq(c, true);
         } else if (g_is_space[c]) {
-          // dropped
-        } else if (unex_seq[c]) {
+          // dropped (robust mode; wf treats non-LF space as plain)
+        } else {
           r->hist_seq[c]++;
           if (strict) { r->error = NAF_ERR_STRICT_SEQ; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
           push_seq(repl, true);
-        } else {
-          push_seq(c, true);
         }
         break;
       case PRE_PLUS:
@@ -401,23 +462,24 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
         state = QUAL;
         break;
       case QUAL:
-        if (eol(c)) {
+        if (plain_qual[c]) {
+          uint64_t j = i + 1;
+          while (j < n && plain_qual[data[j]]) j++;
+          uint64_t len = j - i;
+          std::memcpy(r->qual + qual_n, data + i, len);
+          qual_n += len; rec_qual_len += len;
+          i = j - 1;
+        } else if (eol(c)) {
           if (rec_qual_len != read_len) { r->error = NAF_ERR_FQ_LEN; r->error_record = n_rec + 1; r->error_a = rec_qual_len; r->error_b = read_len; goto fail; }
           r->lengths[n_rec++] = read_len;
           read_len = 0; rec_qual_len = 0;
           state = PRE_AT;
-        } else if (wf) {
-          r->qual[qual_n++] = c;
-          rec_qual_len++;
         } else if (g_is_space[c]) {
-          // dropped
-        } else if (g_unex_qual[c]) {
+          // dropped (robust mode; wf treats non-LF space as plain)
+        } else {
           r->hist_qual[c]++;
           if (strict) { r->error = NAF_ERR_STRICT_QUAL; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
           r->qual[qual_n++] = '!';
-          rec_qual_len++;
-        } else {
-          r->qual[qual_n++] = c;
           rec_qual_len++;
         }
         break;
@@ -545,6 +607,51 @@ struct SeqSource {
 enum { MODE_FASTA = 0, MODE_SEQUENCES = 1, MODE_SEQ = 2, MODE_CHARCOUNT = 3,
        MODE_FASTQ = 4 };
 
+// Materialize the full character stream: bulk nibble unpack (or raw copy +
+// optional uppercase), then lowercase the masked runs span-wise.  The span
+// walk reproduces MaskReader's clamp semantics exactly: a run is consecutive
+// 255-units plus their terminator; the state only toggles when another unit
+// follows; leftover characters keep the last run's state.
+static void materialize_chars(uint8_t *chars, const uint8_t *seq_data,
+                              uint64_t total, bool packed, bool rna,
+                              bool upper, const uint8_t *mask_units,
+                              uint64_t n_mask_units) {
+  if (packed) {
+    const uint16_t *lut = rna ? g_codes_to_nucs_rna : g_codes_to_nucs_dna;
+    uint64_t n_bytes = total / 2;
+    for (uint64_t i = 0; i < n_bytes; i++) {
+      uint16_t v = lut[seq_data[i]];
+      std::memcpy(chars + 2 * i, &v, 2);
+    }
+    if (total & 1)
+      chars[total - 1] = (uint8_t)(lut[seq_data[total / 2]] & 0xFF);
+  } else {
+    std::memcpy(chars, seq_data, total);
+    if (upper)
+      for (uint64_t i = 0; i < total; i++) {
+        uint8_t c = chars[i];
+        if (c >= 'a' && c <= 'z') chars[i] = c - 32;
+      }
+  }
+  if (mask_units != nullptr && n_mask_units > 0) {
+    bool on = false;
+    uint64_t pos = 0, i = 0;
+    while (i < n_mask_units && pos < total) {
+      uint64_t run = 0;
+      while (i < n_mask_units && mask_units[i] == 255) { run += 255; i++; }
+      if (i < n_mask_units) { run += mask_units[i]; i++; }
+      uint64_t end = pos + run;
+      if (end > total) end = total;
+      if (on)
+        for (uint64_t k = pos; k < end; k++) chars[k] += 32;
+      pos += run;
+      if (i < n_mask_units) on = !on;
+    }
+    if (on && pos < total)          // stream exhausted: state extends
+      for (uint64_t k = pos; k < total; k++) chars[k] += 32;
+  }
+}
+
 // Renders the full output in one pass.
 //   seq_data: packed nibbles (nuc) or raw chars (text/protein)
 //   total_chars: the container's sequence uncompressed size
@@ -563,9 +670,31 @@ uint64_t naf_render(int32_t mode,
                     uint8_t name_sep, uint64_t line_len,
                     uint8_t *out, uint64_t *charcounts) {
   naf_init_tables();
-  SeqSource src{seq_data, total_chars, 0, is_packed != 0, is_rna != 0,
-                do_upper != 0};
-  MaskReader mr; mr.init(mask_units, n_mask_units);
+
+  // FASTQ output ignores the mask (unnaf.c:443 print_fastq(0)).
+  const uint8_t *mu = (mode == MODE_FASTQ) ? nullptr : mask_units;
+  uint64_t mu_n = (mode == MODE_FASTQ) ? 0 : n_mask_units;
+
+  uint8_t *chars = (mode == MODE_SEQ) ? out : new uint8_t[total_chars + 2];
+  materialize_chars(chars, seq_data, total_chars, is_packed != 0,
+                    is_rna != 0, do_upper != 0, mu, mu_n);
+
+  if (mode == MODE_SEQ) return total_chars;
+
+  if (mode == MODE_CHARCOUNT) {
+    // 4 sub-histograms dodge store-to-load stalls on repeated chars
+    uint64_t h[4][256] = {};
+    uint64_t k = 0;
+    for (; k + 4 <= total_chars; k += 4) {
+      h[0][chars[k]]++; h[1][chars[k + 1]]++;
+      h[2][chars[k + 2]]++; h[3][chars[k + 3]]++;
+    }
+    for (; k < total_chars; k++) h[0][chars[k]]++;
+    for (int b = 0; b < 256; b++)
+      charcounts[b] += h[0][b] + h[1][b] + h[2][b] + h[3][b];
+    delete[] chars;
+    return 0;
+  }
 
   uint64_t w = 0;
   const uint8_t *id_p = ids, *id_end = ids + ids_len;
@@ -588,18 +717,7 @@ uint64_t naf_render(int32_t mode,
     put('\n');
   };
 
-  if (mode == MODE_CHARCOUNT) {
-    for (uint64_t k = 0; k < total_chars; k++) {
-      uint8_t ch = (uint8_t)(src.next() + mr.step());
-      charcounts[ch]++;
-    }
-    return 0;
-  }
-
-  if (mode == MODE_SEQ) {
-    for (uint64_t k = 0; k < total_chars; k++) out[w++] = (uint8_t)(src.next() + mr.step());
-    return w;
-  }
+  uint64_t pos = 0;   // chars consumed
 
   if (mode == MODE_FASTQ) {
     const uint8_t *q = qual;
@@ -607,52 +725,67 @@ uint64_t naf_render(int32_t mode,
     for (uint64_t rec = 0; rec < n_records; rec++) {
       put_name('@');
       uint64_t len = lengths[rec];
-      for (uint64_t k = 0; k < len && src.pos < total_chars; k++) put(src.next());
+      uint64_t sn = len;
+      if (pos + sn > total_chars) sn = total_chars - pos;
+      std::memcpy(out + w, chars + pos, sn); w += sn; pos += sn;
       put('\n'); put('+'); put('\n');
       uint64_t qn = len;
       if (q + qn > q_end) qn = (uint64_t)(q_end - q);
       std::memcpy(out + w, q, qn); w += qn; q += qn;
       put('\n');
     }
+    delete[] chars;
     return w;
   }
 
   if (mode == MODE_SEQUENCES) {
-    if (total_chars == 0) return 0;
+    if (total_chars == 0) { delete[] chars; return 0; }
     for (uint64_t rec = 0; rec < n_records; rec++) {
       uint64_t len = lengths[rec];
-      for (uint64_t k = 0; k < len && src.pos < total_chars; k++)
-        put((uint8_t)(src.next() + mr.step()));
+      if (pos + len > total_chars) len = total_chars - pos;
+      std::memcpy(out + w, chars + pos, len); w += len; pos += len;
       put('\n');
     }
-    while (src.pos < total_chars) put((uint8_t)(src.next() + mr.step()));  // spill
+    // spill beyond sum(lengths), raw
+    std::memcpy(out + w, chars + pos, total_chars - pos);
+    w += total_chars - pos;
+    delete[] chars;
     return w;
   }
 
-  // MODE_FASTA
-  uint64_t cur_line = 0;
+  // MODE_FASTA: per record, emit whole wrapped lines with memcpy
+  uint64_t cur_line = 0;   // bp remaining in the current output line
   bool any_data = false;
+  auto emit_wrapped = [&](uint64_t len) {
+    // emits `len` chars from `pos`, breaking at line_len using cur_line
+    if (line_len == 0) {
+      std::memcpy(out + w, chars + pos, len); w += len; pos += len;
+      return;
+    }
+    while (len > 0) {
+      if (cur_line == 0) { put('\n'); cur_line = line_len; }
+      uint64_t take = len < cur_line ? len : cur_line;
+      std::memcpy(out + w, chars + pos, take);
+      w += take; pos += take; cur_line -= take; len -= take;
+    }
+  };
   for (uint64_t rec = 0; rec < n_records; rec++) {
     put_name('>');
     uint64_t len = lengths[rec];
     if (len == 0) continue;
     any_data = true;
     cur_line = line_len;
-    for (uint64_t k = 0; k < len && src.pos < total_chars; k++) {
-      if (line_len > 0 && cur_line == 0) { put('\n'); cur_line = line_len; }
-      put((uint8_t)(src.next() + mr.step()));
-      if (line_len > 0) cur_line--;
-    }
+    if (pos + len > total_chars) len = total_chars - pos;
+    emit_wrapped(len);
     put('\n');
   }
   // spill bytes beyond sum(lengths): continue last record's wrap state
-  if (any_data) {
-    while (src.pos < total_chars) {
-      if (line_len > 0 && cur_line == 0) { put('\n'); cur_line = line_len; }
-      put((uint8_t)(src.next() + mr.step()));
-      if (line_len > 0) cur_line--;
-    }
+  if (any_data && pos < total_chars) {
+    // undo the trailing record newline state: reference appends the spill
+    // continuing the wrap, after the '\n' already written
+    emit_wrapped(total_chars - pos);
   }
+  delete[] chars;
   return w;
 }
 
