@@ -10,10 +10,6 @@ from __future__ import annotations
 import os
 import sys
 
-from ..utils.jaxenv import setup_jax
-
-setup_jax()
-
 from ..codec import MAX_CLEVEL, MIN_CLEVEL, WINDOWLOG_MAX, WINDOWLOG_MIN
 from ..format import constants as C
 from ..ops.histogram import format_unexpected_report

@@ -8,10 +8,6 @@ from __future__ import annotations
 import os
 import sys
 
-from ..utils.jaxenv import setup_jax
-
-setup_jax()
-
 from ..format import constants as C
 from ..format.container import NafFormatError
 from ..format.vle import VleError

@@ -7,12 +7,15 @@ ennaf/src/process.c:75-96 (unexpected-char report).
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
+from ..utils.lazy import LazyModule, lazy_jit
 
-@jax.jit
+jax = LazyModule("jax")
+jnp = LazyModule("jax.numpy")
+
+
+@lazy_jit
 def charcount_jnp(data: jnp.ndarray) -> jnp.ndarray:
     """u8[N] -> u64-ish counts[256] (int64 on device where enabled, else int32)."""
     return jnp.zeros(256, dtype=jnp.int32).at[data.astype(jnp.int32)].add(1)

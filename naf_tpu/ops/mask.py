@@ -18,9 +18,12 @@ from __future__ import annotations
 import functools
 from dataclasses import dataclass, field
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+from ..utils.lazy import LazyModule, lazy_jit
+
+jax = LazyModule("jax")
+jnp = LazyModule("jax.numpy")
 
 MASK_THRESHOLD = 96
 
@@ -127,7 +130,7 @@ def expand_mask_np(run_lengths: np.ndarray, total: int) -> np.ndarray:
     return expanded[:total]
 
 
-@functools.partial(jax.jit, static_argnames=("total",))
+@lazy_jit(static_argnames=("total",))
 def expand_mask_jnp(run_ends: jnp.ndarray, total: int) -> jnp.ndarray:
     """Device variant: run_ends = cumsum of run lengths; returns bool[total].
 
@@ -143,6 +146,6 @@ def apply_mask_np(seq_upper: np.ndarray, is_masked: np.ndarray) -> np.ndarray:
     return (seq_upper + np.where(is_masked, 32, 0).astype(np.uint8)).astype(np.uint8)
 
 
-@jax.jit
+@lazy_jit
 def apply_mask_jnp(seq_upper: jnp.ndarray, is_masked: jnp.ndarray) -> jnp.ndarray:
     return seq_upper + jnp.where(is_masked, jnp.uint8(32), jnp.uint8(0))

@@ -15,14 +15,17 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.lazy import LazyModule, lazy_jit
+
+jax = LazyModule("jax")
+jnp = LazyModule("jax.numpy")
+pl = LazyModule("jax.experimental.pallas")
+pltpu = LazyModule("jax.experimental.pallas.tpu")
 
 from ..format import constants as C
-from .tables import NUC_CODE
+from . import tables as T
 
 # (char, code) pairs for the arithmetic LUT; case-folded with & 0xDF.
 _PAIRS = tuple(
@@ -58,10 +61,10 @@ def _pack_pairs(codes: jnp.ndarray) -> jnp.ndarray:
 # XLA path (CPU fallback + oracle)
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@lazy_jit
 def pack_4bit_xla(seq: jnp.ndarray) -> jnp.ndarray:
     """seq: u8[N] ASCII (N even) -> u8[N/2] packed codes."""
-    codes = jnp.take(NUC_CODE, seq.astype(jnp.int32))
+    codes = jnp.take(T.NUC_CODE, seq.astype(jnp.int32))
     return _pack_pairs(codes)
 
 
@@ -80,7 +83,7 @@ def _pack_kernel(even_ref, odd_ref, out_ref):
     out_ref[:] = (lo | (hi << 4)).astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@lazy_jit(static_argnames=("interpret",))
 def pack_4bit_pallas(seq: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """seq: u8[N] ASCII with N % 256 == 0 -> u8[N/2].
 

@@ -14,9 +14,12 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+from ..utils.lazy import LazyModule, lazy_jit
+
+jax = LazyModule("jax")
+jnp = LazyModule("jax.numpy")
 
 
 def body_length(seq_len: np.ndarray, line_len: int) -> np.ndarray:
@@ -68,7 +71,7 @@ def wrap_records_np(seq: np.ndarray, seq_lens: np.ndarray, line_len: int) -> np.
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("line_len", "total_out"))
+@lazy_jit(static_argnames=("line_len", "total_out"))
 def wrap_stream_jnp(seq: jnp.ndarray, seq_ends: jnp.ndarray, body_ends: jnp.ndarray,
                     line_len: int, total_out: int) -> jnp.ndarray:
     """Device form of wrap_records_np with precomputed prefix sums.

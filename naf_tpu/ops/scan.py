@@ -46,11 +46,11 @@ def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     """
     B = block.shape[0]
     b = block
-    is_eol = T.IS_EOL[b.astype(jnp.int32)]
-    is_space = T.IS_SPACE[b.astype(jnp.int32)]
+    is_eol = jnp.asarray(T.IS_EOL)[b.astype(jnp.int32)]
+    is_space = jnp.asarray(T.IS_SPACE)[b.astype(jnp.int32)]
 
     prev_is_eol = jnp.concatenate(
-        [T.IS_EOL[prev_byte.astype(jnp.int32)].reshape(1), is_eol[:-1]]
+        [jnp.asarray(T.IS_EOL)[prev_byte.astype(jnp.int32)].reshape(1), is_eol[:-1]]
     )
     rec_start = (b == _GT) & prev_is_eol
 
@@ -88,9 +88,9 @@ def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     region = jnp.where(in_id, 1, jnp.where(in_comment, 2, jnp.where(in_seq, 3, 0)))
     region = jnp.where(rec_start, 0, region)
 
-    unex_text = T.IS_UNEXPECTED_TEXT[b.astype(jnp.int32)]
-    unex_com = T.IS_UNEXPECTED_COMMENT[b.astype(jnp.int32)]
-    unex_seq_tab = T.UNEXPECTED_BY_TYPE[seq_type]
+    unex_text = jnp.asarray(T.IS_UNEXPECTED_TEXT)[b.astype(jnp.int32)]
+    unex_com = jnp.asarray(T.IS_UNEXPECTED_COMMENT)[b.astype(jnp.int32)]
+    unex_seq_tab = jnp.asarray(T.UNEXPECTED_BY_TYPE[seq_type])
     unex_seq_b = unex_seq_tab[b.astype(jnp.int32)]
     if seq_type == C.SEQ_TYPE_TEXT:
         keep_gt = b == _GT

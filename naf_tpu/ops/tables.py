@@ -1,27 +1,31 @@
-"""Device-resident lookup tables (jnp constants lifted from format.constants)."""
+"""Device lookup tables (lifted from format.constants).
+
+These are plain numpy constants: jnp consumers (``jnp.take``, gathers inside
+jit) embed them as compile-time constants, exactly as device-resident jnp
+module constants would be — but importing this module never imports jax, and
+a first touch from inside a jit trace cannot capture a tracer.
+"""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..format import constants as C
 
-# 256-entry tables (device code never sees the EOF pseudo-byte).
-NUC_CODE = jnp.asarray(C.NUC_CODE[:256], dtype=jnp.uint8)
-CODE_TO_NUC_DNA = jnp.asarray(C.CODE_TO_NUC_DNA, dtype=jnp.uint8)
-CODE_TO_NUC_RNA = jnp.asarray(C.CODE_TO_NUC_RNA, dtype=jnp.uint8)
-TOUPPER = jnp.asarray(C.TOUPPER, dtype=jnp.uint8)
+NUC_CODE = np.asarray(C.NUC_CODE[:256], dtype=np.uint8)
+CODE_TO_NUC_DNA = np.asarray(C.CODE_TO_NUC_DNA, dtype=np.uint8)
+CODE_TO_NUC_RNA = np.asarray(C.CODE_TO_NUC_RNA, dtype=np.uint8)
+TOUPPER = np.asarray(C.TOUPPER, dtype=np.uint8)
 
-IS_EOL = jnp.asarray(C.IS_EOL[:256])
-IS_SPACE = jnp.asarray(C.IS_SPACE[:256])
+IS_EOL = np.asarray(C.IS_EOL[:256])
+IS_SPACE = np.asarray(C.IS_SPACE[:256])
 
 UNEXPECTED_BY_TYPE = {
-    t: jnp.asarray(tab[:256]) for t, tab in C.UNEXPECTED_BY_TYPE.items()
+    t: np.asarray(tab[:256]) for t, tab in C.UNEXPECTED_BY_TYPE.items()
 }
-IS_UNEXPECTED_COMMENT = jnp.asarray(C.IS_UNEXPECTED_COMMENT[:256])
-IS_UNEXPECTED_TEXT = jnp.asarray(C.IS_UNEXPECTED_TEXT[:256])
-IS_UNEXPECTED_QUAL = jnp.asarray(C.IS_UNEXPECTED_QUAL[:256])
+IS_UNEXPECTED_COMMENT = np.asarray(C.IS_UNEXPECTED_COMMENT[:256])
+IS_UNEXPECTED_TEXT = np.asarray(C.IS_UNEXPECTED_TEXT[:256])
+IS_UNEXPECTED_QUAL = np.asarray(C.IS_UNEXPECTED_QUAL[:256])
 
 
 def np_lut(lut: np.ndarray, idx: np.ndarray) -> np.ndarray:

@@ -12,11 +12,14 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.lazy import LazyModule, lazy_jit
+
+jax = LazyModule("jax")
+jnp = LazyModule("jax.numpy")
+pl = LazyModule("jax.experimental.pallas")
+pltpu = LazyModule("jax.experimental.pallas.tpu")
 
 from ..format import constants as C
 
@@ -40,7 +43,7 @@ def _unpack_array(packed: jnp.ndarray, rna: bool) -> jnp.ndarray:
     return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
 
 
-@functools.partial(jax.jit, static_argnames=("rna",))
+@lazy_jit(static_argnames=("rna",))
 def unpack_4bit_xla(packed: jnp.ndarray, rna: bool = False) -> jnp.ndarray:
     """packed: u8[M] -> u8[2M] ASCII."""
     return _unpack_array(packed, rna)
@@ -59,7 +62,7 @@ def _unpack_kernel(rna: bool, packed_ref, lo_ref, hi_ref):
     hi_ref[:] = _code_to_char(x >> 4, rna)
 
 
-@functools.partial(jax.jit, static_argnames=("rna", "interpret"))
+@lazy_jit(static_argnames=("rna", "interpret"))
 def unpack_4bit_pallas(packed: jnp.ndarray, rna: bool = False,
                        interpret: bool = False) -> jnp.ndarray:
     m = packed.shape[0]
