@@ -119,6 +119,22 @@ def encode(data: bytes, opts: EncodeOptions) -> tuple[bytes, EncodeStats]:
     stats.unexpected_seq = res.unexpected_seq
     stats.unexpected_qual = res.unexpected_qual
 
+    return build_archive(res, opts, stats)
+
+
+def build_archive(res: "P.ParseResult", opts: EncodeOptions,
+                  stats: EncodeStats) -> tuple[bytes, EncodeStats]:
+    """Sections + container from a parse result (host or device produced).
+
+    Shared tail of the host pipeline and the sharded device pipeline
+    (naf_tpu/parallel/pipeline.py); both produce byte-identical archives for
+    the same input because section payload construction is identical.
+    """
+    is_fastq = stats.in_format == C.IN_FORMAT_FASTQ
+    text_like = opts.seq_type >= C.SEQ_TYPE_PROTEIN
+    store_mask = not opts.no_mask and not text_like
+    store_qual = is_fastq
+
     # --- section payload construction ------------------------------------
     level, threads = opts.level, opts.threads
 

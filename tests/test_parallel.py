@@ -92,3 +92,37 @@ def test_make_blocks_covers_all_bytes():
     # blocks are padded with '\n'; total real bytes = body.size
     assert blocks.shape[0] == 8
     assert prev[0] == ord(">")
+
+
+def test_encode_sharded_archive_matches_host():
+    """End-to-end: device-sharded encode == host encode, byte-identical."""
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.parallel.pipeline import encode_sharded
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    rng = np.random.default_rng(3)
+    data = _fasta(rng, n_rec=60, max_len=700)
+    for no_mask in (False, True):
+        opts = EncodeOptions(level=1, no_mask=no_mask)
+        host_blob, host_stats = encode(data, opts)
+        dev_blob, dev_stats = encode_sharded(data, opts, mesh=block_mesh(8))
+        assert dev_blob == host_blob
+        assert dev_stats.n_sequences == host_stats.n_sequences
+        assert dev_stats.longest_line == host_stats.longest_line
+
+
+def test_encode_sharded_decodes_with_reference(ref_bin):
+    import subprocess
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.parallel.pipeline import encode_sharded
+
+    rng = np.random.default_rng(5)
+    data = _fasta(rng, n_rec=25, max_len=300)
+    blob, _ = encode_sharded(data, mesh=block_mesh(4))
+    from conftest import run_ref
+    q = run_ref([ref_bin["unnaf"], "-c"], blob)
+    assert q.returncode == 0
+    import io
+    from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
+    ours = Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+    assert q.stdout == ours
