@@ -82,6 +82,10 @@ def _load() -> Optional[ct.CDLL]:
             ct.c_int32, ct.POINTER(_NafScan)]
         lib.naf_scan_fastq.restype = ct.c_int32
         lib.naf_scan_fastq.argtypes = lib.naf_scan_fasta.argtypes
+        lib.naf_scan_fasta_mt.restype = ct.c_int32
+        lib.naf_scan_fasta_mt.argtypes = (
+            lib.naf_scan_fasta.argtypes[:-1] + [ct.c_int32] +
+            lib.naf_scan_fasta.argtypes[-1:])
         lib.naf_render.restype = ct.c_uint64
         lib.naf_render.argtypes = [
             ct.c_int32,
@@ -93,6 +97,10 @@ def _load() -> Optional[ct.CDLL]:
             u8p, ct.c_uint64,
             ct.c_uint8, ct.c_uint64,
             u8p, u8p]
+        lib.naf_render_mt.restype = ct.c_uint64
+        lib.naf_render_mt.argtypes = (
+            lib.naf_render.argtypes[:-2] + [ct.c_int32] +
+            lib.naf_render.argtypes[-2:])
         lib.naf_unpack.restype = None
         lib.naf_unpack.argtypes = [u8p, ct.c_uint64, ct.c_int32, u8p]
         _lib = lib
@@ -136,14 +144,19 @@ class NativeScanError(Exception):
 
 def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
          well_formed: bool, do_mask: bool, do_upper: bool,
-         marker_pos: int) -> NativeScan:
+         marker_pos: int, threads: int = 0) -> NativeScan:
     """Run the fused native scanner over ``data[marker_pos+1:]``.
 
-    Raises NativeScanError on reference-fatal input; the caller maps codes
-    to the reference's die() messages.
+    FASTA inputs >= 2 MB scan multithreaded (record-aligned chunks with
+    boundary stitching); FASTQ stays sequential (record boundaries are
+    ambiguous without a structural parse).  Raises NativeScanError on
+    reference-fatal input; the caller maps codes to the reference's die()
+    messages.
     """
     lib = _load()
     assert lib is not None
+    if threads <= 0:
+        threads = os.cpu_count() or 1
     buf = np.frombuffer(data, dtype=np.uint8)[marker_pos + 1:]
     n = int(buf.size)
 
@@ -164,10 +177,15 @@ def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
     r.lengths = lengths.ctypes.data
     r.mask_units = mask.ctypes.data
 
-    fn = lib.naf_scan_fastq if fastq else lib.naf_scan_fasta
     data_ptr = buf.ctypes.data_as(ct.c_void_p) if n else None
-    code = fn(data_ptr, n, seq_type, int(strict), int(well_formed),
-              int(do_mask), int(do_upper), ct.byref(r))
+    if fastq:
+        code = lib.naf_scan_fastq(data_ptr, n, seq_type, int(strict),
+                                  int(well_formed), int(do_mask),
+                                  int(do_upper), ct.byref(r))
+    else:
+        code = lib.naf_scan_fasta_mt(data_ptr, n, seq_type, int(strict),
+                                     int(well_formed), int(do_mask),
+                                     int(do_upper), threads, ct.byref(r))
     if code != 0:
         raise NativeScanError(code, int(r.error_record), int(r.error_char),
                               int(r.error_a), int(r.error_b))
@@ -189,6 +207,9 @@ def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
     return out
 
 
+_FALLBACK = (1 << 64) - 1
+
+
 def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
            is_packed: bool, is_rna: bool, do_upper: bool,
            mask_units: Optional[np.ndarray],
@@ -196,8 +217,12 @@ def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
            ids_blob: Optional[bytes], comments_blob: Optional[bytes],
            qual: Optional[np.ndarray],
            name_sep: int, line_len: int,
-           out_capacity: int) -> bytes | np.ndarray:
-    """Fused decode render.  Returns output bytes (or the charcount array)."""
+           out_capacity: int, threads: int = 0) -> bytes | np.ndarray:
+    """Fused decode render.  Returns output bytes (or the charcount array).
+
+    threads > 1 uses the parallel renderer; archives with spill quirks fall
+    back to the exact single-thread path automatically.
+    """
     lib = _load()
     assert lib is not None
     ids_a = np.frombuffer(ids_blob, np.uint8) if ids_blob is not None else None
@@ -206,28 +231,37 @@ def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
                if lengths is not None else None)
     n_rec = int(lengths.size) if lengths is not None else 0
 
+    if threads <= 0:
+        threads = os.cpu_count() or 1
+    # emission is memory-bandwidth-bound: 2 cores don't pay for the extra
+    # coordination; scanning (compute-bound) parallelizes from 2 up
+    use_mt = threads >= 4 and total_chars >= (1 << 21)
+
     qual_len = 0 if qual is None else int(qual.size)
+    head = (_ptr(seq_data), ct.c_uint64(total_chars), int(is_packed),
+            int(is_rna), int(do_upper),
+            _ptr(mask_units), 0 if mask_units is None else mask_units.size,
+            _ptr(lengths), n_rec,
+            _ptr(ids_a), 0 if ids_a is None else ids_a.size,
+            _ptr(com_a), 0 if com_a is None else com_a.size,
+            _ptr(qual), qual_len, name_sep, line_len)
+
     if mode == MODE_CHARCOUNT:
         counts = np.zeros(256, np.uint64)
-        lib.naf_render(mode, _ptr(seq_data), total_chars, int(is_packed),
-                       int(is_rna), int(do_upper),
-                       _ptr(mask_units), 0 if mask_units is None else mask_units.size,
-                       _ptr(lengths), n_rec,
-                       _ptr(ids_a), 0 if ids_a is None else ids_a.size,
-                       _ptr(com_a), 0 if com_a is None else com_a.size,
-                       _ptr(qual), qual_len, name_sep, line_len,
-                       None, counts.ctypes.data_as(ct.c_void_p))
+        cptr = counts.ctypes.data_as(ct.c_void_p)
+        if use_mt:
+            lib.naf_render_mt(mode, *head, threads, None, cptr)
+        else:
+            lib.naf_render(mode, *head, None, cptr)
         return counts
 
     out = np.empty(out_capacity, np.uint8)
-    w = lib.naf_render(mode, _ptr(seq_data), total_chars, int(is_packed),
-                       int(is_rna), int(do_upper),
-                       _ptr(mask_units), 0 if mask_units is None else mask_units.size,
-                       _ptr(lengths), n_rec,
-                       _ptr(ids_a), 0 if ids_a is None else ids_a.size,
-                       _ptr(com_a), 0 if com_a is None else com_a.size,
-                       _ptr(qual), qual_len, name_sep, line_len,
-                       out.ctypes.data_as(ct.c_void_p), None)
+    optr = out.ctypes.data_as(ct.c_void_p)
+    w = _FALLBACK
+    if use_mt:
+        w = lib.naf_render_mt(mode, *head, threads, optr, None)
+    if w == _FALLBACK:
+        w = lib.naf_render(mode, *head, optr, None)
     assert w <= out_capacity, "native render overflowed its buffer"
     return out[:w].tobytes()
 

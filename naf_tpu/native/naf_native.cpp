@@ -17,6 +17,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdio>
+#include <thread>
+#include <vector>
+#include <algorithm>
 
 extern "C" {
 
@@ -338,6 +341,216 @@ int32_t naf_scan_fasta(const uint8_t *data, uint64_t n, int32_t seq_type,
 
 fail:
   return r->error;
+}
+
+// ---------------------------------------------------------------------------
+// Multithreaded FASTA scan.
+//
+// The input splits at record starts ('>' preceded by EOL), each chunk runs
+// the single-thread scanner into chunk-local buffers, and the outputs merge:
+// plain concatenation for seq/ids/comments/lengths (records never span
+// chunks), nibble-shifted stitch for the packed stream (a chunk whose char
+// prefix is odd re-aligns by one nibble), and run-carry merge for the mask
+// RLE (boundary runs of equal case state coalesce).  This is the host-side
+// twin of the device block pipeline's carry algebra (parallel/block.py).
+//
+// Any per-chunk error falls back to the sequential scanner so error messages
+// and orderings match the reference exactly.
+// ---------------------------------------------------------------------------
+
+struct ChunkOut {
+  NafScan r{};
+  uint8_t *seq = nullptr, *packed = nullptr, *ids = nullptr,
+          *comments = nullptr, *mask = nullptr;
+  uint64_t *lengths = nullptr;
+  ~ChunkOut() {
+    delete[] seq; delete[] packed; delete[] ids;
+    delete[] comments; delete[] mask; delete[] lengths;
+  }
+};
+
+// append one run of `len` to the unit stream (255-continuation encoding)
+static inline void emit_units(uint8_t *units, uint64_t &n, uint64_t len) {
+  while (len >= 255) { units[n++] = 255; len -= 255; }
+  units[n++] = (uint8_t)len;
+}
+
+int32_t naf_scan_fasta_mt(const uint8_t *data, uint64_t n, int32_t seq_type,
+                          int32_t strict, int32_t well_formed,
+                          int32_t do_mask, int32_t do_upper,
+                          int32_t n_threads, NafScan *r) {
+  naf_init_tables();
+  uint32_t T = (uint32_t)std::max(1, n_threads);
+  uint32_t hw = std::thread::hardware_concurrency();
+  if (hw) T = std::min(T, hw * 2);
+  if (T <= 1 || n < (1 << 21))
+    return naf_scan_fasta(data, n, seq_type, strict, well_formed, do_mask,
+                          do_upper, r);
+
+  // chunk boundaries at record starts
+  const bool *eol_tab = g_is_eol;
+  std::vector<uint64_t> cuts{0};
+  for (uint32_t t = 1; t < T; t++) {
+    uint64_t target = std::max((uint64_t)t * (n / T), cuts.back());
+    uint64_t cut = n;
+    const uint8_t *p = data + target;
+    const uint8_t *end = data + n;
+    while (p < end) {
+      const uint8_t *gt = (const uint8_t *)memchr(p, '>', end - p);
+      if (!gt) break;
+      uint64_t idx = (uint64_t)(gt - data);
+      bool prev_eol = idx > 0 &&
+          (well_formed ? data[idx - 1] == '\n' : eol_tab[data[idx - 1]]);
+      if (prev_eol) { cut = idx; break; }
+      p = gt + 1;
+    }
+    if (cut > cuts.back() && cut < n) cuts.push_back(cut);
+  }
+  cuts.push_back(n);
+  uint32_t C = (uint32_t)cuts.size() - 1;
+  if (C <= 1)
+    return naf_scan_fasta(data, n, seq_type, strict, well_formed, do_mask,
+                          do_upper, r);
+
+  std::vector<ChunkOut> outs(C);
+  std::vector<int32_t> errs(C, 0);
+  {
+    std::vector<std::thread> th;
+    for (uint32_t c = 0; c < C; c++) {
+      th.emplace_back([&, c]() {
+        uint64_t a = cuts[c], b = cuts[c + 1];
+        // chunks after the first start AT their '>' marker byte
+        const uint8_t *p = data + a + (c > 0 ? 1 : 0);
+        uint64_t m = b - a - (c > 0 ? 1 : 0);
+        ChunkOut &o = outs[c];
+        o.seq = new uint8_t[m + 2];
+        o.packed = new uint8_t[m / 2 + 2];
+        o.ids = new uint8_t[m + 2];
+        o.comments = new uint8_t[m + 2];
+        o.mask = new uint8_t[do_mask ? m + 4 : 1];
+        o.lengths = new uint64_t[m / 2 + 4];
+        o.r.seq = o.seq; o.r.packed = o.packed; o.r.ids = o.ids;
+        o.r.comments = o.comments; o.r.mask_units = o.mask;
+        o.r.lengths = o.lengths;
+        errs[c] = naf_scan_fasta(p, m, seq_type, strict, well_formed,
+                                 do_mask, do_upper, &o.r);
+      });
+    }
+    for (auto &x : th) x.join();
+  }
+  for (uint32_t c = 0; c < C; c++)
+    if (errs[c] != 0)   // rare: rerun sequentially for exact error semantics
+      return naf_scan_fasta(data, n, seq_type, strict, well_formed, do_mask,
+                            do_upper, r);
+
+  // ---- merge ------------------------------------------------------------
+  std::vector<uint64_t> seq_off(C + 1), ids_off(C + 1), com_off(C + 1),
+      len_off(C + 1);
+  for (uint32_t c = 0; c < C; c++) {
+    seq_off[c + 1] = seq_off[c] + outs[c].r.seq_len;
+    ids_off[c + 1] = ids_off[c] + outs[c].r.ids_len;
+    com_off[c + 1] = com_off[c] + outs[c].r.comments_len;
+    len_off[c + 1] = len_off[c] + outs[c].r.n_records;
+  }
+
+  {
+    std::vector<std::thread> th;
+    for (uint32_t c = 0; c < C; c++) {
+      th.emplace_back([&, c]() {
+        const ChunkOut &o = outs[c];
+        std::memcpy(r->seq + seq_off[c], o.seq, o.r.seq_len);
+        std::memcpy(r->ids + ids_off[c], o.ids, o.r.ids_len);
+        std::memcpy(r->comments + com_off[c], o.comments, o.r.comments_len);
+        std::memcpy(r->lengths + len_off[c], o.lengths,
+                    o.r.n_records * sizeof(uint64_t));
+        // packed stitch: chunk char-offset parity decides alignment
+        uint64_t off = seq_off[c];
+        uint64_t m = o.r.seq_len;
+        if (m == 0) return;
+        const uint8_t *src = o.packed;
+        if ((off & 1) == 0) {
+          uint8_t *dst = r->packed + off / 2;
+          std::memcpy(dst, src, (m + 1) / 2);
+        } else {
+          // first char's nibble joins the previous chunk's last byte — done
+          // serially after the join (that byte is written by another thread)
+          uint8_t *dst = r->packed + off / 2 + 1;
+          uint64_t rem = m - 1;           // chars after the first
+          uint64_t full = rem / 2;
+          for (uint64_t j = 0; j < full; j++)
+            dst[j] = (uint8_t)((src[j] >> 4) | ((src[j + 1] & 0x0F) << 4));
+          if (rem & 1) dst[full] = (uint8_t)(src[full] >> 4);
+        }
+      });
+    }
+    for (auto &x : th) x.join();
+  }
+  // serial boundary fixup: odd-offset chunks OR their first char's code into
+  // the high nibble of the byte shared with the previous chunk
+  for (uint32_t c = 0; c < C; c++) {
+    uint64_t off = seq_off[c];
+    if ((off & 1) == 0 || outs[c].r.seq_len == 0) continue;
+    r->packed[off / 2] = (uint8_t)((r->packed[off / 2] & 0x0F) |
+                                   ((outs[c].packed[0] & 0x0F) << 4));
+  }
+  // sequential: histograms, longest, counts
+  std::memset(r->hist_id, 0, sizeof(r->hist_id));
+  std::memset(r->hist_comment, 0, sizeof(r->hist_comment));
+  std::memset(r->hist_seq, 0, sizeof(r->hist_seq));
+  std::memset(r->hist_qual, 0, sizeof(r->hist_qual));
+  uint64_t longest = 0;
+  for (uint32_t c = 0; c < C; c++) {
+    const NafScan &o = outs[c].r;
+    for (int k = 0; k < 257; k++) {
+      r->hist_id[k] += o.hist_id[k];
+      r->hist_comment[k] += o.hist_comment[k];
+      r->hist_seq[k] += o.hist_seq[k];
+    }
+    if (o.longest_line > longest) longest = o.longest_line;
+  }
+
+  // mask RLE carry merge: walk every chunk's run groups (states alternate
+  // starting unmasked), coalescing equal-state boundary runs.  Zero-length
+  // groups are pure state markers and are skipped; the canonical leading-0
+  // unit of a stream that starts masked re-emerges naturally when the
+  // initial (unmasked, 0) carry meets a masked first run.
+  uint64_t mask_n = 0;
+  if (do_mask) {
+    bool carry_on = false;
+    uint64_t carry_len = 0;
+    for (uint32_t c = 0; c < C; c++) {
+      const uint8_t *u = outs[c].mask;
+      uint64_t un = outs[c].r.n_mask_units;
+      uint64_t i = 0;
+      bool gon = false;
+      while (i < un) {
+        uint64_t glen = 0;
+        while (i < un && u[i] == 255) { glen += 255; i++; }
+        if (i < un) { glen += u[i]; i++; }
+        if (glen > 0) {
+          if (gon == carry_on) {
+            carry_len += glen;
+          } else {
+            emit_units(r->mask_units, mask_n, carry_len);
+            carry_on = gon; carry_len = glen;
+          }
+        }
+        gon = !gon;
+      }
+    }
+    if (carry_len > 0) emit_units(r->mask_units, mask_n, carry_len);
+  }
+
+  r->seq_len = seq_off[C];
+  r->packed_len = (seq_off[C] + 1) / 2;
+  r->ids_len = ids_off[C];
+  r->comments_len = com_off[C];
+  r->qual_len = 0;
+  r->n_records = len_off[C];
+  r->n_mask_units = mask_n;
+  r->longest_line = longest;
+  r->error = NAF_OK;
+  return NAF_OK;
 }
 
 // ---------------------------------------------------------------------------
@@ -785,6 +998,247 @@ uint64_t naf_render(int32_t mode,
     // continuing the wrap, after the '\n' already written
     emit_wrapped(total_chars - pos);
   }
+  delete[] chars;
+  return w;
+}
+
+// ---------------------------------------------------------------------------
+// Multithreaded render.
+//
+// Phase A materializes the character stream in parallel over even-aligned
+// char ranges (bulk unpack + uppercase + span-wise mask from a prebuilt
+// masked-span list).  Phase B computes exact per-record output offsets with
+// one serial prescan over the id/comment blobs + lengths (cheap, O(records +
+// blob bytes)), then renders disjoint record ranges concurrently.
+//
+// Archives with spill quirks (sum(lengths) != total chars, short quality)
+// return NAF_RENDER_FALLBACK and the caller reruns the single-thread path.
+// ---------------------------------------------------------------------------
+
+static const uint64_t NAF_RENDER_FALLBACK = ~(uint64_t)0;
+
+struct MaskSpans {
+  std::vector<uint64_t> starts, ends;   // masked char spans, clipped
+};
+
+static void build_mask_spans(const uint8_t *units, uint64_t n_units,
+                             uint64_t total, MaskSpans &ms) {
+  bool on = false;
+  uint64_t pos = 0, i = 0;
+  while (i < n_units && pos < total) {
+    uint64_t run = 0;
+    while (i < n_units && units[i] == 255) { run += 255; i++; }
+    if (i < n_units) { run += units[i]; i++; }
+    uint64_t end = std::min(pos + run, total);
+    if (on && end > pos) { ms.starts.push_back(pos); ms.ends.push_back(end); }
+    pos += run;
+    if (i < n_units) on = !on;
+  }
+  if (on && pos < total) { ms.starts.push_back(pos); ms.ends.push_back(total); }
+}
+
+static void materialize_range(uint8_t *chars, const uint8_t *seq_data,
+                              uint64_t a, uint64_t b, bool packed, bool rna,
+                              bool upper, const MaskSpans &ms) {
+  // [a, b) with a even
+  if (packed) {
+    const uint16_t *lut = rna ? g_codes_to_nucs_rna : g_codes_to_nucs_dna;
+    uint64_t g = a;
+    for (; g + 1 < b; g += 2) {
+      uint16_t v = lut[seq_data[g >> 1]];
+      std::memcpy(chars + g, &v, 2);
+    }
+    if (g < b)
+      chars[g] = (uint8_t)((rna ? g_codes_to_nucs_rna : g_codes_to_nucs_dna)
+                           [seq_data[g >> 1]] & 0xFF);
+  } else {
+    std::memcpy(chars + a, seq_data + a, b - a);
+    if (upper)
+      for (uint64_t k = a; k < b; k++) {
+        uint8_t c = chars[k];
+        if (c >= 'a' && c <= 'z') chars[k] = c - 32;
+      }
+  }
+  // lowercase the masked spans overlapping [a, b)
+  if (!ms.starts.empty()) {
+    size_t lo = std::upper_bound(ms.ends.begin(), ms.ends.end(), a)
+                - ms.ends.begin();
+    for (size_t s = lo; s < ms.starts.size() && ms.starts[s] < b; s++) {
+      uint64_t x0 = std::max(ms.starts[s], a), x1 = std::min(ms.ends[s], b);
+      for (uint64_t k = x0; k < x1; k++) chars[k] += 32;
+    }
+  }
+}
+
+uint64_t naf_render_mt(int32_t mode,
+                       const uint8_t *seq_data, uint64_t total_chars,
+                       int32_t is_packed, int32_t is_rna, int32_t do_upper,
+                       const uint8_t *mask_units, uint64_t n_mask_units,
+                       const uint64_t *lengths, uint64_t n_records,
+                       const uint8_t *ids, uint64_t ids_len,
+                       const uint8_t *comments, uint64_t comments_len,
+                       const uint8_t *qual, uint64_t qual_len,
+                       uint8_t name_sep, uint64_t line_len,
+                       int32_t n_threads,
+                       uint8_t *out, uint64_t *charcounts) {
+  naf_init_tables();
+  uint32_t T = (uint32_t)std::max(1, n_threads);
+  uint32_t hw = std::thread::hardware_concurrency();
+  if (hw) T = std::min(T, hw * 2);
+
+  const uint8_t *mu = (mode == MODE_FASTQ) ? nullptr : mask_units;
+  uint64_t mu_n = (mode == MODE_FASTQ) ? 0 : n_mask_units;
+  MaskSpans ms;
+  if (mu && mu_n) build_mask_spans(mu, mu_n, total_chars, ms);
+
+  uint8_t *chars = (mode == MODE_SEQ) ? out : new uint8_t[total_chars + 2];
+
+  {
+    std::vector<std::thread> th;
+    uint64_t step = ((total_chars / T) + 1) & ~(uint64_t)1;
+    for (uint32_t t = 0; t < T; t++) {
+      uint64_t a = std::min((uint64_t)t * step, total_chars);
+      uint64_t b = std::min(a + step, total_chars);
+      if (a >= b) break;
+      th.emplace_back(materialize_range, chars, seq_data, a, b,
+                      is_packed != 0, is_rna != 0, do_upper != 0,
+                      std::cref(ms));
+    }
+    for (auto &x : th) x.join();
+  }
+
+  if (mode == MODE_SEQ) return total_chars;
+
+  if (mode == MODE_CHARCOUNT) {
+    std::vector<std::vector<uint64_t>> hists(T, std::vector<uint64_t>(256, 0));
+    std::vector<std::thread> th;
+    uint64_t step = total_chars / T + 1;
+    for (uint32_t t = 0; t < T; t++) {
+      uint64_t a = std::min((uint64_t)t * step, total_chars);
+      uint64_t b = std::min(a + step, total_chars);
+      if (a >= b) break;
+      th.emplace_back([&, a, b, t]() {
+        uint64_t *h = hists[t].data();
+        for (uint64_t k = a; k < b; k++) h[chars[k]]++;
+      });
+    }
+    for (auto &x : th) x.join();
+    for (uint32_t t = 0; t < T; t++)
+      for (int v = 0; v < 256; v++) charcounts[v] += hists[t][v];
+    delete[] chars;
+    return 0;
+  }
+
+  // ---- phase B: offsets ---------------------------------------------------
+  if (lengths == nullptr || n_records == 0) { delete[] chars; return NAF_RENDER_FALLBACK; }
+
+  std::vector<uint64_t> id_off(n_records + 1, 0), co_off(n_records + 1, 0);
+  std::vector<uint64_t> seq_off(n_records + 1, 0), out_off(n_records + 1, 0);
+  bool has_ids = ids != nullptr, has_com = comments != nullptr;
+  {
+    const uint8_t *p = ids, *pe = ids + ids_len;
+    const uint8_t *q = comments, *qe = comments + comments_len;
+    uint64_t w = 0, chars_used = 0;
+    for (uint64_t r = 0; r < n_records; r++) {
+      id_off[r] = has_ids ? (uint64_t)(p - ids) : 0;
+      co_off[r] = has_com ? (uint64_t)(q - comments) : 0;
+      uint64_t idl = 0, col = 0;
+      if (has_ids) {
+        const uint8_t *z = (const uint8_t *)memchr(p, 0, pe - p);
+        if (!z) { delete[] chars; return NAF_RENDER_FALLBACK; }
+        idl = (uint64_t)(z - p); p = z + 1;
+      }
+      if (has_com) {
+        const uint8_t *z = (const uint8_t *)memchr(q, 0, qe - q);
+        if (!z) { delete[] chars; return NAF_RENDER_FALLBACK; }
+        col = (uint64_t)(z - q); q = z + 1;
+      }
+      uint64_t name_len = has_ids ? (idl + ((has_com && col) ? 1 + col : 0))
+                                  : col;
+      uint64_t len = lengths[r];
+      seq_off[r] = chars_used;
+      chars_used += len;
+      uint64_t rec;
+      if (mode == MODE_FASTQ) {
+        rec = 1 + name_len + 1 + len + 3 + len + 1;
+      } else if (mode == MODE_SEQUENCES) {
+        rec = len + 1;
+      } else {  // FASTA
+        uint64_t body = len + ((line_len > 0 && len > 0) ? (len - 1) / line_len : 0);
+        rec = 1 + name_len + 1 + (len > 0 ? body + 1 : 0);
+      }
+      out_off[r] = w;
+      w += rec;
+    }
+    id_off[n_records] = has_ids ? (uint64_t)(p - ids) : 0;
+    co_off[n_records] = has_com ? (uint64_t)(q - comments) : 0;
+    seq_off[n_records] = chars_used;
+    out_off[n_records] = w;
+    if (chars_used != total_chars) { delete[] chars; return NAF_RENDER_FALLBACK; }
+    if (mode == MODE_FASTQ && chars_used > qual_len) { delete[] chars; return NAF_RENDER_FALLBACK; }
+    if (mode == MODE_SEQUENCES && total_chars == 0) { delete[] chars; return 0; }
+  }
+
+  auto render_records = [&](uint64_t r0, uint64_t r1) {
+    for (uint64_t r = r0; r < r1; r++) {
+      uint8_t *o = out + out_off[r];
+      uint64_t len = lengths[r];
+      if (mode != MODE_SEQUENCES) {
+        *o++ = (mode == MODE_FASTQ) ? '@' : '>';
+        if (has_ids) {
+          uint64_t idl = id_off[r + 1] - id_off[r] - 1;
+          std::memcpy(o, ids + id_off[r], idl); o += idl;
+          if (has_com) {
+            uint64_t col = co_off[r + 1] - co_off[r] - 1;
+            if (col) {
+              *o++ = name_sep;
+              std::memcpy(o, comments + co_off[r], col); o += col;
+            }
+          }
+        } else if (has_com) {
+          uint64_t col = co_off[r + 1] - co_off[r] - 1;
+          std::memcpy(o, comments + co_off[r], col); o += col;
+        }
+        *o++ = '\n';
+      }
+      const uint8_t *s = chars + seq_off[r];
+      if (mode == MODE_FASTQ) {
+        std::memcpy(o, s, len); o += len;
+        *o++ = '\n'; *o++ = '+'; *o++ = '\n';
+        std::memcpy(o, qual + seq_off[r], len); o += len;
+        *o++ = '\n';
+      } else if (mode == MODE_SEQUENCES) {
+        std::memcpy(o, s, len); o += len;
+        *o++ = '\n';
+      } else if (len > 0) {
+        if (line_len == 0) {
+          std::memcpy(o, s, len); o += len;
+        } else {
+          uint64_t k = 0;
+          while (k < len) {
+            uint64_t take = std::min(line_len, len - k);
+            std::memcpy(o, s + k, take); o += take; k += take;
+            if (k < len) *o++ = '\n';
+          }
+        }
+        *o++ = '\n';
+      }
+    }
+  };
+
+  {
+    std::vector<std::thread> th;
+    uint64_t step = n_records / T + 1;
+    for (uint32_t t = 0; t < T; t++) {
+      uint64_t a = std::min((uint64_t)t * step, n_records);
+      uint64_t b = std::min(a + step, n_records);
+      if (a >= b) break;
+      th.emplace_back(render_records, a, b);
+    }
+    for (auto &x : th) x.join();
+  }
+
+  uint64_t w = out_off[n_records];
   delete[] chars;
   return w;
 }

@@ -167,3 +167,120 @@ def test_fuzz_random_bytes():
         data = rng.integers(0, 256, size=n, dtype=np.uint8).tobytes()
         for prefix, fastq in ((b">", False), (b"@", True)):
             _assert_equal(prefix + data, fastq, 0)
+
+
+# ---------------------------------------------------------------------------
+# multithreaded paths == sequential paths on large inputs
+# ---------------------------------------------------------------------------
+
+def _big_fasta(seed=0, mb=4, rec_kb=64, line=61):
+    rng = np.random.default_rng(seed)
+    total = mb << 20
+    out = []
+    i = 0
+    made = 0
+    while made < total:
+        ln = min(rec_kb << 10, total - made)
+        seq = rng.choice(np.frombuffer(b"ACGTacgtNnRyKm-", np.uint8), size=ln)
+        pad = (-ln) % line
+        seq2 = np.concatenate([seq, np.full(pad, ord("A"), np.uint8)])
+        body = seq2.reshape(-1, line)
+        wrapped = np.concatenate(
+            [body, np.full((body.shape[0], 1), ord("\n"), np.uint8)], axis=1
+        ).reshape(-1)
+        out.append(b">r%d comment here\n" % i + wrapped.tobytes())
+        made += ln
+        i += 1
+    return b"".join(out)
+
+
+def _scan(data, threads):
+    return native.scan(data, fastq=False, seq_type=0, strict=False,
+                       well_formed=False, do_mask=True, do_upper=False,
+                       marker_pos=0, threads=threads)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_scan_mt_matches_st(seed):
+    data = _big_fasta(seed)
+    a = _scan(data, 1)
+    b = _scan(data, 4)
+    assert a.seq.tobytes() == b.seq.tobytes()
+    assert a.packed.tobytes() == b.packed.tobytes()
+    assert a.ids_blob == b.ids_blob
+    assert a.comments_blob == b.comments_blob
+    assert np.array_equal(a.lengths, b.lengths)
+    assert a.mask_units.tobytes() == b.mask_units.tobytes()
+    assert a.longest_line == b.longest_line
+    assert np.array_equal(a.unexpected_seq, b.unexpected_seq)
+
+
+def test_scan_mt_masked_boundaries():
+    # long all-lowercase and all-uppercase records force carry coalescing
+    recs = []
+    for i in range(40):
+        ch = b"acgt" if i % 2 else b"ACGT"
+        recs.append(b">x%d\n" % i + ch * 30000 + b"\n")
+    data = b"".join(recs)
+    a, b = _scan(data, 1), _scan(data, 6)
+    assert a.mask_units.tobytes() == b.mask_units.tobytes()
+    assert a.packed.tobytes() == b.packed.tobytes()
+
+
+def _render_args(scan, line_len=70, mode=native.MODE_FASTA):
+    lengths = scan.lengths.astype(np.uint64)
+    # convert scan outputs to decode inputs: ids/comments blobs as produced
+    total = int(scan.seq.size)
+    return dict(
+        seq_data=scan.packed, total_chars=total, is_packed=True,
+        is_rna=False, do_upper=False, mask_units=scan.mask_units,
+        lengths=lengths, ids_blob=scan.ids_blob,
+        comments_blob=scan.comments_blob, qual=None, name_sep=32,
+        line_len=line_len,
+        out_capacity=total * 2 + len(scan.ids_blob) + len(scan.comments_blob)
+        + (1 << 20),
+    )
+
+
+@pytest.mark.parametrize("mode", [native.MODE_FASTA, native.MODE_SEQUENCES,
+                                  native.MODE_SEQ])
+@pytest.mark.parametrize("line_len", [60, 0])
+def test_render_mt_matches_st(mode, line_len):
+    data = _big_fasta(3)
+    s = _scan(data, 1)
+    args = _render_args(s, line_len=line_len)
+    a = native.render(mode, threads=1, **args)
+    b = native.render(mode, threads=4, **args)
+    assert a == b
+
+
+def test_render_mt_charcount():
+    data = _big_fasta(4)
+    s = _scan(data, 1)
+    args = _render_args(s)
+    a = native.render(native.MODE_CHARCOUNT, threads=1, **args)
+    b = native.render(native.MODE_CHARCOUNT, threads=4, **args)
+    assert np.array_equal(a, b)
+
+
+def test_render_mt_fastq():
+    rng = np.random.default_rng(9)
+    recs = []
+    for i in range(3000):
+        ln = int(rng.integers(50, 150))
+        seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=ln).tobytes()
+        qual = rng.choice(np.frombuffer(b"IJKF#", np.uint8), size=ln).tobytes()
+        recs.append(b"@read%d x\n%s\n+\n%s\n" % (i, seq, qual))
+    data = b"".join(recs)
+    s = native.scan(data, fastq=True, seq_type=0, strict=False,
+                    well_formed=False, do_mask=False, do_upper=False,
+                    marker_pos=0)
+    total = int(s.seq.size)
+    args = dict(seq_data=s.packed, total_chars=total, is_packed=True,
+                is_rna=False, do_upper=False, mask_units=None,
+                lengths=s.lengths.astype(np.uint64), ids_blob=s.ids_blob,
+                comments_blob=s.comments_blob, qual=s.qual, name_sep=32,
+                line_len=0, out_capacity=total * 3 + (2 << 20))
+    a = native.render(native.MODE_FASTQ, threads=1, **args)
+    b = native.render(native.MODE_FASTQ, threads=4, **args)
+    assert a == b
