@@ -13,7 +13,8 @@ import sys
 from ..codec import MAX_CLEVEL, MIN_CLEVEL, WINDOWLOG_MAX, WINDOWLOG_MIN
 from ..format import constants as C
 from ..ops.histogram import format_unexpected_report
-from ..pipeline.encoder import EncodeOptions, encode
+from ..pipeline.encoder import EncodeOptions
+from ..pipeline.stream import encode_stream
 from ..pipeline.parser import InputError
 from ..version import TOOL_DATE, __version__
 
@@ -277,24 +278,40 @@ def main(argv: list[str] | None = None) -> int:
 
     if in_path is not None:
         try:
-            with open(in_path, "rb") as f:
-                data = f.read()
+            inf = open(in_path, "rb")
         except OSError:
             _die("can't open input file")
     else:
-        data = sys.stdin.buffer.read()
+        inf = sys.stdin.buffer
 
-    auto_out = False
     if not force_stdout and out_path is None and sys.stdout.isatty():
         if in_path is None:
             _die("output file is not specified")
         out_path = in_path + ".naf"
-        auto_out = True
 
+    # stream-encode straight to the destination (bounded memory); an
+    # incomplete output file is removed on any failure, like the
+    # reference's atexit(done) (ennaf.c:154-157)
+    if out_path is not None and not force_stdout:
+        try:
+            outf = open(out_path, "wb")
+        except OSError:
+            _die("can't create output file")
+    else:
+        outf = sys.stdout.buffer
     try:
-        blob, stats = encode(data, opts)
+        stats = encode_stream(inf, outf, opts)
     except InputError as e:
+        if outf is not sys.stdout.buffer:
+            outf.close()
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
         _die(str(e))
+    finally:
+        if inf is not sys.stdin.buffer:
+            inf.close()
 
     if ext_fmt != C.IN_FORMAT_UNKNOWN and stats.in_format != C.IN_FORMAT_UNKNOWN and ext_fmt != stats.in_format:
         _msg(f"{PROG} warning: input file extension does not match its actual format\n")
@@ -302,13 +319,10 @@ def main(argv: list[str] | None = None) -> int:
             and ext_fmt != fmt_cli):
         _msg(f"{PROG} warning: input file extension does not match format specified in the command line\n")
 
-    if out_path is not None and not force_stdout:
-        try:
-            with open(out_path, "wb") as f:
-                f.write(blob)
-        except OSError:
-            _die("can't create output file")
+    if outf is not sys.stdout.buffer:
+        outf.close()
         if in_path is not None:
+            # metadata transfer parity: files.c:114-156
             try:
                 st = os.stat(in_path)
                 os.chmod(out_path, st.st_mode & 0o777)
@@ -316,7 +330,6 @@ def main(argv: list[str] | None = None) -> int:
             except OSError:
                 _msg(f"{PROG} error: can't transfer permissions from input to output file\n")
     else:
-        sys.stdout.buffer.write(blob)
         sys.stdout.buffer.flush()
 
     if not opts.well_formed:

@@ -47,7 +47,22 @@ class _NafScan(ct.Structure):
         ("error_record", ct.c_uint64),
         ("error_char", ct.c_uint32),
         ("error_a", ct.c_uint64), ("error_b", ct.c_uint64),
+        # streaming carry state (see naf_native.cpp NAF_F_* flags)
+        ("flags", ct.c_int32), ("prev_eol_in", ct.c_int32),
+        ("mask_on_in", ct.c_int32), ("mask_run_in", ct.c_uint64),
+        ("len_carry_in", ct.c_uint64), ("line_carry_in", ct.c_uint64),
+        ("pack_carry_in", ct.c_uint32),
+        ("end_state", ct.c_int32), ("mask_tail_on", ct.c_int32),
+        ("mask_tail_run", ct.c_uint64), ("consumed", ct.c_uint64),
+        ("end_line_len", ct.c_uint64),
     ]
+
+
+# scan flags (keep in sync with naf_native.cpp)
+F_CONT_SEQ = 1
+F_NO_MASK_FLUSH = 2
+F_PACK_CARRY = 4
+F_ALLOW_PARTIAL = 8
 
 
 def _build() -> bool:
@@ -131,7 +146,10 @@ class NativeScan:
     __slots__ = ("seq", "packed", "ids_blob", "comments_blob", "qual",
                  "lengths", "mask_units", "longest_line", "n_sequences",
                  "unexpected_id", "unexpected_comment", "unexpected_seq",
-                 "unexpected_qual")
+                 "unexpected_qual",
+                 # streaming carry outputs
+                 "end_state", "mask_tail_on", "mask_tail_run", "consumed",
+                 "end_line_len")
 
 
 class NativeScanError(Exception):
@@ -144,7 +162,11 @@ class NativeScanError(Exception):
 
 def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
          well_formed: bool, do_mask: bool, do_upper: bool,
-         marker_pos: int, threads: int = 0) -> NativeScan:
+         marker_pos: int, threads: int = 0,
+         flags: int = 0, prev_eol: bool = False,
+         mask_on: bool = False, mask_run: int = 0,
+         len_carry: int = 0, line_carry: int = 0,
+         pack_carry: Optional[int] = None) -> NativeScan:
     """Run the fused native scanner over ``data[marker_pos+1:]``.
 
     FASTA inputs >= 2 MB scan multithreaded (record-aligned chunks with
@@ -176,10 +198,23 @@ def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
     r.qual = qual.ctypes.data
     r.lengths = lengths.ctypes.data
     r.mask_units = mask.ctypes.data
+    if pack_carry is not None:
+        flags |= F_PACK_CARRY
+        r.pack_carry_in = pack_carry & 0x0F
+    r.flags = flags
+    r.prev_eol_in = int(prev_eol)
+    r.mask_on_in = int(mask_on)
+    r.mask_run_in = mask_run
+    r.len_carry_in = len_carry
+    r.line_carry_in = line_carry
 
     data_ptr = buf.ctypes.data_as(ct.c_void_p) if n else None
     if fastq:
         code = lib.naf_scan_fastq(data_ptr, n, seq_type, int(strict),
+                                  int(well_formed), int(do_mask),
+                                  int(do_upper), ct.byref(r))
+    elif flags:
+        code = lib.naf_scan_fasta(data_ptr, n, seq_type, int(strict),
                                   int(well_formed), int(do_mask),
                                   int(do_upper), ct.byref(r))
     else:
@@ -204,6 +239,11 @@ def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
     out.unexpected_comment = np.ctypeslib.as_array(r.hist_comment).copy()
     out.unexpected_seq = np.ctypeslib.as_array(r.hist_seq).copy()
     out.unexpected_qual = np.ctypeslib.as_array(r.hist_qual).copy()
+    out.end_state = int(r.end_state)
+    out.mask_tail_on = bool(r.mask_tail_on)
+    out.mask_tail_run = int(r.mask_tail_run)
+    out.consumed = int(r.consumed)
+    out.end_line_len = int(r.end_line_len)
     return out
 
 

@@ -123,6 +123,14 @@ enum {
   NAF_ERR_FQ_NOT_WF = 15,     // not well-formed FASTQ input
 };
 
+// scan flags (streaming continuation support)
+enum {
+  NAF_F_CONT_SEQ = 1,        // resume mid-record in the SEQ state (FASTA)
+  NAF_F_NO_MASK_FLUSH = 2,   // export the trailing mask run instead of flushing
+  NAF_F_PACK_CARRY = 4,      // pack_carry_in holds a pending low nibble
+  NAF_F_ALLOW_PARTIAL = 8,   // FASTQ: stop after last complete record
+};
+
 typedef struct {
   // caller-allocated outputs; capacities: seq,ids,comments,qual >= n + 2;
   // packed >= n/2 + 2; lengths >= n/2 + 2 entries; mask >= n + 2
@@ -143,6 +151,20 @@ typedef struct {
   uint64_t error_record;   // 1-based record number for the message
   uint32_t error_char;
   uint64_t error_a, error_b;  // lengths for the mismatch message
+  // --- streaming carry state (inputs honored when `flags` bits set) -------
+  int32_t flags;           // in: NAF_F_* bits
+  int32_t prev_eol_in;     // in (CONT_SEQ): was the byte before this chunk EOL
+  int32_t mask_on_in;      // in (CONT or chunk>0): current mask state
+  uint64_t mask_run_in;    // in: carried run length
+  uint64_t len_carry_in;   // in (CONT_SEQ): chars already in the open record
+  uint64_t line_carry_in;  // in (CONT_SEQ): chars already on the open line
+  uint32_t pack_carry_in;  // in (PACK_CARRY): pending low nibble (char parity odd)
+  int32_t end_state;       // out: 0 done-at-record-boundary, 3 mid-sequence,
+                           //      1 mid-id, 2 mid-comment (CONT unsupported)
+  int32_t mask_tail_on;    // out (NO_MASK_FLUSH): trailing run state
+  uint64_t mask_tail_run;  // out: trailing run length
+  uint64_t consumed;       // out (ALLOW_PARTIAL): bytes up to last full record
+  uint64_t end_line_len;   // out: chars on the line open at EOF
 } NafScan;
 
 // mask RLE emitter
@@ -226,14 +248,30 @@ int32_t naf_scan_fasta(const uint8_t *data, uint64_t n, int32_t seq_type,
     plain_seq[k] = wf ? (k != '\n') : (!g_is_space[k] && !unex_seq[k]);
   if (!wf && seq_type == 3) plain_seq[(unsigned)'>'] = true;
 
+  const int32_t fl = r->flags;
   MaskState mask; mask.units = r->mask_units;
+  if (fl & NAF_F_NO_MASK_FLUSH) {
+    mask.on = r->mask_on_in != 0;
+    mask.run = r->mask_run_in;
+  }
   PackState pack; pack.out = r->packed;
+  if (fl & NAF_F_PACK_CARRY) {
+    pack.out[0] = (uint8_t)(r->pack_carry_in & 0x0F);
+    pack.n = 1;
+    pack.parity = true;
+  }
   uint64_t seq_n = 0, ids_n = 0, com_n = 0;
   uint64_t n_rec = 0;
   uint64_t cur_len = 0, line_len = 0, longest = 0;
 
   enum { ID, COMMENT, SEQ } state = ID;
   bool prev_eol = false;
+  if (fl & NAF_F_CONT_SEQ) {
+    state = SEQ;
+    prev_eol = r->prev_eol_in != 0;
+    cur_len = r->len_carry_in;
+    line_len = r->line_carry_in;
+  }
 
   auto push_seq = [&](uint8_t c, bool counted) {
     r->seq[seq_n++] = c;
@@ -317,8 +355,17 @@ int32_t naf_scan_fasta(const uint8_t *data, uint64_t n, int32_t seq_type,
   else if (state == COMMENT) { r->comments[com_n++] = 0; }
   if (line_len > longest) longest = line_len;
   r->lengths[n_rec++] = cur_len;
+  r->end_state = (int32_t)state;
+  r->end_line_len = line_len;
 
-  if (do_mask) mask.finish();
+  if (do_mask) {
+    if (fl & NAF_F_NO_MASK_FLUSH) {
+      r->mask_tail_on = mask.on ? 1 : 0;
+      r->mask_tail_run = mask.run;
+    } else {
+      mask.finish();
+    }
+  }
   if (pack.parity) pack.parity = false;  // trailing low-nibble byte already in place
 
   if (do_upper && !nuc) {
@@ -565,6 +612,8 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
   const uint8_t repl = seq_type <= 1 ? 'N' : (seq_type == 2 ? 'X' : '?');
   const bool nuc = seq_type <= 1;
   const bool wf = well_formed != 0;
+  const int32_t fl = r->flags;
+  const bool allow_partial = (fl & NAF_F_ALLOW_PARTIAL) != 0;
 
   bool plain_seq[256], plain_qual[256];
   for (int k = 0; k < 256; k++) {
@@ -573,10 +622,58 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
   }
 
   MaskState mask; mask.units = r->mask_units;
+  if (fl & NAF_F_NO_MASK_FLUSH) {
+    mask.on = r->mask_on_in != 0;
+    mask.run = r->mask_run_in;
+  }
   PackState pack; pack.out = r->packed;
+  if (fl & NAF_F_PACK_CARRY) {
+    pack.out[0] = (uint8_t)(r->pack_carry_in & 0x0F);
+    pack.n = 1;
+    pack.parity = true;
+  }
   uint64_t seq_n = 0, ids_n = 0, com_n = 0, qual_n = 0;
   uint64_t n_rec = 0;
   uint64_t read_len = 0, rec_qual_len = 0, longest = 0;
+
+  // streaming snapshot: state at the end of the last complete record, plus
+  // an unexpected-char event log so histogram updates can be deferred to
+  // record completion (rewinding must not double-count the rescanned tail)
+  struct Snap {
+    bool valid = false;
+    uint64_t pos = 0, seq_n = 0, qual_n = 0, ids_n = 0, com_n = 0, n_rec = 0;
+    uint64_t mask_n = 0, mask_run = 0, pack_n = 0, longest = 0;
+    bool mask_on = false, pack_parity = false;
+  } snap;
+  std::vector<std::pair<uint8_t, uint8_t>> ue_log;  // (stream, byte)
+  enum { UE_ID = 0, UE_COM = 1, UE_SEQ = 2, UE_QUAL = 3 };
+  auto note_unex = [&](int which, uint8_t c) {
+    if (allow_partial) { ue_log.emplace_back((uint8_t)which, c); return; }
+    switch (which) {
+      case UE_ID: r->hist_id[c]++; break;
+      case UE_COM: r->hist_comment[c]++; break;
+      case UE_SEQ: r->hist_seq[c]++; break;
+      default: r->hist_qual[c]++; break;
+    }
+  };
+  auto flush_log = [&]() {
+    for (auto &e : ue_log) switch (e.first) {
+      case UE_ID: r->hist_id[e.second]++; break;
+      case UE_COM: r->hist_comment[e.second]++; break;
+      case UE_SEQ: r->hist_seq[e.second]++; break;
+      default: r->hist_qual[e.second]++; break;
+    }
+    ue_log.clear();
+  };
+  auto snap_take = [&](uint64_t pos) {
+    flush_log();
+    snap.valid = true; snap.pos = pos;
+    snap.seq_n = seq_n; snap.qual_n = qual_n; snap.ids_n = ids_n;
+    snap.com_n = com_n; snap.n_rec = n_rec;
+    snap.mask_n = mask.n; snap.mask_on = mask.on; snap.mask_run = mask.run;
+    snap.pack_n = pack.n; snap.pack_parity = pack.parity;
+    snap.longest = longest;
+  };
 
   enum { ID, COMMENT, SEQ, PRE_PLUS, PLUS_SKIP, PRE_QUAL, QUAL, PRE_AT } state = ID;
 
@@ -599,7 +696,7 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
           if (eol(c)) { r->comments[com_n++] = 0; state = SEQ; }
           else state = COMMENT;
         } else if (!wf && g_unex_text[c]) {
-          r->hist_id[c]++;
+          note_unex(UE_ID, c);
           if (strict) { r->error = NAF_ERR_STRICT_ID; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
           push_seq('?', false);
         } else {
@@ -609,7 +706,7 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
       case COMMENT:
         if (eol(c)) { r->comments[com_n++] = 0; state = SEQ; }
         else if (!wf && g_unex_comment[c]) {
-          r->hist_comment[c]++;
+          note_unex(UE_COM, c);
           if (strict) { r->error = NAF_ERR_STRICT_COMMENT; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
           r->comments[com_n++] = '?';
         } else {
@@ -632,7 +729,7 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
         } else if (g_is_space[c]) {
           // dropped (robust mode; wf treats non-LF space as plain)
         } else {
-          r->hist_seq[c]++;
+          note_unex(UE_SEQ, c);
           if (strict) { r->error = NAF_ERR_STRICT_SEQ; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
           push_seq(repl, true);
         }
@@ -640,7 +737,10 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
       case PRE_PLUS:
         if (wf) {
           if (c != '+') { r->error = NAF_ERR_FQ_NOT_WF; goto fail; }
-          if (i + 1 >= n) { r->error = NAF_ERR_FQ_NOT_WF; goto fail; }
+          if (i + 1 >= n) {
+            if (allow_partial) goto partial;
+            r->error = NAF_ERR_FQ_NOT_WF; goto fail;
+          }
           if (data[i + 1] != '\n') { r->error = NAF_ERR_FQ_NOT_WF; goto fail; }
           i++;  // consume the '\n'
           state = PRE_QUAL;
@@ -662,6 +762,7 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
             r->lengths[n_rec++] = read_len;
             read_len = 0;
             state = PRE_AT;
+            if (allow_partial) snap_take(i + 1);
           } else {
             r->qual[qual_n++] = c;
             rec_qual_len = 1;
@@ -687,10 +788,11 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
           r->lengths[n_rec++] = read_len;
           read_len = 0; rec_qual_len = 0;
           state = PRE_AT;
+          if (allow_partial) snap_take(i + 1);
         } else if (g_is_space[c]) {
           // dropped (robust mode; wf treats non-LF space as plain)
         } else {
-          r->hist_qual[c]++;
+          note_unex(UE_QUAL, c);
           if (strict) { r->error = NAF_ERR_STRICT_QUAL; r->error_record = n_rec + 1; r->error_char = c; goto fail; }
           r->qual[qual_n++] = '!';
           rec_qual_len++;
@@ -710,6 +812,7 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
   }
 
   // EOF handling
+  if (allow_partial && state != PRE_AT) goto partial;
   switch (state) {
     case ID:
       r->ids[ids_n++] = 0; r->comments[com_n++] = 0;
@@ -733,7 +836,15 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
       break;
   }
 
-  if (do_mask) mask.finish();
+  flush_log();
+  if (do_mask) {
+    if (fl & NAF_F_NO_MASK_FLUSH) {
+      r->mask_tail_on = mask.on ? 1 : 0;
+      r->mask_tail_run = mask.run;
+    } else {
+      mask.finish();
+    }
+  }
   if (do_upper && !nuc) {
     for (uint64_t k = 0; k < seq_n; k++) {
       uint8_t c = r->seq[k];
@@ -741,6 +852,7 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
     }
   }
 
+  r->consumed = n;
   r->seq_len = seq_n;
   r->packed_len = pack.n;
   r->ids_len = ids_n;
@@ -749,6 +861,42 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
   r->n_records = n_rec;
   r->n_mask_units = mask.n;
   r->longest_line = longest;
+  r->error = NAF_OK;
+  return NAF_OK;
+
+partial:
+  // rewind to the last complete record; the caller rescans the tail
+  if (!snap.valid) {
+    // no complete record in this chunk: signal "need more data"
+    r->consumed = 0;
+    r->seq_len = 0; r->packed_len = (fl & NAF_F_PACK_CARRY) ? 1 : 0;
+    r->ids_len = 0; r->comments_len = 0; r->qual_len = 0;
+    r->n_records = 0; r->n_mask_units = 0; r->longest_line = 0;
+    r->mask_tail_on = (fl & NAF_F_NO_MASK_FLUSH) ? (r->mask_on_in != 0) : 0;
+    r->mask_tail_run = (fl & NAF_F_NO_MASK_FLUSH) ? r->mask_run_in : 0;
+    r->error = NAF_OK;
+    return NAF_OK;
+  }
+  ue_log.clear();
+  if (snap.pack_parity && snap.pack_n > 0)
+    pack.out[snap.pack_n - 1] &= 0x0F;   // later pushes OR'd into this byte
+  r->consumed = snap.pos;
+  r->seq_len = snap.seq_n;
+  r->packed_len = snap.pack_n;
+  r->ids_len = snap.ids_n;
+  r->comments_len = snap.com_n;
+  r->qual_len = snap.qual_n;
+  r->n_records = snap.n_rec;
+  r->n_mask_units = snap.mask_n;
+  r->longest_line = snap.longest;
+  r->mask_tail_on = snap.mask_on ? 1 : 0;
+  r->mask_tail_run = snap.mask_run;
+  if (do_upper && !nuc) {
+    for (uint64_t k = 0; k < snap.seq_n; k++) {
+      uint8_t c = r->seq[k];
+      if (c >= 'a' && c <= 'z') r->seq[k] = c - 32;
+    }
+  }
   r->error = NAF_OK;
   return NAF_OK;
 
