@@ -213,11 +213,12 @@ def main(argv: list[str] | None = None) -> int:
             _die("output file not specified - please either specify output file with '-o' or '>', or use '-c' option to force writing to console")
 
     try:
-        data = _render(dec, out_type)
+        streamed = _maybe_stream(dec, out_type, out_f)
+        if not streamed:
+            out_f.write(_render(dec, out_type))
     except (NafFormatError, VleError, DecodeError, ValueError) as e:
         _die(str(e))
 
-    out_f.write(data)
     out_f.flush()
     if out_path is not None and not force_stdout:
         out_f.close()
@@ -229,6 +230,26 @@ def main(argv: list[str] | None = None) -> int:
             except OSError:
                 pass
     return 0
+
+
+def _maybe_stream(dec: Decoder, out_type: int, out_f) -> bool:
+    """Large sequence outputs decode in bounded-memory record batches."""
+    h = dec.h
+    dec.r.read_counters()
+    if dec.r.n_sequences == 0:
+        return False
+    if out_type in (FASTA, MASKED_FASTA, UNMASKED_FASTA):
+        dec.r.skip_section("title")
+        dec.stream_fasta(out_f, masking=None if out_type != UNMASKED_FASTA
+                         else False)
+        return True
+    if out_type == FASTQ:
+        if not h.has_quality:
+            raise DecodeError("FASTQ output requested, but input has no qualities")
+        dec.r.skip_section("title")
+        dec.stream_fastq(out_f)
+        return True
+    return False
 
 
 def _render(dec: Decoder, out_type: int) -> bytes:

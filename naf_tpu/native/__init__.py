@@ -105,6 +105,7 @@ def _load() -> Optional[ct.CDLL]:
         lib.naf_render.argtypes = [
             ct.c_int32,
             u8p, ct.c_uint64, ct.c_int32, ct.c_int32, ct.c_int32,
+            ct.c_int32,
             u8p, ct.c_uint64,
             u8p, ct.c_uint64,
             u8p, ct.c_uint64,
@@ -257,7 +258,8 @@ def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
            ids_blob: Optional[bytes], comments_blob: Optional[bytes],
            qual: Optional[np.ndarray],
            name_sep: int, line_len: int,
-           out_capacity: int, threads: int = 0) -> bytes | np.ndarray:
+           out_capacity: int, threads: int = 0,
+           nibble_off: int = 0) -> bytes | np.ndarray:
     """Fused decode render.  Returns output bytes (or the charcount array).
 
     threads > 1 uses the parallel renderer; archives with spill quirks fall
@@ -275,11 +277,11 @@ def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
         threads = os.cpu_count() or 1
     # emission is memory-bandwidth-bound: 2 cores don't pay for the extra
     # coordination; scanning (compute-bound) parallelizes from 2 up
-    use_mt = threads >= 4 and total_chars >= (1 << 21)
+    use_mt = threads >= 4 and total_chars >= (1 << 21) and not nibble_off
 
     qual_len = 0 if qual is None else int(qual.size)
     head = (_ptr(seq_data), ct.c_uint64(total_chars), int(is_packed),
-            int(is_rna), int(do_upper),
+            int(is_rna), int(do_upper), int(nibble_off),
             _ptr(mask_units), 0 if mask_units is None else mask_units.size,
             _ptr(lengths), n_rec,
             _ptr(ids_a), 0 if ids_a is None else ids_a.size,

@@ -976,16 +976,23 @@ enum { MODE_FASTA = 0, MODE_SEQUENCES = 1, MODE_SEQ = 2, MODE_CHARCOUNT = 3,
 static void materialize_chars(uint8_t *chars, const uint8_t *seq_data,
                               uint64_t total, bool packed, bool rna,
                               bool upper, const uint8_t *mask_units,
-                              uint64_t n_mask_units) {
+                              uint64_t n_mask_units, int nibble_off = 0) {
   if (packed) {
     const uint16_t *lut = rna ? g_codes_to_nucs_rna : g_codes_to_nucs_dna;
-    uint64_t n_bytes = total / 2;
+    uint64_t w = 0;
+    if (nibble_off && total) {
+      // stream starts at the high nibble of the first byte
+      chars[w++] = (uint8_t)(lut[seq_data[0]] >> 8);
+      seq_data++;
+    }
+    uint64_t n_bytes = (total - w) / 2;
     for (uint64_t i = 0; i < n_bytes; i++) {
       uint16_t v = lut[seq_data[i]];
-      std::memcpy(chars + 2 * i, &v, 2);
+      std::memcpy(chars + w + 2 * i, &v, 2);
     }
-    if (total & 1)
-      chars[total - 1] = (uint8_t)(lut[seq_data[total / 2]] & 0xFF);
+    w += 2 * n_bytes;
+    if (w < total)
+      chars[total - 1] = (uint8_t)(lut[seq_data[n_bytes]] & 0xFF);
   } else {
     std::memcpy(chars, seq_data, total);
     if (upper)
@@ -1023,6 +1030,7 @@ static void materialize_chars(uint8_t *chars, const uint8_t *seq_data,
 uint64_t naf_render(int32_t mode,
                     const uint8_t *seq_data, uint64_t total_chars,
                     int32_t is_packed, int32_t is_rna, int32_t do_upper,
+                    int32_t nibble_off,
                     const uint8_t *mask_units, uint64_t n_mask_units,
                     const uint64_t *lengths, uint64_t n_records,
                     const uint8_t *ids, uint64_t ids_len,
@@ -1038,7 +1046,7 @@ uint64_t naf_render(int32_t mode,
 
   uint8_t *chars = (mode == MODE_SEQ) ? out : new uint8_t[total_chars + 2];
   materialize_chars(chars, seq_data, total_chars, is_packed != 0,
-                    is_rna != 0, do_upper != 0, mu, mu_n);
+                    is_rna != 0, do_upper != 0, mu, mu_n, nibble_off);
 
   if (mode == MODE_SEQ) return total_chars;
 
@@ -1221,6 +1229,7 @@ static void materialize_range(uint8_t *chars, const uint8_t *seq_data,
 uint64_t naf_render_mt(int32_t mode,
                        const uint8_t *seq_data, uint64_t total_chars,
                        int32_t is_packed, int32_t is_rna, int32_t do_upper,
+                       int32_t nibble_off,
                        const uint8_t *mask_units, uint64_t n_mask_units,
                        const uint64_t *lengths, uint64_t n_records,
                        const uint8_t *ids, uint64_t ids_len,
@@ -1230,6 +1239,7 @@ uint64_t naf_render_mt(int32_t mode,
                        int32_t n_threads,
                        uint8_t *out, uint64_t *charcounts) {
   naf_init_tables();
+  if (nibble_off) return NAF_RENDER_FALLBACK;   // batch path is ST-rendered
   uint32_t T = (uint32_t)std::max(1, n_threads);
   uint32_t hw = std::thread::hardware_concurrency();
   if (hw) T = std::min(T, hw * 2);

@@ -412,6 +412,229 @@ class Decoder:
         pieces.append(extra[pos:].tobytes())
         return b"".join(pieces)
 
+    # ---- streaming (bounded-memory) outputs -------------------------------
+
+    def _batch_metadata(self, masking: bool):
+        """Load metadata for batched rendering: blobs, lengths, mask spans."""
+        h = self.h
+        n = self.r.n_sequences
+        ids = np.frombuffer(self._load_ids(), np.uint8) if h.has_ids else None
+        com = (np.frombuffer(self._load_comments(), np.uint8)
+               if h.has_comments else None)
+        merged = (merge_u32_lengths(self._load_length_units())
+                  if h.has_lengths else np.zeros(0, np.uint64))
+        if merged.size != n:
+            merged = np.resize(merged, n) if merged.size else np.zeros(n, np.uint64)
+        spans = None
+        if masking and h.has_mask:
+            runs = merge_units(self._load_mask_units()).astype(np.int64)
+            ends = np.cumsum(runs)
+            starts = ends - runs
+            spans = (starts[1::2], ends[1::2])    # masked runs (odd index)
+        elif h.has_mask:
+            self.r.skip_section("mask")
+        nul_ids = np.flatnonzero(ids == 0) if ids is not None else None
+        nul_com = np.flatnonzero(com == 0) if com is not None else None
+        return ids, com, merged, spans, nul_ids, nul_com
+
+    @staticmethod
+    def _batch_mask_units(spans, c0: int, c1: int) -> Optional[np.ndarray]:
+        """Alternating RLE units for chars [c0, c1) from global masked spans."""
+        if spans is None:
+            return None
+        starts, ends = spans
+        lo = np.searchsorted(ends, c0, side="right")
+        hi = np.searchsorted(starts, c1, side="left")
+        s = np.clip(starts[lo:hi], c0, c1)
+        e = np.clip(ends[lo:hi], c0, c1)
+        keep = e > s
+        s, e = s[keep], e[keep]
+        if s.size == 0:
+            return np.zeros(0, np.uint8)
+        # runs: [gap, masked, gap, masked, ..., trailing-gap] — the trailing
+        # unmasked run matters: exhausted units extend the LAST run's state
+        gaps = np.concatenate([[s[0] - c0], s[1:] - e[:-1]])
+        tail = c1 - int(e[-1])
+        runs = np.empty(2 * s.size + (1 if tail > 0 else 0), np.int64)
+        runs[0:2 * s.size:2] = gaps
+        runs[1:2 * s.size:2] = e - s
+        if tail > 0:
+            runs[-1] = tail
+        units: list = []
+        for rl in runs.tolist():
+            if rl >= 255:
+                units.append(np.full(rl // 255, 255, np.uint8))
+            units.append(np.asarray([rl % 255], np.uint8))
+        return np.concatenate(units)
+
+    @staticmethod
+    def _blob_slice(blob, nuls, r0: int, r1: int):
+        if blob is None:
+            return None
+        a = 0 if r0 == 0 else int(nuls[r0 - 1]) + 1
+        b = int(nuls[r1 - 1]) + 1
+        return blob[a:b].tobytes()
+
+    def stream_fasta(self, outf: BinaryIO, masking: Optional[bool] = None,
+                     batch_chars: int = 32 << 20) -> None:
+        """Decode to FASTA in record batches with bounded memory.
+
+        Peak RAM is O(batch + largest record + compressed tail) instead of
+        the whole-archive O(3x output) of `fasta()`.
+        """
+        if not self.h.has_sequence or not native.available():
+            outf.write(self.fasta(masking))
+            return
+        masking = self.masking if masking is None else masking
+        n = self.r.n_sequences
+        line_len = self.r.line_length
+        if self.opts.line_length is not None:
+            line_len = self.opts.line_length
+        ids, com, merged, spans, nul_ids, nul_com = self._batch_metadata(masking)
+        total, csize = self.r.section_sizes("sequence")
+        slens = merged.astype(np.int64)
+        if int(slens.sum()) != total or not self.is_nucleotide:
+            # spill-quirk archives & text: whole-buffer path (exact semantics)
+            payload = self.r.f.read(csize)
+            self._total_seq_len = total
+            expect = (total + 1) // 2 if self.is_nucleotide else total
+            self._seq_raw = np.frombuffer(decompress_section(payload, expect),
+                                          np.uint8)
+            out = self.fasta(masking)
+            outf.write(out)
+            return
+
+        rec_ends = np.cumsum(slens)
+        from ..codec import SectionDecompressor
+
+        d = SectionDecompressor()
+        buf = bytearray()
+        read_left = csize
+        base_byte = 0            # global byte index of buf[0]
+        r0 = 0
+        nuc = True
+        while r0 < n:
+            # grow the window until it covers the next batch of records
+            c0 = int(rec_ends[r0 - 1]) if r0 > 0 else 0
+            target = min(c0 + batch_chars, total)
+            r1 = min(max(int(np.searchsorted(rec_ends, target, side="right")),
+                         r0 + 1), n)
+            c1 = int(rec_ends[r1 - 1])
+            need_bytes = (c1 + 1) // 2
+            while base_byte + len(buf) < need_bytes and read_left > 0:
+                chunk = self.r.f.read(min(read_left, 4 << 20))
+                if not chunk:
+                    raise NafFormatError("incomplete or truncated input")
+                read_left -= len(chunk)
+                buf.extend(d.feed(chunk))
+            if base_byte + len(buf) < need_bytes:
+                raise NafFormatError("incomplete or truncated input")
+
+            b0 = c0 // 2
+            seq_slice = np.frombuffer(bytes(buf[b0 - base_byte:
+                                              need_bytes - base_byte]), np.uint8)
+            out = native.render(
+                native.MODE_FASTA,
+                seq_data=seq_slice, total_chars=c1 - c0, is_packed=nuc,
+                is_rna=self.h.seq_type == C.SEQ_TYPE_RNA, do_upper=False,
+                nibble_off=c0 & 1,
+                mask_units=self._batch_mask_units(spans, c0, c1),
+                lengths=merged[r0:r1],
+                ids_blob=self._blob_slice(ids, nul_ids, r0, r1),
+                comments_blob=self._blob_slice(com, nul_com, r0, r1),
+                qual=None, name_sep=ord(self.h.name_separator),
+                line_len=line_len,
+                out_capacity=(c1 - c0) * 2 + 8 * (r1 - r0)
+                + (len(ids) if ids is not None else 0)
+                + (len(com) if com is not None else 0) + (1 << 16))
+            outf.write(out)
+            # drop consumed bytes (keep the byte shared with the next batch)
+            keep_from = (c1 // 2) - base_byte
+            del buf[:keep_from]
+            base_byte = c1 // 2
+            r0 = r1
+
+    def stream_fastq(self, outf: BinaryIO,
+                     batch_chars: int = 32 << 20) -> None:
+        """Decode to FASTQ in record batches (seq section preloaded
+        compressed, quality streamed from the file — input.c:295-341)."""
+        if (not self.h.has_sequence or not native.available()
+                or self.r.n_sequences == 0):
+            outf.write(self.fastq())
+            return
+        if not self.h.has_quality:
+            raise DecodeError("FASTQ output requested, but input has no qualities")
+        n = self.r.n_sequences
+        ids, com, merged, spans, nul_ids, nul_com = self._batch_metadata(False)
+        total, csize = self.r.section_sizes("sequence")
+        slens = merged.astype(np.int64)
+        if int(slens.sum()) != total or not self.is_nucleotide:
+            self._seq_raw = np.frombuffer(
+                decompress_section(self.r.f.read(csize), (total + 1) // 2
+                                   if self.is_nucleotide else total), np.uint8)
+            self._total_seq_len = total
+            outf.write(self.fastq())
+            return
+        seq_payload = self.r.f.read(csize)   # compressed seq stays in RAM
+        qtotal, qcsize = self.r.section_sizes("quality")
+
+        from ..codec import SectionDecompressor
+
+        rec_ends = np.cumsum(slens)
+        ds = SectionDecompressor()
+        dq = SectionDecompressor()
+        sbuf = bytearray()
+        qbuf = bytearray()
+        s_off = 0          # compressed seq consumed
+        q_left = qcsize
+        base_byte = 0
+        qbase = 0
+        r0 = 0
+        while r0 < n:
+            c0 = int(rec_ends[r0 - 1]) if r0 > 0 else 0
+            target = min(c0 + batch_chars, total)
+            r1 = min(max(int(np.searchsorted(rec_ends, target, side="right")),
+                         r0 + 1), n)
+            c1 = int(rec_ends[r1 - 1])
+            need_bytes = (c1 + 1) // 2
+            while base_byte + len(sbuf) < need_bytes and s_off < len(seq_payload):
+                take = seq_payload[s_off:s_off + (4 << 20)]
+                s_off += len(take)
+                sbuf.extend(ds.feed(take))
+            while qbase + len(qbuf) < c1 and q_left > 0:
+                chunk = self.r.f.read(min(q_left, 4 << 20))
+                if not chunk:
+                    raise NafFormatError("incomplete or truncated input")
+                q_left -= len(chunk)
+                qbuf.extend(dq.feed(chunk))
+            if base_byte + len(sbuf) < need_bytes or qbase + len(qbuf) < c1:
+                raise NafFormatError("incomplete or truncated input")
+
+            b0 = c0 // 2
+            seq_slice = np.frombuffer(
+                bytes(sbuf[b0 - base_byte:need_bytes - base_byte]), np.uint8)
+            qual_slice = np.frombuffer(
+                bytes(qbuf[c0 - qbase:c1 - qbase]), np.uint8)
+            out = native.render(
+                native.MODE_FASTQ,
+                seq_data=seq_slice, total_chars=c1 - c0, is_packed=True,
+                is_rna=self.h.seq_type == C.SEQ_TYPE_RNA, do_upper=False,
+                nibble_off=c0 & 1, mask_units=None,
+                lengths=merged[r0:r1],
+                ids_blob=self._blob_slice(ids, nul_ids, r0, r1),
+                comments_blob=self._blob_slice(com, nul_com, r0, r1),
+                qual=qual_slice, name_sep=ord(self.h.name_separator),
+                line_len=0,
+                out_capacity=(c1 - c0) * 2 + 8 * (r1 - r0)
+                + (len(ids) if ids is not None else 0)
+                + (len(com) if com is not None else 0) + (1 << 16))
+            outf.write(out)
+            del sbuf[:(c1 // 2) - base_byte]
+            base_byte = c1 // 2
+            del qbuf[:c1 - qbase]
+            qbase = c1
+            r0 = r1
+
     def fastq(self) -> bytes:
         if not self.h.has_sequence:
             return b""

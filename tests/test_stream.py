@@ -158,3 +158,59 @@ def test_stream_decodes_with_reference(ref_bin):
     assert q.returncode == 0
     from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
     assert Decoder(io.BytesIO(sblob), DecodeOptions()).fasta() == q.stdout
+
+
+# ---------------------------------------------------------------------------
+# streaming decode == whole-buffer decode
+# ---------------------------------------------------------------------------
+
+def _roundtrip_stream_fasta(data, batch, use_mask=True, line_length=None):
+    from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
+    blob, _ = encode(data, EncodeOptions())
+    opts = DecodeOptions(use_mask=use_mask, line_length=line_length)
+    whole = Decoder(io.BytesIO(blob), opts).fasta()
+    out = io.BytesIO()
+    Decoder(io.BytesIO(blob), opts).stream_fasta(out, batch_chars=batch)
+    return whole, out.getvalue()
+
+
+@pytest.mark.parametrize("batch", [100, 4096, 1 << 22])
+def test_stream_decode_fasta(batch):
+    data = _fasta(10, n_rec=40, max_len=3001)   # odd lengths: nibble offsets
+    whole, streamed = _roundtrip_stream_fasta(data, batch)
+    assert streamed == whole
+
+
+def test_stream_decode_fasta_masked_spans():
+    recs = []
+    for i in range(30):
+        ch = b"acgt" if i % 2 else b"ACGT"
+        recs.append(b">m%d\n" % i + ch * 701 + b"\n")   # odd char counts
+    data = b"".join(recs)
+    for batch in (64, 997, 1 << 20):
+        whole, streamed = _roundtrip_stream_fasta(data, batch)
+        assert streamed == whole
+
+
+def test_stream_decode_fasta_no_mask():
+    data = _fasta(11, n_rec=10, max_len=500)
+    whole, streamed = _roundtrip_stream_fasta(data, 512, use_mask=False)
+    assert streamed == whole
+
+
+def test_stream_decode_fasta_empty_records():
+    data = b">a\n>b\nACGT\n>c\n>d\nGG\n"
+    whole, streamed = _roundtrip_stream_fasta(data, 2)
+    assert streamed == whole
+
+
+@pytest.mark.parametrize("batch", [97, 8192])
+def test_stream_decode_fastq(batch):
+    from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
+    data = _fastq(12, n_rec=300)
+    blob, _ = encode(data, EncodeOptions())
+    whole = Decoder(io.BytesIO(blob), DecodeOptions()).fastq()
+    out = io.BytesIO()
+    Decoder(io.BytesIO(blob), DecodeOptions()).stream_fastq(
+        out, batch_chars=batch)
+    assert out.getvalue() == whole
