@@ -31,6 +31,7 @@ from ..ops.histogram import charcount_np, format_charcount
 from ..ops.mask import apply_mask_np, expand_mask_np, merge_units
 from ..ops.render import body_length, wrap_records_np
 from ..ops.unpack import unpack_4bit
+from ..utils.trace import trace_span
 
 
 class DecodeError(ValueError):
@@ -155,8 +156,9 @@ class Decoder:
             total, payload = self.r.load_section("sequence")
             self._total_seq_len = total
             expect = (total + 1) // 2 if self.is_nucleotide else total
-            self._seq_raw = np.frombuffer(
-                decompress_section(payload, expect), np.uint8)
+            with trace_span("seq-unzstd", bytes=expect):
+                self._seq_raw = np.frombuffer(
+                    decompress_section(payload, expect), np.uint8)
         return self._total_seq_len, self._seq_raw  # type: ignore[return-value]
 
     # ---- native fused render path ----------------------------------------
@@ -195,13 +197,14 @@ class Decoder:
             cap += total // line_len + 2 * n_hdr + 8
         else:
             cap += n_hdr + 8
-        return native.render(
-            mode, seq_data=raw, total_chars=total, is_packed=nuc,
-            is_rna=h.seq_type == C.SEQ_TYPE_RNA, do_upper=do_upper,
-            mask_units=mask_units, lengths=merged,
-            ids_blob=ids_blob, comments_blob=com_blob, qual=qual,
-            name_sep=ord(h.name_separator), line_len=line_len,
-            out_capacity=cap)
+        with trace_span("render", bytes=total, mode=mode):
+            return native.render(
+                mode, seq_data=raw, total_chars=total, is_packed=nuc,
+                is_rna=h.seq_type == C.SEQ_TYPE_RNA, do_upper=do_upper,
+                mask_units=mask_units, lengths=merged,
+                ids_blob=ids_blob, comments_blob=com_blob, qual=qual,
+                name_sep=ord(h.name_separator), line_len=line_len,
+                out_capacity=cap)
 
     def _load_seq_chars(self, masking: bool, text_toupper: bool | None = None) -> np.ndarray:
         """Decode the sequence section to rendered characters.

@@ -35,6 +35,7 @@ from ..format import constants as C
 from ..format.container import NafArchive, NafHeader, Section, write_naf
 from . import parser as P
 from .encoder import EncodeOptions, EncodeStats, split_lengths
+from ..utils.trace import trace_span
 
 _LF = ord("\n")
 _GT = ord(">")
@@ -167,6 +168,7 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
     def scan_piece(piece: bytes, *, fastq: bool, extra_flags: int = 0,
                    cont_in: bool = False) -> "native.NativeScan":
         try:
+          with trace_span("scan", bytes=len(piece)):
             return native.scan(
                 piece, fastq=fastq, seq_type=opts.seq_type,
                 strict=opts.strict, well_formed=opts.well_formed,
