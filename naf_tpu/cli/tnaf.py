@@ -51,6 +51,10 @@ Options:
   --verbose          - Verbose mode
   --keep-temp-files  - Keep temporary files
   --no-mask          - Don't store mask
+  --extended         - tnaf extended format: blocked sequence section with
+                       index for parallel + seekable decode (NOT readable
+                       by the reference unnaf; flag bit 0x80, spec 2.4)
+  --block-size N     - Extended-format block size in MB (default 4)
   -h, --help         - Show help
   -V, --version      - Show version
 """ % (MIN_CLEVEL, MAX_CLEVEL, WINDOWLOG_MIN, WINDOWLOG_MAX)
@@ -180,6 +184,18 @@ def main(argv: list[str] | None = None) -> int:
                     opts.no_mask = True
                     i += 1
                     continue
+                if a == "--extended":
+                    opts.extended = True
+                    i += 1
+                    continue
+                if a == "--block-size" and i < n - 1:
+                    i += 1
+                    v = _parse_int_strict(argv[i], "--block-size")
+                    if v < 1:
+                        _die("invalid --block-size")
+                    opts.block_bytes = v << 20
+                    i += 1
+                    continue
                 if a == "--fasta":
                     set_format("fasta")
                     i += 1
@@ -300,7 +316,14 @@ def main(argv: list[str] | None = None) -> int:
     else:
         outf = sys.stdout.buffer
     try:
-        stats = encode_stream(inf, outf, opts)
+        if opts.extended:
+            # extended format compresses blocks in parallel from RAM
+            from ..pipeline.encoder import encode as _encode
+
+            blob, stats = _encode(inf.read(), opts)
+            outf.write(blob)
+        else:
+            stats = encode_stream(inf, outf, opts)
     except InputError as e:
         if outf is not sys.stdout.buffer:
             outf.close()

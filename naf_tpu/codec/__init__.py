@@ -6,12 +6,17 @@ from .zstd_backend import (
     SectionCompressor,
     SectionDecompressor,
     compress_section,
+    compress_section_blocked,
     decompress_section,
+    decompress_section_blocked,
     iter_decompress,
+    parse_blocked_index,
 )
 
 __all__ = [
     "MAX_CLEVEL", "MIN_CLEVEL", "WINDOWLOG_MAX", "WINDOWLOG_MIN",
     "SectionCompressor", "SectionDecompressor",
     "compress_section", "decompress_section", "iter_decompress",
+    "compress_section_blocked", "decompress_section_blocked",
+    "parse_blocked_index",
 ]

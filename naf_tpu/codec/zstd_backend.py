@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Iterable, Iterator, Optional
 
+import os
+
 import zstandard as zstd
 
 from ..format.constants import ZSTD_FRAME_MAGIC
@@ -130,3 +132,77 @@ def iter_decompress(payload: bytes, chunk_size: int = 1 << 20) -> Iterator[bytes
         out = d.feed(payload[off:off + chunk_size])
         if out:
             yield out
+
+
+# ---------------------------------------------------------------------------
+# Extended-format blocked sections (tnaf extension, container flag bit 7)
+# ---------------------------------------------------------------------------
+#
+# Payload layout inside the standard section envelope:
+#     VLE(n_blocks)  { VLE(raw_len) VLE(comp_len) } x n  frames...
+# Each frame is an independent magic-stripped zstd frame, so blocks
+# compress AND decompress in parallel (the plain format's single frame
+# serializes decompression).  The reference decoder cannot read these
+# archives; the header's reserved bit 0x80 marks them (NAF spec §2.4).
+
+def compress_section_blocked(data, level: int = 1, window_log: int = 0,
+                             threads: int = 0,
+                             block_bytes: int = 4 << 20) -> bytes:
+    """Compress `data` as independently-framed blocks with an index."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..format.vle import encode_vle
+
+    mv = memoryview(data)
+    n = mv.nbytes
+    blocks = [mv[i:i + block_bytes] for i in range(0, n, block_bytes)] or [mv[:0]]
+    workers = max(1, min(threads or (os.cpu_count() or 1), len(blocks)))
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as ex:
+            frames = list(ex.map(
+                lambda b: compress_section(b, level=level, window_log=window_log),
+                blocks))
+    else:
+        frames = [compress_section(b, level=level, window_log=window_log)
+                  for b in blocks]
+    out = [encode_vle(len(blocks))]
+    for b, f in zip(blocks, frames):
+        out.append(encode_vle(b.nbytes))
+        out.append(encode_vle(len(f)))
+    out.extend(frames)
+    return b"".join(out)
+
+
+def parse_blocked_index(payload: bytes):
+    """Returns (entries [(raw_len, comp_len)], data_offset)."""
+    from ..format.vle import decode_vle
+
+    n, off = decode_vle(payload, 0)
+    entries = []
+    for _ in range(n):
+        r, off = decode_vle(payload, off)
+        c, off = decode_vle(payload, off)
+        entries.append((r, c))
+    return entries, off
+
+
+def decompress_section_blocked(payload: bytes, uncompressed_size: int,
+                               threads: int = 0) -> bytes:
+    """Parallel decode of a blocked section payload."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    entries, off = parse_blocked_index(payload)
+    pieces = []
+    for r, c in entries:
+        pieces.append((payload[off:off + c], r))
+        off += c
+    workers = max(1, min(threads or (os.cpu_count() or 1), len(pieces)))
+    if workers > 1:
+        with ThreadPoolExecutor(workers) as ex:
+            outs = list(ex.map(lambda p: decompress_section(*p), pieces))
+    else:
+        outs = [decompress_section(*p) for p in pieces]
+    out = b"".join(outs)
+    if len(out) != uncompressed_size:
+        raise RuntimeError("blocked section decompression size mismatch")
+    return out

@@ -46,6 +46,7 @@ class NafFormatError(ValueError):
 class NafHeader:
     format_version: int = 1
     seq_type: int = SEQ_TYPE_DNA
+    extended: bool = False        # bit 7: tnaf extended format (blocked SEQ)
     has_title: bool = False
     has_ids: bool = True
     has_comments: bool = True     # "names" in unnaf terminology
@@ -63,7 +64,8 @@ class NafHeader:
 
     def flags_byte(self) -> int:
         return (
-            (int(self.has_title) << 6)
+            (int(self.extended) << 7)
+            | (int(self.has_title) << 6)
             | (int(self.has_ids) << 5)
             | (int(self.has_comments) << 4)
             | (int(self.has_lengths) << 3)
@@ -184,6 +186,7 @@ class NafReader:
         return NafHeader(
             format_version=version,
             seq_type=seq_type,
+            extended=bool((flags >> 7) & 1),
             has_title=bool((flags >> 6) & 1),
             has_ids=bool((flags >> 5) & 1),
             has_comments=bool((flags >> 4) & 1),

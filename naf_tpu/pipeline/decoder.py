@@ -23,7 +23,7 @@ from typing import BinaryIO, Optional
 import numpy as np
 
 from .. import native
-from ..codec import decompress_section
+from ..codec import decompress_section, decompress_section_blocked
 from ..format import constants as C
 from ..format.container import NafFormatError, NafReader
 from ..ops.assemble import Column, const_column, ragged_concat, split_blob
@@ -124,6 +124,13 @@ class Decoder:
 
     # ---- section loads ----------------------------------------------------
 
+    def _decode_payload(self, payload: bytes, expect: int) -> bytes:
+        """SEQ/QUAL payload decode; extended archives decode blocks in
+        parallel (the plain format's single frame is inherently serial)."""
+        if self.h.extended:
+            return decompress_section_blocked(payload, expect)
+        return decompress_section(payload, expect)
+
     def _load_ids(self) -> bytes:
         if self._ids_blob is None:
             u, payload = self.r.load_section("ids")
@@ -158,7 +165,7 @@ class Decoder:
             expect = (total + 1) // 2 if self.is_nucleotide else total
             with trace_span("seq-unzstd", bytes=expect):
                 self._seq_raw = np.frombuffer(
-                    decompress_section(payload, expect), np.uint8)
+                    self._decode_payload(payload, expect), np.uint8)
         return self._total_seq_len, self._seq_raw  # type: ignore[return-value]
 
     # ---- native fused render path ----------------------------------------
@@ -187,7 +194,7 @@ class Decoder:
         qual = None
         if with_qual:
             qu, qpayload = self.r.load_section("quality")
-            qual = np.frombuffer(decompress_section(qpayload, qu), np.uint8)
+            qual = np.frombuffer(self._decode_payload(qpayload, qu), np.uint8)
         nuc = self.is_nucleotide
         do_upper = (not nuc) and (not self.opts.use_mask) and mode != native.MODE_FASTQ
         n_hdr = merged.size if merged is not None else 0
@@ -220,7 +227,8 @@ class Decoder:
             mask_runs = merge_units(self._load_mask_units())
         total, payload = self.r.load_section("sequence")
         self._total_seq_len = total
-        raw = decompress_section(payload, (total + 1) // 2 if self.is_nucleotide else total)
+        raw = self._decode_payload(
+            payload, (total + 1) // 2 if self.is_nucleotide else total)
         if self.is_nucleotide:
             chars = unpack_4bit(np.frombuffer(raw, dtype=np.uint8), total,
                                 rna=self.h.seq_type == C.SEQ_TYPE_RNA)
@@ -306,7 +314,7 @@ class Decoder:
         if not self.h.has_sequence:
             return b""
         total, payload = self.r.load_section("sequence")
-        return decompress_section(payload, (total + 1) // 2)
+        return self._decode_payload(payload, (total + 1) // 2)
 
     # ---- sequence outputs -----------------------------------------------------
 
@@ -485,7 +493,8 @@ class Decoder:
         Peak RAM is O(batch + largest record + compressed tail) instead of
         the whole-archive O(3x output) of `fasta()`.
         """
-        if not self.h.has_sequence or not native.available():
+        if (not self.h.has_sequence or not native.available()
+                or self.h.extended):
             outf.write(self.fasta(masking))
             return
         masking = self.masking if masking is None else masking
@@ -501,7 +510,7 @@ class Decoder:
             payload = self.r.f.read(csize)
             self._total_seq_len = total
             expect = (total + 1) // 2 if self.is_nucleotide else total
-            self._seq_raw = np.frombuffer(decompress_section(payload, expect),
+            self._seq_raw = np.frombuffer(self._decode_payload(payload, expect),
                                           np.uint8)
             out = self.fasta(masking)
             outf.write(out)
@@ -562,7 +571,7 @@ class Decoder:
         """Decode to FASTQ in record batches (seq section preloaded
         compressed, quality streamed from the file — input.c:295-341)."""
         if (not self.h.has_sequence or not native.available()
-                or self.r.n_sequences == 0):
+                or self.r.n_sequences == 0 or self.h.extended):
             outf.write(self.fastq())
             return
         if not self.h.has_quality:
@@ -573,8 +582,8 @@ class Decoder:
         slens = merged.astype(np.int64)
         if int(slens.sum()) != total or not self.is_nucleotide:
             self._seq_raw = np.frombuffer(
-                decompress_section(self.r.f.read(csize), (total + 1) // 2
-                                   if self.is_nucleotide else total), np.uint8)
+                self._decode_payload(self.r.f.read(csize), (total + 1) // 2
+                                     if self.is_nucleotide else total), np.uint8)
             self._total_seq_len = total
             outf.write(self.fastq())
             return
@@ -656,7 +665,7 @@ class Decoder:
         # (unnaf.c:443 print_fastq(0); output-fastq.c memory path)
         chars = self._load_seq_chars(False, text_toupper=False)
         qu, qpayload = self.r.load_section("quality")
-        qual = np.frombuffer(decompress_section(qpayload, qu), dtype=np.uint8)
+        qual = np.frombuffer(self._decode_payload(qpayload, qu), dtype=np.uint8)
         slens = merged.astype(np.int64)
         ends = np.cumsum(slens)
         starts = ends - slens

@@ -31,7 +31,7 @@ from typing import BinaryIO, Optional
 
 import numpy as np
 
-from ..codec import SectionCompressor
+from ..codec import SectionCompressor, compress_section_blocked
 from ..format import constants as C
 from ..format.container import NafArchive, NafHeader, Section, write_naf
 from ..ops.mask import mask_units_from_bytes
@@ -51,6 +51,8 @@ class EncodeOptions:
     title: Optional[str] = None
     line_length: Optional[int] = None      # --line-length override
     threads: int = 0                       # zstd worker threads per section
+    extended: bool = False                 # tnaf extended format (blocked SEQ)
+    block_bytes: int = 4 << 20             # extended: block size (packed bytes)
 
 
 @dataclass
@@ -153,13 +155,22 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
                  else mask_units_from_bytes(res.seq))
         sections["mask"] = compress_bytes(units.tobytes())
 
+    def seq_payload(buf: bytes) -> bytes:
+        if opts.extended:
+            return compress_section_blocked(
+                buf, level=level, window_log=opts.long_window_log,
+                threads=threads, block_bytes=opts.block_bytes)
+        sc = SectionCompressor(level=level, window_log=opts.long_window_log,
+                               threads=threads)
+        sc.write(buf)
+        return sc.finish()
+
     if text_like:
         seq_bytes = res.seq
         if opts.no_mask:
             seq_bytes = C.TOUPPER[seq_bytes]
-        sec = compress_bytes(seq_bytes.tobytes(), window_log=opts.long_window_log)
-        # uncompressed size in the container is the original char count
-        sections["sequence"] = Section(uncompressed_size=res.seq.size, payload=sec.payload)
+        sections["sequence"] = Section(uncompressed_size=res.seq.size,
+                                       payload=seq_payload(seq_bytes.tobytes()))
     else:
         if res.packed is not None:
             packed = res.packed          # fused native scan already packed
@@ -167,15 +178,23 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
             packed, carry = pack_4bit(res.seq)
             if carry is not None:
                 packed = np.concatenate([packed, np.asarray([carry], dtype=np.uint8)])
-        sec = compress_bytes(packed.tobytes(), window_log=opts.long_window_log)
-        sections["sequence"] = Section(uncompressed_size=int(res.seq.size), payload=sec.payload)
+        sections["sequence"] = Section(uncompressed_size=int(res.seq.size),
+                                       payload=seq_payload(packed.tobytes()))
 
     if store_qual:
-        sections["quality"] = compress_bytes(res.qual.tobytes())
+        if opts.extended:
+            sections["quality"] = Section(
+                uncompressed_size=int(res.qual.size),
+                payload=compress_section_blocked(
+                    res.qual.tobytes(), level=level, threads=threads,
+                    block_bytes=opts.block_bytes))
+        else:
+            sections["quality"] = compress_bytes(res.qual.tobytes())
 
     header = NafHeader(
         format_version=1 if opts.seq_type == C.SEQ_TYPE_DNA else 2,
         seq_type=opts.seq_type,
+        extended=opts.extended,
         has_title=opts.title is not None,
         has_ids=True,
         has_comments=True,

@@ -1,0 +1,83 @@
+"""tnaf extended format (flag bit 0x80): blocked SEQ/QUAL sections.
+
+Extended archives trade reference-tool compatibility (the bit marks them)
+for parallel compress/decompress and block-level seekability.
+"""
+
+import io
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from naf_tpu.format import constants as C
+from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
+from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+sys.path.insert(0, "tests")
+from test_stream import _fasta, _fastq  # noqa: E402
+
+
+def test_extended_roundtrip_fasta():
+    data = _fasta(20, n_rec=30, max_len=40_000)
+    plain, _ = encode(data, EncodeOptions())
+    ext, _ = encode(data, EncodeOptions(extended=True, block_bytes=1 << 16))
+    # header flag set
+    assert ext[4] & 0x80
+    assert not plain[4] & 0x80
+    out_plain = Decoder(io.BytesIO(plain), DecodeOptions()).fasta()
+    out_ext = Decoder(io.BytesIO(ext), DecodeOptions()).fasta()
+    assert out_ext == out_plain
+
+
+def test_extended_roundtrip_fastq():
+    data = _fastq(21, n_rec=400)
+    ext, _ = encode(data, EncodeOptions(extended=True, block_bytes=1 << 14))
+    plain, _ = encode(data, EncodeOptions())
+    assert (Decoder(io.BytesIO(ext), DecodeOptions()).fastq()
+            == Decoder(io.BytesIO(plain), DecodeOptions()).fastq())
+
+
+@pytest.mark.parametrize("seq_type", [C.SEQ_TYPE_PROTEIN, C.SEQ_TYPE_TEXT])
+def test_extended_text_like(seq_type):
+    data = _fasta(22, n_rec=8, max_len=9_000)
+    ext, _ = encode(data, EncodeOptions(seq_type=seq_type, extended=True,
+                                        block_bytes=1 << 13))
+    plain, _ = encode(data, EncodeOptions(seq_type=seq_type))
+    assert (Decoder(io.BytesIO(ext), DecodeOptions()).fasta()
+            == Decoder(io.BytesIO(plain), DecodeOptions()).fasta())
+
+
+def test_extended_partial_outputs():
+    data = _fasta(23, n_rec=12, max_len=2000)
+    ext, _ = encode(data, EncodeOptions(extended=True, block_bytes=1 << 12))
+    plain, _ = encode(data, EncodeOptions())
+    for meth in ("ids", "names", "lengths", "sequences", "seq_concat",
+                 "charcount", "four_bit"):
+        a = getattr(Decoder(io.BytesIO(ext), DecodeOptions()), meth)()
+        b = getattr(Decoder(io.BytesIO(plain), DecodeOptions()), meth)()
+        assert a == b, meth
+
+
+def test_extended_ratio_overhead_small():
+    data = _fasta(24, n_rec=20, max_len=50_000)
+    plain, _ = encode(data, EncodeOptions())
+    ext, _ = encode(data, EncodeOptions(extended=True))  # default 4 MB blocks
+    assert len(ext) < len(plain) * 1.02
+
+
+def test_extended_cli_roundtrip(tmp_path):
+    data = _fasta(25, n_rec=10, max_len=5000)
+    p = subprocess.run([sys.executable, "-m", "naf_tpu.cli.tnaf",
+                        "--extended", "--block-size", "1", "-c"],
+                       input=data, capture_output=True)
+    assert p.returncode == 0, p.stderr
+    q = subprocess.run([sys.executable, "-m", "naf_tpu.cli.untnaf", "-c"],
+                       input=p.stdout, capture_output=True)
+    assert q.returncode == 0, q.stderr
+    ref = subprocess.run([sys.executable, "-m", "naf_tpu.cli.tnaf", "-c"],
+                         input=data, capture_output=True)
+    r2 = subprocess.run([sys.executable, "-m", "naf_tpu.cli.untnaf", "-c"],
+                        input=ref.stdout, capture_output=True)
+    assert q.stdout == r2.stdout
