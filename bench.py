@@ -107,20 +107,25 @@ def time_reference(data: bytes) -> tuple[float, float, int]:
 
 
 def main() -> None:
-    from naf_tpu.utils.jaxenv import setup_jax
-    setup_jax()
     from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
-    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+    from naf_tpu.pipeline.encoder import EncodeOptions
 
     data = gen_fasta(SIZE_MB)
     mb = len(data) / (1 << 20)
     opts = EncodeOptions(level=LEVEL, threads=os.cpu_count() or 0)
 
-    encode(data, opts)   # warm-up (page cache, lazy inits)
+    from naf_tpu.pipeline.encoder import encode
 
-    t_c, (blob, stats) = _best(lambda: encode(data, opts))
-    t_d, out = _best(
-        lambda: Decoder(io.BytesIO(blob), DecodeOptions()).fasta())
+    def compress():
+        return encode(data, opts)[0]
+
+    def decompress():
+        return Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+
+    blob = compress()    # warm-up (page cache, lazy inits)
+    t_c, blob = _best(compress)
+    decompress()
+    t_d, out = _best(decompress)
 
     ours = mb / (t_c + t_d)
 

@@ -315,9 +315,18 @@ def main(argv: list[str] | None = None) -> int:
             _die("can't create output file")
     else:
         outf = sys.stdout.buffer
+    # small regular files take the in-memory path (fastest); large inputs
+    # and pipes stream with bounded memory (reference behavior)
+    stream_threshold = int(os.environ.get("NAF_TPU_STREAM_THRESHOLD",
+                                          str(256 << 20)))
+    in_size = None
+    if in_path is not None:
+        try:
+            in_size = os.fstat(inf.fileno()).st_size
+        except OSError:
+            pass
     try:
-        if opts.extended:
-            # extended format compresses blocks in parallel from RAM
+        if opts.extended or (in_size is not None and in_size < stream_threshold):
             from ..pipeline.encoder import encode as _encode
 
             blob, stats = _encode(inf.read(), opts)

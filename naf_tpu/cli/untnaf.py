@@ -5,6 +5,7 @@ Flag parity target: unnaf/src/unnaf.c:249-353.
 
 from __future__ import annotations
 
+import io
 import os
 import sys
 
@@ -237,6 +238,16 @@ def _maybe_stream(dec: Decoder, out_type: int, out_f) -> bool:
     h = dec.h
     dec.r.read_counters()
     if dec.r.n_sequences == 0:
+        return False
+    # small archives render whole-buffer (fastest); large ones stream in
+    # record batches with bounded memory
+    threshold = int(os.environ.get("NAF_TPU_STREAM_THRESHOLD", str(256 << 20)))
+    small = False
+    try:
+        small = os.fstat(dec.r.f.fileno()).st_size < threshold // 4
+    except (OSError, AttributeError, ValueError, io.UnsupportedOperation):
+        pass
+    if small:
         return False
     if out_type in (FASTA, MASKED_FASTA, UNMASKED_FASTA):
         dec.r.skip_section("title")

@@ -167,7 +167,8 @@ def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
          flags: int = 0, prev_eol: bool = False,
          mask_on: bool = False, mask_run: int = 0,
          len_carry: int = 0, line_carry: int = 0,
-         pack_carry: Optional[int] = None) -> NativeScan:
+         pack_carry: Optional[int] = None,
+         scratch: Optional[dict] = None) -> NativeScan:
     """Run the fused native scanner over ``data[marker_pos+1:]``.
 
     FASTA inputs >= 2 MB scan multithreaded (record-aligned chunks with
@@ -183,13 +184,24 @@ def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
     buf = np.frombuffer(data, dtype=np.uint8)[marker_pos + 1:]
     n = int(buf.size)
 
-    seq = np.empty(n + 2, np.uint8)
-    packed = np.empty(n // 2 + 2, np.uint8)
-    ids = np.empty(n + 2, np.uint8)
-    comments = np.empty(n + 2, np.uint8)
-    qual = np.empty((n + 2) if fastq else 1, np.uint8)
-    lengths = np.empty(n // 2 + 4, np.uint64)
-    mask = np.empty((n + 4) if do_mask else 1, np.uint8)
+    # worst-case output buffers; a caller-owned `scratch` dict is reused
+    # across chunks (streaming pays page-fault cost once, not per chunk)
+    def _get(key: str, size: int, dtype) -> np.ndarray:
+        if scratch is None:
+            return np.empty(size, dtype)
+        a = scratch.get(key)
+        if a is None or a.size < size:
+            a = np.empty(size, dtype)
+            scratch[key] = a
+        return a
+
+    seq = _get("seq", n + 2, np.uint8)
+    packed = _get("packed", n // 2 + 2, np.uint8)
+    ids = _get("ids", n + 2, np.uint8)
+    comments = _get("comments", n + 2, np.uint8)
+    qual = _get("qual", (n + 2) if fastq else 1, np.uint8)
+    lengths = _get("lengths", n // 2 + 4, np.uint64)
+    mask = _get("mask", (n + 4) if do_mask else 1, np.uint8)
 
     r = _NafScan()
     r.seq = seq.ctypes.data
@@ -214,11 +226,9 @@ def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
         code = lib.naf_scan_fastq(data_ptr, n, seq_type, int(strict),
                                   int(well_formed), int(do_mask),
                                   int(do_upper), ct.byref(r))
-    elif flags:
-        code = lib.naf_scan_fasta(data_ptr, n, seq_type, int(strict),
-                                  int(well_formed), int(do_mask),
-                                  int(do_upper), ct.byref(r))
     else:
+        # the MT scanner honors the streaming carry flags (chunk-0 record
+        # carries; mask/pack carries applied at merge time)
         code = lib.naf_scan_fasta_mt(data_ptr, n, seq_type, int(strict),
                                      int(well_formed), int(do_mask),
                                      int(do_upper), threads, ct.byref(r))

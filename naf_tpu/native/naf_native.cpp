@@ -427,6 +427,9 @@ int32_t naf_scan_fasta_mt(const uint8_t *data, uint64_t n, int32_t seq_type,
                           int32_t do_mask, int32_t do_upper,
                           int32_t n_threads, NafScan *r) {
   naf_init_tables();
+  const int32_t in_flags = r->flags;
+  const bool ext_mask_carry = (in_flags & NAF_F_NO_MASK_FLUSH) != 0;
+  const uint64_t carry_char = (in_flags & NAF_F_PACK_CARRY) ? 1 : 0;
   uint32_t T = (uint32_t)std::max(1, n_threads);
   uint32_t hw = std::thread::hardware_concurrency();
   if (hw) T = std::min(T, hw * 2);
@@ -479,6 +482,18 @@ int32_t naf_scan_fasta_mt(const uint8_t *data, uint64_t n, int32_t seq_type,
         o.r.seq = o.seq; o.r.packed = o.packed; o.r.ids = o.ids;
         o.r.comments = o.comments; o.r.mask_units = o.mask;
         o.r.lengths = o.lengths;
+        // inner chunks never flush their trailing mask run: the merge below
+        // coalesces tails directly.  Record-structure carries (CONT_SEQ,
+        // open-record length, line length) go to chunk 0 only; the mask and
+        // pack carries are applied at merge time instead (a carried-in
+        // masked state would break the alternating-group walk).
+        o.r.flags = NAF_F_NO_MASK_FLUSH;
+        if (c == 0 && (in_flags & NAF_F_CONT_SEQ)) {
+          o.r.flags |= NAF_F_CONT_SEQ;
+          o.r.prev_eol_in = r->prev_eol_in;
+          o.r.len_carry_in = r->len_carry_in;
+          o.r.line_carry_in = r->line_carry_in;
+        }
         errs[c] = naf_scan_fasta(p, m, seq_type, strict, well_formed,
                                  do_mask, do_upper, &o.r);
       });
@@ -511,7 +526,7 @@ int32_t naf_scan_fasta_mt(const uint8_t *data, uint64_t n, int32_t seq_type,
         std::memcpy(r->lengths + len_off[c], o.lengths,
                     o.r.n_records * sizeof(uint64_t));
         // packed stitch: chunk char-offset parity decides alignment
-        uint64_t off = seq_off[c];
+        uint64_t off = carry_char + seq_off[c];
         uint64_t m = o.r.seq_len;
         if (m == 0) return;
         const uint8_t *src = o.packed;
@@ -534,8 +549,10 @@ int32_t naf_scan_fasta_mt(const uint8_t *data, uint64_t n, int32_t seq_type,
   }
   // serial boundary fixup: odd-offset chunks OR their first char's code into
   // the high nibble of the byte shared with the previous chunk
+  if (carry_char)
+    r->packed[0] = (uint8_t)(r->pack_carry_in & 0x0F);
   for (uint32_t c = 0; c < C; c++) {
-    uint64_t off = seq_off[c];
+    uint64_t off = carry_char + seq_off[c];
     if ((off & 1) == 0 || outs[c].r.seq_len == 0) continue;
     r->packed[off / 2] = (uint8_t)((r->packed[off / 2] & 0x0F) |
                                    ((outs[c].packed[0] & 0x0F) << 4));
@@ -562,9 +579,20 @@ int32_t naf_scan_fasta_mt(const uint8_t *data, uint64_t n, int32_t seq_type,
   // unit of a stream that starts masked re-emerges naturally when the
   // initial (unmasked, 0) carry meets a masked first run.
   uint64_t mask_n = 0;
+  bool mask_tail_on = false;
+  uint64_t mask_tail_run = 0;
   if (do_mask) {
-    bool carry_on = false;
-    uint64_t carry_len = 0;
+    bool carry_on = ext_mask_carry && r->mask_on_in != 0;
+    uint64_t carry_len = ext_mask_carry ? r->mask_run_in : 0;
+    auto take = [&](bool gon, uint64_t glen) {
+      if (glen == 0) return;
+      if (gon == carry_on) {
+        carry_len += glen;
+      } else {
+        emit_units(r->mask_units, mask_n, carry_len);
+        carry_on = gon; carry_len = glen;
+      }
+    };
     for (uint32_t c = 0; c < C; c++) {
       const uint8_t *u = outs[c].mask;
       uint64_t un = outs[c].r.n_mask_units;
@@ -574,28 +602,31 @@ int32_t naf_scan_fasta_mt(const uint8_t *data, uint64_t n, int32_t seq_type,
         uint64_t glen = 0;
         while (i < un && u[i] == 255) { glen += 255; i++; }
         if (i < un) { glen += u[i]; i++; }
-        if (glen > 0) {
-          if (gon == carry_on) {
-            carry_len += glen;
-          } else {
-            emit_units(r->mask_units, mask_n, carry_len);
-            carry_on = gon; carry_len = glen;
-          }
-        }
+        take(gon, glen);
         gon = !gon;
       }
+      take(outs[c].r.mask_tail_on != 0, outs[c].r.mask_tail_run);
     }
-    if (carry_len > 0) emit_units(r->mask_units, mask_n, carry_len);
+    if (ext_mask_carry) {
+      mask_tail_on = carry_on;
+      mask_tail_run = carry_len;
+    } else if (carry_len > 0) {
+      emit_units(r->mask_units, mask_n, carry_len);
+    }
   }
 
   r->seq_len = seq_off[C];
-  r->packed_len = (seq_off[C] + 1) / 2;
+  r->packed_len = (carry_char + seq_off[C] + 1) / 2;
   r->ids_len = ids_off[C];
   r->comments_len = com_off[C];
   r->qual_len = 0;
   r->n_records = len_off[C];
   r->n_mask_units = mask_n;
   r->longest_line = longest;
+  r->mask_tail_on = mask_tail_on ? 1 : 0;
+  r->mask_tail_run = mask_tail_run;
+  r->end_state = outs[C - 1].r.end_state;
+  r->end_line_len = outs[C - 1].r.end_line_len;
   r->error = NAF_OK;
   return NAF_OK;
 }

@@ -149,3 +149,20 @@ def apply_mask_np(seq_upper: np.ndarray, is_masked: np.ndarray) -> np.ndarray:
 @lazy_jit
 def apply_mask_jnp(seq_upper: jnp.ndarray, is_masked: jnp.ndarray) -> jnp.ndarray:
     return seq_upper + jnp.where(is_masked, jnp.uint8(32), jnp.uint8(0))
+
+
+def runs_to_units(runs: np.ndarray) -> np.ndarray:
+    """Vectorized run lengths -> u8 unit stream (255-continuation).
+
+    Each run of length L emits floor(L/255) 255-units and one (L%255) unit
+    (parity: ennaf/src/encoders.c:98-123).
+    """
+    runs = np.asarray(runs, dtype=np.int64)
+    if runs.size == 0:
+        return np.zeros(0, np.uint8)
+    n255 = runs // 255
+    total = int(n255.sum()) + runs.size
+    out = np.full(total, 255, np.uint8)
+    ends = np.cumsum(n255 + 1) - 1
+    out[ends] = (runs % 255).astype(np.uint8)
+    return out

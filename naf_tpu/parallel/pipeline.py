@@ -48,12 +48,9 @@ def _units_from_bool(lower: np.ndarray) -> np.ndarray:
     runs = (ends - starts).astype(np.int64)
     if lower[0]:
         runs = np.concatenate([[0], runs])   # leading masked run
-    units: list[np.ndarray] = []
-    for rl in runs.tolist():
-        if rl >= 255:
-            units.append(np.full(rl // 255, 255, np.uint8))
-        units.append(np.asarray([rl % 255], np.uint8))
-    return np.concatenate(units) if units else np.zeros(0, np.uint8)
+    from ..ops.mask import runs_to_units
+
+    return runs_to_units(runs)
 
 
 def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,

@@ -28,7 +28,7 @@ from ..format import constants as C
 from ..format.container import NafFormatError, NafReader
 from ..ops.assemble import Column, const_column, ragged_concat, split_blob
 from ..ops.histogram import charcount_np, format_charcount
-from ..ops.mask import apply_mask_np, expand_mask_np, merge_units
+from ..ops.mask import apply_mask_np, expand_mask_np, merge_units, runs_to_units
 from ..ops.render import body_length, wrap_records_np
 from ..ops.unpack import unpack_4bit
 from ..utils.trace import trace_span
@@ -471,12 +471,7 @@ class Decoder:
         runs[1:2 * s.size:2] = e - s
         if tail > 0:
             runs[-1] = tail
-        units: list = []
-        for rl in runs.tolist():
-            if rl >= 255:
-                units.append(np.full(rl // 255, 255, np.uint8))
-            units.append(np.asarray([rl % 255], np.uint8))
-        return np.concatenate(units)
+        return runs_to_units(runs)
 
     @staticmethod
     def _blob_slice(blob, nuls, r0: int, r1: int):

@@ -69,6 +69,46 @@ class _SectionSet:
         self.qual = SectionCompressor(lvl, threads=th)
 
 
+class _WriteBehind:
+    """Ordered background zstd feeder: overlaps compression with the next
+    chunk's scan (zstandard releases the GIL inside compress)."""
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._err: list = []
+
+        def run():
+            while True:
+                item = self._q.get()
+                if item is None:
+                    return
+                sc, data = item
+                try:
+                    sc.write(data)
+                except BaseException as e:   # surfaced on join
+                    self._err.append(e)
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def write(self, sc: SectionCompressor, data) -> None:
+        if self._err:
+            raise self._err[0]
+        self._q.put((sc, data))
+
+    def join(self) -> None:
+        if self._t.is_alive():
+            self._q.put(None)
+            self._t.join()
+        if self._err:
+            err = self._err[0]
+            self._err.clear()
+            raise err
+
+
 def encode_stream(inf: BinaryIO, outf: BinaryIO,
                   opts: Optional[EncodeOptions] = None, *,
                   chunk_size: int = DEFAULT_CHUNK) -> EncodeStats:
@@ -103,6 +143,8 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
     store_qual = is_fastq
 
     secs = _SectionSet(opts)
+    wb = _WriteBehind()
+    scratch: dict = {}
 
     # carry state
     total_chars = 0
@@ -129,20 +171,21 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
                 pass   # nothing emitted; pending byte unchanged
             elif new_total % 2 == 1:
                 if pk.size:
-                    secs.seq.write(pk[:-1])
+                    wb.write(secs.seq, pk[:-1].copy())
                     pending_nibble = int(pk[-1]) & 0x0F
             else:
-                secs.seq.write(pk)
+                wb.write(secs.seq, pk.copy())
                 pending_nibble = None
             total_chars = new_total
         else:
-            secs.seq.write(s.seq if not opts.no_mask else C.TOUPPER[s.seq])
+            wb.write(secs.seq,
+                     s.seq.copy() if not opts.no_mask else C.TOUPPER[s.seq])
             total_chars += chars
         if store_mask:
-            secs.mask.write(s.mask_units)
+            wb.write(secs.mask, s.mask_units.copy())
             mask_on, mask_run = s.mask_tail_on, s.mask_tail_run
-        secs.ids.write(np.frombuffer(s.ids_blob, np.uint8))
-        secs.comments.write(np.frombuffer(s.comments_blob, np.uint8))
+        wb.write(secs.ids, np.frombuffer(s.ids_blob, np.uint8))
+        wb.write(secs.comments, np.frombuffer(s.comments_blob, np.uint8))
         lengths = s.lengths
         if cont_in and held_length is not None and lengths.size:
             pass   # lengths[0] already includes the carry (len_carry_in)
@@ -152,7 +195,7 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
         else:
             held_length = None
         if lengths.size:
-            secs.lengths.write(split_lengths(lengths).tobytes())
+            wb.write(secs.lengths, split_lengths(lengths).tobytes())
         n_records += int(s.n_sequences) - (1 if cont_in else 0)
         if s.longest_line > longest:
             longest = int(s.longest_line)
@@ -161,7 +204,7 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
         stats.unexpected_seq += s.unexpected_seq
         stats.unexpected_qual += s.unexpected_qual
         if store_qual:
-            secs.qual.write(s.qual)
+            wb.write(secs.qual, s.qual.copy())
 
     base_flags = native.F_NO_MASK_FLUSH if store_mask else 0
 
@@ -178,21 +221,28 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
                 prev_eol=prev_eol, mask_on=mask_on, mask_run=mask_run,
                 len_carry=open_len if cont_in else 0,
                 line_carry=open_line if cont_in else 0,
-                pack_carry=pending_nibble)
+                pack_carry=pending_nibble, scratch=scratch)
         except native.NativeScanError as e:
             e2 = native.NativeScanError(e.code, e.record + n_records,
                                         e.char, e.a, e.b)
             raise P._native_error(e2, opts.seq_type, opts.well_formed) from None
 
     if fmt != C.IN_FORMAT_UNKNOWN:
+      try:
         carry = head[marker + 1:]
         del head
         eof = False
+        need = chunk_size   # grow paths raise this to accumulate a record
         while True:
-            chunk = inf.read(chunk_size)
-            if not chunk:
-                eof = True
-            buf = carry + chunk if chunk else carry
+            # top up to the target size before processing (avoids scanning
+            # double-size first pieces and bounds per-piece work)
+            while not eof and len(carry) < need:
+                chunk = inf.read(need - len(carry))
+                if not chunk:
+                    eof = True
+                else:
+                    carry = carry + chunk if carry else chunk
+            buf = carry
             carry = b""
 
             if is_fastq:
@@ -207,7 +257,9 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
                                extra_flags=native.F_ALLOW_PARTIAL)
                 if s.consumed == 0:
                     carry = buf   # no full record yet: grow the buffer
+                    need = len(buf) + chunk_size
                     continue
+                need = chunk_size
                 feed_common(s, drop_last_length=False, cont_in=False)
                 tail = np.frombuffer(buf, np.uint8)[s.consumed:]
                 nz = np.flatnonzero(~C.IS_EOL[tail].astype(bool))
@@ -231,6 +283,7 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
             p = _last_record_start(arr)
             if p > 0:
                 piece, carry = buf[:p], buf[p + 1:]  # strip the '>' marker
+                need = chunk_size
                 s = scan_piece(piece, fastq=False, cont_in=cont)
                 feed_common(s, drop_last_length=False, cont_in=cont)
                 cont = False
@@ -238,8 +291,10 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
                 continue
             if len(buf) < 2 * chunk_size:
                 carry = buf        # record spans the chunk: accumulate
+                need = len(buf) + chunk_size
                 continue
             # giant record: process the whole buffer mid-record
+            need = chunk_size
             s = scan_piece(buf, fastq=False, cont_in=cont)
             if s.end_state != 2:   # ended inside a header: unsupported
                 raise P.InputError(
@@ -250,7 +305,12 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
             prev_eol = C.IS_EOL[buf[-1]] if buf else False
             cont = True
 
+      except BaseException:
+        wb.join()
+        raise
+
     # ---- finalize ----------------------------------------------------------
+    wb.join()
     if nuc and pending_nibble is not None:
         secs.seq.write(np.asarray([pending_nibble], np.uint8))
     if store_mask and mask_run > 0:
