@@ -68,6 +68,75 @@ def merge_u32_lengths(units: np.ndarray) -> np.ndarray:
     return out
 
 
+class _Prefetcher:
+    """Background zstd-decompress of a section: overlaps with rendering.
+
+    A producer thread reads the compressed payload and appends decompressed
+    bytes to `buf`; the consumer waits for coverage then trims what it has
+    written out.  The high-water mark bounds memory.
+    """
+
+    def __init__(self, f: BinaryIO, csize: int, high_water: int):
+        import threading
+
+        from ..codec import SectionDecompressor
+
+        self.buf = bytearray()
+        self._lock = threading.Lock()
+        self._can_consume = threading.Condition(self._lock)
+        self._can_produce = threading.Condition(self._lock)
+        self._done = False
+        self._err: Optional[BaseException] = None
+        self._high = max(high_water, 8 << 20)
+
+        def run():
+            d = SectionDecompressor()
+            left = csize
+            try:
+                while left > 0:
+                    chunk = f.read(min(left, 4 << 20))
+                    if not chunk:
+                        raise NafFormatError("incomplete or truncated input")
+                    left -= len(chunk)
+                    out = d.feed(chunk)
+                    with self._lock:
+                        while (len(self.buf) > self._high and not self._done):
+                            self._can_produce.wait(0.1)
+                        self.buf.extend(out)
+                        self._can_consume.notify_all()
+            except BaseException as e:
+                self._err = e
+            finally:
+                with self._lock:
+                    self._done = True
+                    self._can_consume.notify_all()
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+
+    def wait_for(self, nbytes: int) -> None:
+        with self._lock:
+            while len(self.buf) < nbytes:
+                if self._err is not None:
+                    raise self._err
+                if self._done:
+                    raise NafFormatError("incomplete or truncated input")
+                self._can_consume.wait()
+            if self._err is not None:
+                raise self._err
+
+    def consume(self, nbytes: int) -> None:
+        with self._lock:
+            del self.buf[:nbytes]
+            self._can_produce.notify_all()
+
+    def close(self) -> None:
+        with self._lock:
+            self._done = True
+            self._can_produce.notify_all()
+        self._t.join(timeout=10)
+
+
 class Decoder:
     """One NAF archive opened for reading."""
 
@@ -512,12 +581,8 @@ class Decoder:
             return
 
         rec_ends = np.cumsum(slens)
-        from ..codec import SectionDecompressor
-
-        d = SectionDecompressor()
-        buf = bytearray()
-        read_left = csize
-        base_byte = 0            # global byte index of buf[0]
+        pf = _Prefetcher(self.r.f, csize, high_water=4 * (batch_chars // 2))
+        base_byte = 0            # global byte index of pf.buf[0]
         r0 = 0
         nuc = True
         while r0 < n:
@@ -528,18 +593,11 @@ class Decoder:
                          r0 + 1), n)
             c1 = int(rec_ends[r1 - 1])
             need_bytes = (c1 + 1) // 2
-            while base_byte + len(buf) < need_bytes and read_left > 0:
-                chunk = self.r.f.read(min(read_left, 4 << 20))
-                if not chunk:
-                    raise NafFormatError("incomplete or truncated input")
-                read_left -= len(chunk)
-                buf.extend(d.feed(chunk))
-            if base_byte + len(buf) < need_bytes:
-                raise NafFormatError("incomplete or truncated input")
+            pf.wait_for(need_bytes - base_byte)
 
             b0 = c0 // 2
-            seq_slice = np.frombuffer(bytes(buf[b0 - base_byte:
-                                              need_bytes - base_byte]), np.uint8)
+            seq_slice = np.frombuffer(bytes(pf.buf[b0 - base_byte:
+                                            need_bytes - base_byte]), np.uint8)
             out = native.render(
                 native.MODE_FASTA,
                 seq_data=seq_slice, total_chars=c1 - c0, is_packed=nuc,
@@ -556,10 +614,10 @@ class Decoder:
                 + (len(com) if com is not None else 0) + (1 << 16))
             outf.write(out)
             # drop consumed bytes (keep the byte shared with the next batch)
-            keep_from = (c1 // 2) - base_byte
-            del buf[:keep_from]
+            pf.consume((c1 // 2) - base_byte)
             base_byte = c1 // 2
             r0 = r1
+        pf.close()
 
     def stream_fastq(self, outf: BinaryIO,
                      batch_chars: int = 32 << 20) -> None:
