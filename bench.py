@@ -62,6 +62,19 @@ def gen_fasta(total_mb: int, seed: int = 0) -> bytes:
     return b"".join(out)
 
 
+def gen_fastq(n_reads: int, read_len: int = 100, seed: int = 1) -> bytes:
+    """Synthetic FASTQ: fixed-length reads with realistic quality strings."""
+    rng = np.random.default_rng(seed)
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                     size=(n_reads, read_len))
+    qual = rng.integers(35, 74, size=(n_reads, read_len), dtype=np.uint8)
+    out = []
+    for i in range(n_reads):
+        out.append(b"@read%d/1\n%s\n+\n%s\n"
+                   % (i, seq[i].tobytes(), qual[i].tobytes()))
+    return b"".join(out)
+
+
 def build_reference() -> bool:
     REF_BUILD.mkdir(exist_ok=True)
     for tool in ("ennaf", "unnaf"):
@@ -78,7 +91,7 @@ def build_reference() -> bool:
     return True
 
 
-REPS = int(os.environ.get("NAF_BENCH_REPS", "3"))
+REPS = int(os.environ.get("NAF_BENCH_REPS", "5"))
 
 
 def _best(fn, reps=REPS):
@@ -142,6 +155,35 @@ def main() -> None:
                      ref_compress_s=round(rc, 3), ref_decompress_s=round(rd, 3),
                      our_archive_bytes=len(blob), ref_archive_bytes=ref_size)
         print(json.dumps(extra), file=sys.stderr)
+
+        # secondary metric (BASELINE.md config 3): FASTQ round trip
+        fq = gen_fastq(int(os.environ.get("NAF_BENCH_FASTQ_READS", "250000")))
+        fq_mb = len(fq) / (1 << 20)
+
+        def fq_compress():
+            return encode(fq, opts)[0]
+
+        fq_blob = fq_compress()
+        tqc, fq_blob = _best(fq_compress)
+        tqd, fq_out = _best(
+            lambda: Decoder(io.BytesIO(fq_blob), DecodeOptions()).fastq())
+        env = dict(os.environ, TMPDIR="/tmp")
+        rqc, p = _best(lambda: subprocess.run(
+            [str(REF_BUILD / "ennaf"), f"-{LEVEL}", "--fastq", "-c"],
+            input=fq, capture_output=True, env=env))
+        rqd, q = _best(lambda: subprocess.run(
+            [str(REF_BUILD / "unnaf"), "-c"], input=p.stdout,
+            capture_output=True, env=env))
+        assert q.returncode == 0
+        qq = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=fq_blob,
+                            capture_output=True, env=env)
+        assert qq.returncode == 0 and qq.stdout == fq_out, "FASTQ mismatch"
+        print(json.dumps(dict(
+            metric="fastq_roundtrip_MBps",
+            value=round(fq_mb / (tqc + tqd), 2),
+            vs_baseline=round((fq_mb / (tqc + tqd)) / (fq_mb / (rqc + rqd)), 3),
+            our_s=[round(tqc, 3), round(tqd, 3)],
+            ref_s=[round(rqc, 3), round(rqd, 3)])), file=sys.stderr)
 
     print(json.dumps({
         "metric": "fasta_roundtrip_MBps",

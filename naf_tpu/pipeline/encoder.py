@@ -137,23 +137,14 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
     store_mask = not opts.no_mask and not text_like
     store_qual = is_fastq
 
-    # --- section payload construction ------------------------------------
+    # --- section payload construction (independent sections compress on a
+    # thread pool; zstandard releases the GIL) ------------------------------
     level, threads = opts.level, opts.threads
 
     def compress_bytes(buf, window_log: int = 0) -> Section:
         sc = SectionCompressor(level=level, window_log=window_log, threads=threads)
         sc.write(buf)
         return Section(uncompressed_size=sc.uncompressed_size, payload=sc.finish())
-
-    sections: dict[str, Section] = {}
-    sections["ids"] = compress_bytes(res.ids_blob)
-    sections["comments"] = compress_bytes(res.comments_blob)
-    sections["lengths"] = compress_bytes(split_lengths(res.lengths).tobytes())
-
-    if store_mask:
-        units = (res.mask_units if res.mask_units is not None
-                 else mask_units_from_bytes(res.seq))
-        sections["mask"] = compress_bytes(units.tobytes())
 
     def seq_payload(buf: bytes) -> bytes:
         if opts.extended:
@@ -165,12 +156,23 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
         sc.write(buf)
         return sc.finish()
 
+    jobs: dict[str, "object"] = {}
+    jobs["ids"] = lambda: compress_bytes(res.ids_blob)
+    jobs["comments"] = lambda: compress_bytes(res.comments_blob)
+    jobs["lengths"] = lambda: compress_bytes(split_lengths(res.lengths).tobytes())
+
+    if store_mask:
+        units = (res.mask_units if res.mask_units is not None
+                 else mask_units_from_bytes(res.seq))
+        jobs["mask"] = lambda: compress_bytes(units.tobytes())
+
     if text_like:
         seq_bytes = res.seq
         if opts.no_mask:
             seq_bytes = C.TOUPPER[seq_bytes]
-        sections["sequence"] = Section(uncompressed_size=res.seq.size,
-                                       payload=seq_payload(seq_bytes.tobytes()))
+        jobs["sequence"] = lambda: Section(
+            uncompressed_size=res.seq.size,
+            payload=seq_payload(seq_bytes.tobytes()))
     else:
         if res.packed is not None:
             packed = res.packed          # fused native scan already packed
@@ -178,18 +180,30 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
             packed, carry = pack_4bit(res.seq)
             if carry is not None:
                 packed = np.concatenate([packed, np.asarray([carry], dtype=np.uint8)])
-        sections["sequence"] = Section(uncompressed_size=int(res.seq.size),
-                                       payload=seq_payload(packed.tobytes()))
+        jobs["sequence"] = lambda: Section(
+            uncompressed_size=int(res.seq.size),
+            payload=seq_payload(packed.tobytes()))
 
     if store_qual:
         if opts.extended:
-            sections["quality"] = Section(
+            jobs["quality"] = lambda: Section(
                 uncompressed_size=int(res.qual.size),
                 payload=compress_section_blocked(
                     res.qual.tobytes(), level=level, threads=threads,
                     block_bytes=opts.block_bytes))
         else:
-            sections["quality"] = compress_bytes(res.qual.tobytes())
+            jobs["quality"] = lambda: compress_bytes(res.qual.tobytes())
+
+    sections: dict[str, Section] = {}
+    big = sum(s for s in (res.seq.size, res.qual.size) if s) > (1 << 22)
+    if big and len(jobs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(len(jobs), 4)) as ex:
+            futs = {k: ex.submit(fn) for k, fn in jobs.items()}
+            sections = {k: f.result() for k, f in futs.items()}
+    else:
+        sections = {k: fn() for k, fn in jobs.items()}
 
     header = NafHeader(
         format_version=1 if opts.seq_type == C.SEQ_TYPE_DNA else 2,
