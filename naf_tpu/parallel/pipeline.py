@@ -97,8 +97,16 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
 
     outs = encode_blocks_sharded(blocks_d, prev_d, seq_type=opts.seq_type,
                                  mesh=mesh)
+    outs_np = [np.asarray(o) for o in outs]
+    return _host_stitch(blocks, outs_np, opts, fmt)
+
+
+def _host_stitch(blocks: np.ndarray, outs_np: list, opts: EncodeOptions,
+                 fmt: int) -> tuple[bytes, EncodeStats]:
+    """Boundary stitching + blob assembly + container from device outputs."""
+    D = blocks.shape[0]
     (packed, counts, first_codes, odd, is_lower, region, rec_start,
-     hist_seq, hist_id, hist_comment, longest, n_rec) = [np.asarray(o) for o in outs]
+     hist_seq, hist_id, hist_comment, longest, n_rec) = outs_np
 
     from .block import ShardedEncodeResult
 
