@@ -101,6 +101,8 @@ def _load() -> Optional[ct.CDLL]:
         lib.naf_scan_fasta_mt.argtypes = (
             lib.naf_scan_fasta.argtypes[:-1] + [ct.c_int32] +
             lib.naf_scan_fasta.argtypes[-1:])
+        lib.naf_scan_fastq_mt.restype = ct.c_int32
+        lib.naf_scan_fastq_mt.argtypes = lib.naf_scan_fasta_mt.argtypes
         lib.naf_render.restype = ct.c_uint64
         lib.naf_render.argtypes = [
             ct.c_int32,
@@ -223,9 +225,11 @@ def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
 
     data_ptr = buf.ctypes.data_as(ct.c_void_p) if n else None
     if fastq:
-        code = lib.naf_scan_fastq(data_ptr, n, seq_type, int(strict),
-                                  int(well_formed), int(do_mask),
-                                  int(do_upper), ct.byref(r))
+        # speculative record-boundary split with sound verification;
+        # sequential fallback inside on any mismatch
+        code = lib.naf_scan_fastq_mt(data_ptr, n, seq_type, int(strict),
+                                     int(well_formed), int(do_mask),
+                                     int(do_upper), threads, ct.byref(r))
     else:
         # the MT scanner honors the streaming carry flags (chunk-0 record
         # carries; mask/pack carries applied at merge time)

@@ -408,11 +408,11 @@ fail:
 struct ChunkOut {
   NafScan r{};
   uint8_t *seq = nullptr, *packed = nullptr, *ids = nullptr,
-          *comments = nullptr, *mask = nullptr;
+          *comments = nullptr, *mask = nullptr, *qual = nullptr;
   uint64_t *lengths = nullptr;
   ~ChunkOut() {
     delete[] seq; delete[] packed; delete[] ids;
-    delete[] comments; delete[] mask; delete[] lengths;
+    delete[] comments; delete[] mask; delete[] qual; delete[] lengths;
   }
 };
 
@@ -936,6 +936,223 @@ fail:
   r->comments_len = com_n; r->qual_len = qual_n; r->n_records = n_rec;
   r->n_mask_units = mask.n; r->longest_line = longest;
   return r->error;
+}
+
+// ---------------------------------------------------------------------------
+// Multithreaded FASTQ scan.
+//
+// FASTQ record boundaries are ambiguous from bytes alone ('@' is a valid
+// quality character), so the split is SPECULATIVE with a sound sequential
+// verification: candidate cuts are "EOL then '@'" positions; every chunk
+// scans with ALLOW_PARTIAL, and chunk t's parse is accepted only if the
+// bytes after its last complete record are all EOL — which, by induction
+// from chunk 0's trusted start, proves chunk t+1's '@' is a true record
+// boundary.  Any mismatch or per-chunk error falls back to the sequential
+// scanner (bit-exact reference error semantics).
+// ---------------------------------------------------------------------------
+
+int32_t naf_scan_fastq_mt(const uint8_t *data, uint64_t n, int32_t seq_type,
+                          int32_t strict, int32_t well_formed,
+                          int32_t do_mask, int32_t do_upper,
+                          int32_t n_threads, NafScan *r) {
+  naf_init_tables();
+  const int32_t in_flags = r->flags;
+  const bool ext_mask_carry = (in_flags & NAF_F_NO_MASK_FLUSH) != 0;
+  const uint64_t carry_char = (in_flags & NAF_F_PACK_CARRY) ? 1 : 0;
+  uint32_t T = (uint32_t)std::max(1, n_threads);
+  uint32_t hw = std::thread::hardware_concurrency();
+  if (hw) T = std::min(T, hw * 2);
+  if (T <= 1 || n < (1 << 21) || (in_flags & NAF_F_ALLOW_PARTIAL))
+    return naf_scan_fastq(data, n, seq_type, strict, well_formed, do_mask,
+                          do_upper, r);
+
+  // candidate cuts: '@' preceded by EOL; cut index = byte AFTER the '@'
+  std::vector<uint64_t> cuts{0};
+  for (uint32_t t = 1; t < T; t++) {
+    uint64_t target = std::max((uint64_t)t * (n / T), cuts.back());
+    uint64_t cut = n;
+    const uint8_t *p = data + target;
+    const uint8_t *end = data + n;
+    while (p < end) {
+      const uint8_t *at = (const uint8_t *)memchr(p, '@', end - p);
+      if (!at) break;
+      uint64_t idx = (uint64_t)(at - data);
+      bool prev_eol = idx > 0 &&
+          (well_formed ? data[idx - 1] == '\n' : g_is_eol[data[idx - 1]]);
+      if (prev_eol && idx + 1 < n) { cut = idx + 1; break; }
+      p = at + 1;
+    }
+    if (cut > cuts.back() && cut < n) cuts.push_back(cut);
+  }
+  cuts.push_back(n);
+  uint32_t C = (uint32_t)cuts.size() - 1;
+  if (C <= 1)
+    return naf_scan_fastq(data, n, seq_type, strict, well_formed, do_mask,
+                          do_upper, r);
+
+  std::vector<ChunkOut> outs(C);
+  std::vector<int32_t> errs(C, 0);
+  {
+    std::vector<std::thread> th;
+    for (uint32_t c = 0; c < C; c++) {
+      th.emplace_back([&, c]() {
+        uint64_t a = cuts[c], b = cuts[c + 1];
+        const uint8_t *p = data + a;
+        uint64_t m = b - a;
+        ChunkOut &o = outs[c];
+        o.seq = new uint8_t[m + 2];
+        o.packed = new uint8_t[m / 2 + 2];
+        o.ids = new uint8_t[m + 2];
+        o.comments = new uint8_t[m + 2];
+        o.mask = new uint8_t[do_mask ? m + 4 : 1];
+        o.lengths = new uint64_t[m / 4 + 4];
+        o.qual = new uint8_t[m + 2];
+        o.r.seq = o.seq; o.r.packed = o.packed; o.r.ids = o.ids;
+        o.r.comments = o.comments; o.r.mask_units = o.mask;
+        o.r.lengths = o.lengths; o.r.qual = o.qual;
+        // the LAST chunk must consume to true EOF (reference truncation
+        // errors); earlier chunks stop at their last complete record
+        o.r.flags = NAF_F_NO_MASK_FLUSH
+            | (c + 1 < C ? NAF_F_ALLOW_PARTIAL : 0);
+        errs[c] = naf_scan_fastq(p, m, seq_type, strict, well_formed,
+                                 do_mask, do_upper, &o.r);
+      });
+    }
+    for (auto &x : th) x.join();
+  }
+  bool ok = true;
+  for (uint32_t c = 0; c < C && ok; c++) {
+    if (errs[c] != 0) ok = false;
+  }
+  // verification: bytes between chunk c's consumed point and its end must
+  // be EOL-only (then the next cut's '@' is a true boundary)
+  for (uint32_t c = 0; c + 1 < C && ok; c++) {
+    uint64_t a = cuts[c];
+    uint64_t tail_from = a + outs[c].r.consumed;
+    uint64_t tail_to = cuts[c + 1] - 1;    // the '@' byte sits at cuts-1
+    if (outs[c].r.n_records == 0) { ok = false; break; }
+    for (uint64_t k = tail_from; k < tail_to; k++)
+      if (!g_is_eol[data[k]]) { ok = false; break; }
+  }
+  if (!ok)   // speculative split unverified: sequential rescan (exact
+             // reference error semantics; r keeps its original flags)
+    return naf_scan_fastq(data, n, seq_type, strict, well_formed, do_mask,
+                          do_upper, r);
+
+  // ---- merge ------------------------------------------------------------
+  std::vector<uint64_t> seq_off(C + 1), ids_off(C + 1), com_off(C + 1),
+      len_off(C + 1), qual_off(C + 1);
+  for (uint32_t c = 0; c < C; c++) {
+    seq_off[c + 1] = seq_off[c] + outs[c].r.seq_len;
+    ids_off[c + 1] = ids_off[c] + outs[c].r.ids_len;
+    com_off[c + 1] = com_off[c] + outs[c].r.comments_len;
+    len_off[c + 1] = len_off[c] + outs[c].r.n_records;
+    qual_off[c + 1] = qual_off[c] + outs[c].r.qual_len;
+  }
+  {
+    std::vector<std::thread> th;
+    for (uint32_t c = 0; c < C; c++) {
+      th.emplace_back([&, c]() {
+        const ChunkOut &o = outs[c];
+        std::memcpy(r->seq + seq_off[c], o.seq, o.r.seq_len);
+        std::memcpy(r->ids + ids_off[c], o.ids, o.r.ids_len);
+        std::memcpy(r->comments + com_off[c], o.comments, o.r.comments_len);
+        std::memcpy(r->qual + qual_off[c], o.qual, o.r.qual_len);
+        std::memcpy(r->lengths + len_off[c], o.lengths,
+                    o.r.n_records * sizeof(uint64_t));
+        uint64_t off = carry_char + seq_off[c];
+        uint64_t m = o.r.seq_len;
+        if (m == 0) return;
+        const uint8_t *src = o.packed;
+        if ((off & 1) == 0) {
+          std::memcpy(r->packed + off / 2, src, (m + 1) / 2);
+        } else {
+          uint8_t *dst = r->packed + off / 2 + 1;
+          uint64_t rem = m - 1;
+          uint64_t full = rem / 2;
+          for (uint64_t j = 0; j < full; j++)
+            dst[j] = (uint8_t)((src[j] >> 4) | ((src[j + 1] & 0x0F) << 4));
+          if (rem & 1) dst[full] = (uint8_t)(src[full] >> 4);
+        }
+      });
+    }
+    for (auto &x : th) x.join();
+  }
+  if (carry_char)
+    r->packed[0] = (uint8_t)(r->pack_carry_in & 0x0F);
+  for (uint32_t c = 0; c < C; c++) {
+    uint64_t off = carry_char + seq_off[c];
+    if ((off & 1) == 0 || outs[c].r.seq_len == 0) continue;
+    r->packed[off / 2] = (uint8_t)((r->packed[off / 2] & 0x0F) |
+                                   ((outs[c].packed[0] & 0x0F) << 4));
+  }
+
+  std::memset(r->hist_id, 0, sizeof(r->hist_id));
+  std::memset(r->hist_comment, 0, sizeof(r->hist_comment));
+  std::memset(r->hist_seq, 0, sizeof(r->hist_seq));
+  std::memset(r->hist_qual, 0, sizeof(r->hist_qual));
+  uint64_t longest = 0;
+  for (uint32_t c = 0; c < C; c++) {
+    const NafScan &o = outs[c].r;
+    for (int k = 0; k < 257; k++) {
+      r->hist_id[k] += o.hist_id[k];
+      r->hist_comment[k] += o.hist_comment[k];
+      r->hist_seq[k] += o.hist_seq[k];
+      r->hist_qual[k] += o.hist_qual[k];
+    }
+    if (o.longest_line > longest) longest = o.longest_line;
+  }
+
+  uint64_t mask_n = 0;
+  bool mask_tail_on = false;
+  uint64_t mask_tail_run = 0;
+  if (do_mask) {
+    bool carry_on = ext_mask_carry && r->mask_on_in != 0;
+    uint64_t carry_len = ext_mask_carry ? r->mask_run_in : 0;
+    auto take = [&](bool gon, uint64_t glen) {
+      if (glen == 0) return;
+      if (gon == carry_on) {
+        carry_len += glen;
+      } else {
+        emit_units(r->mask_units, mask_n, carry_len);
+        carry_on = gon; carry_len = glen;
+      }
+    };
+    for (uint32_t c = 0; c < C; c++) {
+      const uint8_t *u = outs[c].mask;
+      uint64_t un = outs[c].r.n_mask_units;
+      uint64_t i = 0;
+      bool gon = false;
+      while (i < un) {
+        uint64_t glen = 0;
+        while (i < un && u[i] == 255) { glen += 255; i++; }
+        if (i < un) { glen += u[i]; i++; }
+        take(gon, glen);
+        gon = !gon;
+      }
+      take(outs[c].r.mask_tail_on != 0, outs[c].r.mask_tail_run);
+    }
+    if (ext_mask_carry) {
+      mask_tail_on = carry_on;
+      mask_tail_run = carry_len;
+    } else if (carry_len > 0) {
+      emit_units(r->mask_units, mask_n, carry_len);
+    }
+  }
+
+  r->seq_len = seq_off[C];
+  r->packed_len = (carry_char + seq_off[C] + 1) / 2;
+  r->ids_len = ids_off[C];
+  r->comments_len = com_off[C];
+  r->qual_len = qual_off[C];
+  r->n_records = len_off[C];
+  r->n_mask_units = mask_n;
+  r->longest_line = longest;
+  r->mask_tail_on = mask_tail_on ? 1 : 0;
+  r->mask_tail_run = mask_tail_run;
+  r->consumed = n;
+  r->error = NAF_OK;
+  return NAF_OK;
 }
 
 // ---------------------------------------------------------------------------

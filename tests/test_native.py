@@ -284,3 +284,70 @@ def test_render_mt_fastq():
     a = native.render(native.MODE_FASTQ, threads=1, **args)
     b = native.render(native.MODE_FASTQ, threads=4, **args)
     assert a == b
+
+
+def _big_fastq(seed=0, n_rec=60000, with_at_in_qual=True):
+    rng = np.random.default_rng(seed)
+    recs = []
+    qalpha = np.frombuffer(b"IJKF#@ABC!~", np.uint8) if with_at_in_qual \
+        else np.frombuffer(b"IJKF#", np.uint8)
+    for i in range(n_rec):
+        ln = int(rng.integers(30, 120))
+        seq = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8),
+                         size=ln).tobytes()
+        qual = rng.choice(qalpha, size=ln).tobytes()
+        recs.append(b"@read%d c%d\n%s\n+\n%s\n" % (i, i, seq, qual))
+    return b"".join(recs)
+
+
+@pytest.mark.parametrize("at_qual", [False, True])
+def test_fastq_scan_mt_matches_st(at_qual):
+    # '@' inside quality strings stresses the speculative-split verification
+    data = _big_fastq(31, with_at_in_qual=at_qual)
+    assert len(data) > (1 << 21)
+    a = native.scan(data, fastq=True, seq_type=0, strict=False,
+                    well_formed=False, do_mask=True, do_upper=False,
+                    marker_pos=0, threads=1)
+    b = native.scan(data, fastq=True, seq_type=0, strict=False,
+                    well_formed=False, do_mask=True, do_upper=False,
+                    marker_pos=0, threads=4)
+    assert a.seq.tobytes() == b.seq.tobytes()
+    assert a.packed.tobytes() == b.packed.tobytes()
+    assert a.qual.tobytes() == b.qual.tobytes()
+    assert a.ids_blob == b.ids_blob
+    assert a.comments_blob == b.comments_blob
+    assert np.array_equal(a.lengths, b.lengths)
+    assert a.mask_units.tobytes() == b.mask_units.tobytes()
+    assert a.longest_line == b.longest_line
+    for f in ("unexpected_id", "unexpected_comment", "unexpected_seq",
+              "unexpected_qual"):
+        assert np.array_equal(getattr(a, f), getattr(b, f))
+
+
+def test_fastq_scan_mt_qual_line_starting_with_at():
+    # a quality line whose FIRST byte is '@' after an EOL is a false
+    # candidate cut: verification must reject it and fall back
+    rec = b"@r%d\n" + b"ACGT" * 20 + b"\n+\n" + b"@" + b"I" * 79 + b"\n"
+    data = b"".join(rec % i for i in range(40000))
+    assert len(data) > (1 << 21)
+    a = native.scan(data, fastq=True, seq_type=0, strict=False,
+                    well_formed=False, do_mask=False, do_upper=False,
+                    marker_pos=0, threads=1)
+    b = native.scan(data, fastq=True, seq_type=0, strict=False,
+                    well_formed=False, do_mask=False, do_upper=False,
+                    marker_pos=0, threads=4)
+    assert a.qual.tobytes() == b.qual.tobytes()
+    assert np.array_equal(a.lengths, b.lengths)
+    assert a.ids_blob == b.ids_blob
+
+
+def test_fastq_scan_mt_errors_match():
+    data = _big_fastq(33, n_rec=40000)
+    bad = data + b"@oops\nACGT\n+\nII\n"
+    for threads in (1, 4):
+        with pytest.raises(native.NativeScanError) as e:
+            native.scan(bad, fastq=True, seq_type=0, strict=False,
+                        well_formed=False, do_mask=False, do_upper=False,
+                        marker_pos=0, threads=threads)
+        assert e.value.code == 14
+        assert e.value.record == 40001
