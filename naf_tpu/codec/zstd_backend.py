@@ -16,7 +16,7 @@ Design notes for the TPU build:
 
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional
+from typing import Iterator
 
 import os
 

@@ -1159,59 +1159,6 @@ int32_t naf_scan_fastq_mt(const uint8_t *data, uint64_t n, int32_t seq_type,
 // Decode: fused 4-bit unpack + mask + per-record line wrap + header assembly
 // ---------------------------------------------------------------------------
 
-// mask reader over the unit stream (unnaf/src/output.c:295 semantics)
-struct MaskReader {
-  const uint8_t *units;
-  uint64_t n, i = 0;
-  bool on = false;
-  uint64_t remaining = 0;
-  bool active;
-  inline void init(const uint8_t *u, uint64_t count) {
-    units = u; n = count; active = (u != nullptr && count > 0);
-    if (!active) return;
-    if (units[0] == 0 && count > 1) { on = true; i = 1; }  // leading masked run
-    remaining = units[i];
-  }
-  // returns +32 or 0 for the next character; when the unit stream is
-  // exhausted the last run's state extends (clamped, matching
-  // ops.mask.expand_mask_np; the reference reads past its buffer here)
-  inline uint8_t step() {
-    if (!active) return on ? 32 : 0;
-    while (remaining == 0) {
-      if (i + 1 >= n) { active = false; return on ? 32 : 0; }
-      if (units[i] != 255) on = !on;
-      i++;
-      remaining = units[i];
-    }
-    remaining--;
-    return on ? 32 : 0;
-  }
-};
-
-// sequence source: either 4-bit packed or raw text
-struct SeqSource {
-  const uint8_t *data;
-  uint64_t total;       // chars available
-  uint64_t pos = 0;     // chars consumed
-  bool packed;
-  bool rna;
-  bool upper;           // uppercase raw text
-  inline uint8_t next() {
-    uint8_t ch;
-    if (packed) {
-      uint8_t b = data[pos >> 1];
-      uint8_t code = (pos & 1) ? (b >> 4) : (b & 15);
-      ch = (uint8_t)(rna ? (g_codes_to_nucs_rna[code] & 0xFF)
-                         : (g_codes_to_nucs_dna[code] & 0xFF));
-    } else {
-      ch = data[pos];
-      if (upper && ch >= 'a' && ch <= 'z') ch -= 32;
-    }
-    pos++;
-    return ch;
-  }
-};
-
 // render modes
 enum { MODE_FASTA = 0, MODE_SEQUENCES = 1, MODE_SEQ = 2, MODE_CHARCOUNT = 3,
        MODE_FASTQ = 4 };

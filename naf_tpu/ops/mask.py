@@ -15,7 +15,6 @@ gather, provided in both numpy and jnp forms.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass, field
 
 import numpy as np

@@ -13,8 +13,6 @@ fallback and the correctness oracle.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from ..utils.lazy import LazyModule, lazy_jit

@@ -12,8 +12,6 @@ concatenated stream with uniform wrap width.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from ..utils.lazy import LazyModule, lazy_jit

@@ -28,12 +28,12 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..format import constants as C
 from ..ops import scan as S
-from .mesh import BLOCK_AXIS, block_mesh
+from .mesh import BLOCK_AXIS
 
 
 def _device_block_fn(block, prev_byte, *, seq_type: int):
