@@ -16,12 +16,13 @@ from ..pipeline.decoder import DecodeError, Decoder, DecodeOptions
 from ..version import TOOL_DATE, __version__
 
 PROG = "untnaf"
+_RANGE_ARG: "tuple[int, int] | None" = None
 
 # output types
 (UNDECIDED, FORMAT_NAME, PART_LIST, PART_SIZES, NUMBER_OF_SEQUENCES, TITLE,
  IDS, NAMES, LENGTHS, TOTAL_LENGTH, MASK, TOTAL_MASK_LENGTH, FOUR_BIT,
  DNA, MASKED_DNA, UNMASKED_DNA, SEQ, SEQUENCES, CHARCOUNT,
- FASTA, MASKED_FASTA, UNMASKED_FASTA, FASTQ) = range(23)
+ FASTA, MASKED_FASTA, UNMASKED_FASTA, FASTQ, RANGE) = range(24)
 
 _TYPE_FLAGS = {
     "--format": FORMAT_NAME, "--part-list": PART_LIST, "--sizes": PART_SIZES,
@@ -55,6 +56,8 @@ Options for selecting output type:
   --sequences     - One sequence per line, no names
   --fasta         - FASTA-formatted sequences
   --fastq         - FASTQ-formatted sequences
+  --range A:B     - FASTA records [A, B) only (tnaf extension; random
+                    access on extended-format archives)
 Other options:
   -o FILE         - Decompress into FILE
   -c              - Write to standard output
@@ -82,6 +85,7 @@ def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
 
     out_type = UNDECIDED
+    rng_arg: tuple[int, int] | None = None
     in_path: str | None = None
     out_path: str | None = None
     force_stdout = False
@@ -115,6 +119,17 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 if a in _TYPE_FLAGS:
                     set_out_type(_TYPE_FLAGS[a])
+                    i += 1
+                    continue
+                if a == "--range" and i < n - 1:
+                    i += 1
+                    try:
+                        a0, _, b0 = argv[i].partition(":")
+                        rng_arg = (int(a0), int(b0))
+                    except ValueError:
+                        _die("can't parse the value of --range parameter")
+                    nonlocal_dummy = None  # keep structure flat
+                    set_out_type(RANGE)
                     i += 1
                     continue
                 if a == "--no-mask":
@@ -213,6 +228,8 @@ def main(argv: list[str] | None = None) -> int:
         if out_type in _LARGE_OUTPUTS and not force_stdout and sys.stdout.isatty():
             _die("output file not specified - please either specify output file with '-o' or '>', or use '-c' option to force writing to console")
 
+    global _RANGE_ARG
+    _RANGE_ARG = rng_arg
     try:
         streamed = _maybe_stream(dec, out_type, out_f)
         if not streamed:
@@ -306,6 +323,8 @@ def _render(dec: Decoder, out_type: int) -> bytes:
         return dec.charcount()
     if out_type == SEQUENCES:
         return dec.sequences()
+    if out_type == RANGE:
+        return dec.fasta_range(*_RANGE_ARG)
     if out_type in (FASTA, MASKED_FASTA):
         return dec.fasta()
     if out_type == UNMASKED_FASTA:

@@ -379,6 +379,84 @@ class Decoder:
         units = self._load_mask_units()
         return f"{int(units.astype(np.uint64).sum())}\n".encode()
 
+    def fasta_range(self, r0: int, r1: int) -> bytes:
+        """Decode records [r0, r1) only.
+
+        On extended-format archives (flag bit 0x80) this touches ONLY the
+        sequence blocks overlapping the requested char range — random access
+        the plain NAF format cannot offer (no block index; SURVEY §5
+        checkpoint note).  Plain archives decompress the prefix.
+        """
+        if not self.h.has_sequence:
+            return b""
+        n = self.r.n_sequences
+        r0 = max(0, r0)
+        r1 = min(n, r1)
+        if r1 <= r0:
+            return b""
+        masking = self.masking
+        line_len = self.r.line_length
+        if self.opts.line_length is not None:
+            line_len = self.opts.line_length
+        ids, com, merged, spans, nul_ids, nul_com = self._batch_metadata(masking)
+        total, csize = self.r.section_sizes("sequence")
+        slens = merged.astype(np.int64)
+        rec_ends = np.cumsum(slens)
+        if int(slens.sum()) != total or not self.is_nucleotide:
+            raise DecodeError("range decode requires a regular nucleotide archive")
+        c0 = int(rec_ends[r0 - 1]) if r0 > 0 else 0
+        c1 = int(rec_ends[r1 - 1])
+        b0, b1 = c0 // 2, (c1 + 1) // 2
+
+        if self.h.extended:
+            from ..codec import decompress_section, parse_blocked_index
+
+            payload = self.r.f.read(csize)
+            entries, off = parse_blocked_index(payload)
+            # walk the index; decompress only blocks covering [b0, b1)
+            pieces = []
+            pos = 0
+            for raw_len, comp_len in entries:
+                if pos + raw_len > b0 and pos < b1:
+                    blk = decompress_section(payload[off:off + comp_len],
+                                             raw_len)
+                    lo = max(b0 - pos, 0)
+                    hi = min(b1 - pos, raw_len)
+                    pieces.append(blk[lo:hi])
+                off += comp_len
+                pos += raw_len
+                if pos >= b1:
+                    break
+            seq_slice = np.frombuffer(b"".join(pieces), np.uint8)
+        else:
+            from ..codec import SectionDecompressor
+
+            d = SectionDecompressor()
+            left = csize
+            out = bytearray()
+            while len(out) < b1 and left > 0:
+                chunk = self.r.f.read(min(left, 4 << 20))
+                if not chunk:
+                    raise NafFormatError("incomplete or truncated input")
+                left -= len(chunk)
+                out.extend(d.feed(chunk))
+            seq_slice = np.frombuffer(bytes(out[b0:b1]), np.uint8)
+
+        return native.render(
+            native.MODE_FASTA,
+            seq_data=seq_slice, total_chars=c1 - c0, is_packed=True,
+            is_rna=self.h.seq_type == C.SEQ_TYPE_RNA, do_upper=False,
+            nibble_off=c0 & 1,
+            mask_units=self._batch_mask_units(spans, c0, c1),
+            lengths=merged[r0:r1],
+            ids_blob=self._blob_slice(ids, nul_ids, r0, r1),
+            comments_blob=self._blob_slice(com, nul_com, r0, r1),
+            qual=None, name_sep=ord(self.h.name_separator),
+            line_len=line_len,
+            out_capacity=(c1 - c0) * 2 + 8 * (r1 - r0)
+            + (len(ids) if ids is not None else 0)
+            + (len(com) if com is not None else 0) + (1 << 16))
+
     def four_bit(self) -> bytes:
         if not self.h.has_sequence:
             return b""

@@ -81,3 +81,30 @@ def test_extended_cli_roundtrip(tmp_path):
     r2 = subprocess.run([sys.executable, "-m", "naf_tpu.cli.untnaf", "-c"],
                         input=ref.stdout, capture_output=True)
     assert q.stdout == r2.stdout
+
+
+def test_fasta_range():
+    data = _fasta(26, n_rec=20, max_len=4000)
+    for extended in (False, True):
+        blob, _ = encode(data, EncodeOptions(extended=extended,
+                                             block_bytes=1 << 12))
+        full = Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+        recs = [b">" + r for r in full.split(b">")[1:]]
+        for r0, r1 in ((0, 3), (5, 11), (17, 20), (0, 20), (8, 8)):
+            got = Decoder(io.BytesIO(blob),
+                          DecodeOptions()).fasta_range(r0, r1)
+            assert got == b"".join(recs[r0:r1]), (extended, r0, r1)
+
+
+def test_fasta_range_cli():
+    data = _fasta(27, n_rec=10, max_len=800)
+    p = subprocess.run([sys.executable, "-m", "naf_tpu.cli.tnaf",
+                        "--extended", "-c"], input=data, capture_output=True)
+    q = subprocess.run([sys.executable, "-m", "naf_tpu.cli.untnaf",
+                        "--range", "2:5", "-c"], input=p.stdout,
+                       capture_output=True)
+    assert q.returncode == 0, q.stderr
+    full = subprocess.run([sys.executable, "-m", "naf_tpu.cli.untnaf", "-c"],
+                          input=p.stdout, capture_output=True).stdout
+    recs = [b">" + r for r in full.split(b">")[1:]]
+    assert q.stdout == b"".join(recs[2:5])
