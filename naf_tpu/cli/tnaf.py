@@ -55,6 +55,9 @@ Options:
                        index for parallel + seekable decode (NOT readable
                        by the reference unnaf; flag bit 0x80, spec 2.4)
   --block-size N     - Extended-format block size in MB (default 4)
+  --engine NAME      - Entropy engine: 'zstd' (library, default) or
+                       'native' (tnaf's own RFC 8878 encoder; archives
+                       remain decodable by the reference unnaf)
   -h, --help         - Show help
   -V, --version      - Show version
 """ % (MIN_CLEVEL, MAX_CLEVEL, WINDOWLOG_MIN, WINDOWLOG_MAX)
@@ -186,6 +189,13 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 if a == "--extended":
                     opts.extended = True
+                    i += 1
+                    continue
+                if a == "--engine" and i < n - 1:
+                    i += 1
+                    if argv[i] not in ("zstd", "native"):
+                        _die(f'unknown engine "{argv[i]}"')
+                    opts.engine = argv[i]
                     i += 1
                     continue
                 if a == "--block-size" and i < n - 1:
@@ -326,7 +336,8 @@ def main(argv: list[str] | None = None) -> int:
         except OSError:
             pass
     try:
-        if opts.extended or (in_size is not None and in_size < stream_threshold):
+        if (opts.extended or opts.engine != "zstd"
+                or (in_size is not None and in_size < stream_threshold)):
             from ..pipeline.encoder import encode as _encode
 
             blob, stats = _encode(inf.read(), opts)

@@ -206,3 +206,47 @@ def decompress_section_blocked(payload: bytes, uncompressed_size: int,
     if len(out) != uncompressed_size:
         raise RuntimeError("blocked section decompression size mismatch")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native entropy engine (naf_tpu/native/naf_zstd.cpp): the framework's own
+# RFC 8878 encoder — greedy LZ77 + Huffman literals + predefined-FSE
+# sequences.  Emits standard zstd frames, so archives stay decodable by the
+# reference unnaf and by this package's decoder alike.
+# ---------------------------------------------------------------------------
+
+def compress_section_native(data) -> bytes:
+    """Compress one section with the native engine; magic-stripped frame."""
+    import numpy as np
+
+    from .. import native as _native
+
+    lib = _native._load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    if not hasattr(lib, "_naf_zstd_ready"):
+        import ctypes as ct
+
+        lib.naf_zstd_compress.restype = ct.c_uint64
+        lib.naf_zstd_compress.argtypes = [
+            ct.c_void_p, ct.c_uint64, ct.c_void_p, ct.c_uint64, ct.c_void_p]
+        lib.naf_zstd_scratch_bytes.restype = ct.c_uint64
+        lib._naf_zstd_scratch = np.empty(
+            int(lib.naf_zstd_scratch_bytes()), np.uint8)
+        lib._naf_zstd_ready = True
+    mv = memoryview(data)
+    src = np.frombuffer(mv, np.uint8) if mv.nbytes else None
+    cap = mv.nbytes + mv.nbytes // 4 + 4096
+    dst = np.empty(cap, np.uint8)
+    import ctypes as ct
+
+    w = lib.naf_zstd_compress(
+        src.ctypes.data_as(ct.c_void_p) if src is not None else None,
+        mv.nbytes, dst.ctypes.data_as(ct.c_void_p), cap,
+        lib._naf_zstd_scratch.ctypes.data_as(ct.c_void_p))
+    if w == 0:
+        raise RuntimeError("native engine buffer overflow")
+    frame = dst[:w].tobytes()
+    if frame[:4] != ZSTD_FRAME_MAGIC:
+        raise RuntimeError("native engine produced an invalid frame")
+    return frame[4:]

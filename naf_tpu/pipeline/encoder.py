@@ -53,6 +53,7 @@ class EncodeOptions:
     threads: int = 0                       # zstd worker threads per section
     extended: bool = False                 # tnaf extended format (blocked SEQ)
     block_bytes: int = 4 << 20             # extended: block size (packed bytes)
+    engine: str = "zstd"                   # "zstd" (library) | "native" (ours)
 
 
 @dataclass
@@ -142,11 +143,21 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
     level, threads = opts.level, opts.threads
 
     def compress_bytes(buf, window_log: int = 0) -> Section:
+        mv = memoryview(buf)
+        if opts.engine == "native":
+            from ..codec import compress_section_native
+
+            return Section(uncompressed_size=mv.nbytes,
+                           payload=compress_section_native(mv))
         sc = SectionCompressor(level=level, window_log=window_log, threads=threads)
         sc.write(buf)
         return Section(uncompressed_size=sc.uncompressed_size, payload=sc.finish())
 
     def seq_payload(buf: bytes) -> bytes:
+        if opts.engine == "native":
+            from ..codec import compress_section_native
+
+            return compress_section_native(buf)
         if opts.extended:
             return compress_section_blocked(
                 buf, level=level, window_log=opts.long_window_log,
