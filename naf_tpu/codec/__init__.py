@@ -7,6 +7,7 @@ from .zstd_backend import (
     SectionDecompressor,
     compress_section,
     compress_section_blocked,
+    compress_section_device,
     compress_section_native,
     decompress_section,
     decompress_section_blocked,
@@ -17,7 +18,7 @@ from .zstd_backend import (
 __all__ = [
     "MAX_CLEVEL", "MIN_CLEVEL", "WINDOWLOG_MAX", "WINDOWLOG_MIN",
     "SectionCompressor", "SectionDecompressor",
-    "compress_section", "compress_section_native",
+    "compress_section", "compress_section_native", "compress_section_device",
     "decompress_section", "iter_decompress",
     "compress_section_blocked", "decompress_section_blocked",
     "parse_blocked_index",

@@ -250,3 +250,42 @@ def compress_section_native(data) -> bytes:
     if frame[:4] != ZSTD_FRAME_MAGIC:
         raise RuntimeError("native engine produced an invalid frame")
     return frame[4:]
+
+
+def compress_section_device(data) -> bytes:
+    """Device-scored match candidates + host bitstream packing.
+
+    The JAX kernel (ops.matchfind) computes per-position match candidates
+    in parallel (gather + hash + device sort); the native serializer
+    verifies and packs them into a standard zstd frame.  This is the
+    device/host split of SURVEY §7 step 6 running end to end.
+    """
+    import ctypes as ct
+
+    import numpy as np
+
+    from .. import native as _native
+    from ..ops.matchfind import find_match_candidates
+
+    lib = _native._load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    if not hasattr(lib, "_naf_zstd_cand_ready"):
+        lib.naf_zstd_compress_cand.restype = ct.c_uint64
+        lib.naf_zstd_compress_cand.argtypes = [
+            ct.c_void_p, ct.c_uint64, ct.c_void_p, ct.c_void_p, ct.c_uint64]
+        lib._naf_zstd_cand_ready = True
+    arr = np.frombuffer(memoryview(data), np.uint8)
+    cand = find_match_candidates(arr)
+    cap = arr.size + arr.size // 4 + 4096
+    dst = np.empty(cap, np.uint8)
+    w = lib.naf_zstd_compress_cand(
+        arr.ctypes.data_as(ct.c_void_p) if arr.size else None, arr.size,
+        cand.ctypes.data_as(ct.c_void_p) if cand.size else None,
+        dst.ctypes.data_as(ct.c_void_p), cap)
+    if w == 0:
+        raise RuntimeError("device engine buffer overflow")
+    frame = dst[:w].tobytes()
+    if frame[:4] != ZSTD_FRAME_MAGIC:
+        raise RuntimeError("device engine produced an invalid frame")
+    return frame[4:]

@@ -449,8 +449,15 @@ static int fse_compress_weights(const uint8_t *w8, int n, uint8_t *dst,
 static uint64_t huf_stream(const uint8_t *src, uint32_t n,
                            const HufCode *codes, uint8_t *dst) {
   BitW bw{dst};
-  for (int i = (int)n - 1; i >= 0; i--) {
-    const HufCode &c = codes[src[i]];
+  int i = (int)n - 1;
+  for (; i >= 1; i -= 2) {   // pair symbols: one accumulate per 2 codes
+    const HufCode &c1 = codes[src[i]];
+    const HufCode &c2 = codes[src[i - 1]];
+    bw.add((uint32_t)c1.val | ((uint32_t)c2.val << c1.nbits),
+           c1.nbits + c2.nbits);
+  }
+  if (i == 0) {
+    const HufCode &c = codes[src[0]];
     bw.add(c.val, c.nbits);
   }
   return bw.close();
@@ -819,5 +826,101 @@ uint64_t naf_zstd_compress(const uint8_t *src, uint64_t n,
 }
 
 uint64_t naf_zstd_scratch_bytes(void) { return sizeof(int32_t) << HLOG; }
+
+// ---------------------------------------------------------------------------
+// candidate-driven variant: the device kernel (ops/matchfind.py) scores a
+// match candidate per position; this serializer verifies, extends, and
+// packs — the host side of the device/host split from SURVEY §7 step 6.
+// ---------------------------------------------------------------------------
+
+static uint32_t find_sequences_cand(const uint8_t *src, const int32_t *cand,
+                                    uint64_t block_start, uint64_t block_end,
+                                    Seq *seqs, uint32_t max_seqs,
+                                    uint8_t *literals, uint32_t *lit_total,
+                                    uint32_t *last_lits) {
+  uint64_t pos = block_start, anchor = block_start;
+  uint32_t n = 0, lit_n = 0;
+  const uint64_t limit = block_end >= 12 ? block_end - 12 : 0;
+  while (pos < limit && n < max_seqs) {
+    int64_t c = cand[pos];
+    if (c >= 0 && pos - (uint64_t)c <= MAXDIST &&
+        read32(src + c) == read32(src + pos)) {
+      uint64_t m = 4;
+      const uint64_t room = block_end - pos;
+      while (m < room && src[c + m] == src[pos + m]) m++;
+      if (m < 6) { pos++; continue; }
+      uint32_t ll = (uint32_t)(pos - anchor);
+      std::memcpy(literals + lit_n, src + anchor, ll);
+      lit_n += ll;
+      seqs[n].lit_len = ll;
+      seqs[n].match_len = (uint32_t)m;
+      seqs[n].offset = (uint32_t)(pos - (uint64_t)c);
+      n++;
+      pos += m;
+      anchor = pos;
+    } else {
+      pos++;
+    }
+  }
+  uint32_t tail = (uint32_t)(block_end - anchor);
+  std::memcpy(literals + lit_n, src + anchor, tail);
+  lit_n += tail;
+  *lit_total = lit_n;
+  *last_lits = tail;
+  return n;
+}
+
+uint64_t naf_zstd_compress_cand(const uint8_t *src, uint64_t n,
+                                const int32_t *cand,
+                                uint8_t *dst, uint64_t dst_cap) {
+  fse_init_all();
+  uint64_t w = 0;
+  dst[w++] = 0x28; dst[w++] = 0xB5; dst[w++] = 0x2F; dst[w++] = 0xFD;
+  if (n < 256) {
+    dst[w++] = 0x20; dst[w++] = (uint8_t)n;
+  } else if (n <= 65535 + 256) {
+    dst[w++] = 0x60;
+    uint64_t v = n - 256;
+    dst[w++] = (uint8_t)v; dst[w++] = (uint8_t)(v >> 8);
+  } else {
+    dst[w++] = 0xA0;
+    dst[w++] = (uint8_t)n; dst[w++] = (uint8_t)(n >> 8);
+    dst[w++] = (uint8_t)(n >> 16); dst[w++] = (uint8_t)(n >> 24);
+  }
+  if (n == 0) {
+    dst[w++] = 0x01; dst[w++] = 0x00; dst[w++] = 0x00;
+    return w;
+  }
+  static thread_local Seq seqs[BLOCK_MAX / 4 + 16];
+  static thread_local uint8_t literals[BLOCK_MAX + 16];
+  static thread_local uint8_t body[BLOCK_MAX + (BLOCK_MAX >> 2) + 4096];
+  uint64_t pos = 0;
+  while (pos < n) {
+    uint64_t bsz = n - pos < BLOCK_MAX ? n - pos : BLOCK_MAX;
+    int last = (pos + bsz == n) ? 1 : 0;
+    uint32_t lit_n = 0, last_lits = 0;
+    uint32_t n_seqs = find_sequences_cand(src, cand, pos, pos + bsz, seqs,
+                                          (uint32_t)(BLOCK_MAX / 4),
+                                          literals, &lit_n, &last_lits);
+    uint64_t bodysz = write_compressed_block(seqs, n_seqs, literals, lit_n,
+                                             bsz, body, sizeof(body));
+    if (w + 3 + (bodysz ? bodysz : bsz) > dst_cap) return 0;
+    if (bodysz) {
+      uint32_t hdr = (uint32_t)last | (2u << 1) | ((uint32_t)bodysz << 3);
+      dst[w++] = (uint8_t)hdr; dst[w++] = (uint8_t)(hdr >> 8);
+      dst[w++] = (uint8_t)(hdr >> 16);
+      std::memcpy(dst + w, body, bodysz);
+      w += bodysz;
+    } else {
+      uint32_t hdr = (uint32_t)last | ((uint32_t)bsz << 3);
+      dst[w++] = (uint8_t)hdr; dst[w++] = (uint8_t)(hdr >> 8);
+      dst[w++] = (uint8_t)(hdr >> 16);
+      std::memcpy(dst + w, src + pos, bsz);
+      w += bsz;
+    }
+    pos += bsz;
+  }
+  return w;
+}
 
 }  // extern "C"

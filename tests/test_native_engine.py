@@ -78,3 +78,33 @@ def test_native_engine_ratio_close_to_zstd1():
     blob_n, _ = encode(data, EncodeOptions(engine="native"))
     blob_z, _ = encode(data, EncodeOptions(level=1))
     assert len(blob_n) < len(blob_z) * 1.10   # within 10% of library zstd-1
+
+
+def test_device_scored_compression():
+    """Device match-candidate kernel + host serializer round trip."""
+    from naf_tpu.codec import compress_section_device
+
+    rng = np.random.default_rng(50)
+    base = rng.integers(0, 256, 3000, dtype=np.uint8).tobytes()
+    data = (base * 40) + rng.integers(0, 4, 50000, dtype=np.uint8).tobytes()
+    payload = compress_section_device(data)
+    assert decompress_section(payload, len(data)) == data
+    # matches found: repetitive prefix should compress hard
+    assert len(payload) < len(data) // 3
+
+
+def test_device_scored_matches_quality():
+    """Device-scored ratio is comparable to the host hash-chain ratio."""
+    from naf_tpu.codec import compress_section_device
+
+    rng = np.random.default_rng(51)
+    chunks = []
+    for _ in range(30):
+        c = rng.integers(0, 250, int(rng.integers(500, 3000)),
+                         dtype=np.uint8).tobytes()
+        chunks.append(c * int(rng.integers(1, 5)))
+    data = b"".join(chunks)
+    dev = compress_section_device(data)
+    host = compress_section_native(data)
+    assert decompress_section(dev, len(data)) == data
+    assert len(dev) <= len(host) * 1.25
