@@ -147,7 +147,8 @@ def iter_decompress(payload: bytes, chunk_size: int = 1 << 20) -> Iterator[bytes
 
 def compress_section_blocked(data, level: int = 1, window_log: int = 0,
                              threads: int = 0,
-                             block_bytes: int = 4 << 20) -> bytes:
+                             block_bytes: int = 4 << 20,
+                             engine: str = "zstd") -> bytes:
     """Compress `data` as independently-framed blocks with an index."""
     from concurrent.futures import ThreadPoolExecutor
 
@@ -156,15 +157,18 @@ def compress_section_blocked(data, level: int = 1, window_log: int = 0,
     mv = memoryview(data)
     n = mv.nbytes
     blocks = [mv[i:i + block_bytes] for i in range(0, n, block_bytes)] or [mv[:0]]
+    if engine == "native":
+        def one(b):
+            return compress_section_native(b)
+    else:
+        def one(b):
+            return compress_section(b, level=level, window_log=window_log)
     workers = max(1, min(threads or (os.cpu_count() or 1), len(blocks)))
     if workers > 1:
         with ThreadPoolExecutor(workers) as ex:
-            frames = list(ex.map(
-                lambda b: compress_section(b, level=level, window_log=window_log),
-                blocks))
+            frames = list(ex.map(one, blocks))
     else:
-        frames = [compress_section(b, level=level, window_log=window_log)
-                  for b in blocks]
+        frames = [one(b) for b in blocks]
     out = [encode_vle(len(blocks))]
     for b, f in zip(blocks, frames):
         out.append(encode_vle(b.nbytes))

@@ -765,6 +765,11 @@ static const uint64_t BLOCK_MAX = 128 << 10;
 uint64_t naf_zstd_compress(const uint8_t *src, uint64_t n,
                            uint8_t *dst, uint64_t dst_cap,
                            int32_t *scratch_table) {
+  // concurrent callers (blocked-section thread pool) each get their own
+  // table; the caller-supplied scratch is accepted for ABI compatibility
+  static thread_local int32_t tl_table[1 << HLOG];
+  (void)scratch_table;
+  scratch_table = tl_table;
   fse_init_all();
   uint64_t w = 0;
   // frame header: magic + single-segment descriptor + frame content size

@@ -154,14 +154,15 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
         return Section(uncompressed_size=sc.uncompressed_size, payload=sc.finish())
 
     def seq_payload(buf: bytes) -> bytes:
+        if opts.extended:
+            return compress_section_blocked(
+                buf, level=level, window_log=opts.long_window_log,
+                threads=threads, block_bytes=opts.block_bytes,
+                engine=opts.engine)
         if opts.engine == "native":
             from ..codec import compress_section_native
 
             return compress_section_native(buf)
-        if opts.extended:
-            return compress_section_blocked(
-                buf, level=level, window_log=opts.long_window_log,
-                threads=threads, block_bytes=opts.block_bytes)
         sc = SectionCompressor(level=level, window_log=opts.long_window_log,
                                threads=threads)
         sc.write(buf)
@@ -201,7 +202,7 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
                 uncompressed_size=int(res.qual.size),
                 payload=compress_section_blocked(
                     res.qual.tobytes(), level=level, threads=threads,
-                    block_bytes=opts.block_bytes))
+                    block_bytes=opts.block_bytes, engine=opts.engine))
         else:
             jobs["quality"] = lambda: compress_bytes(res.qual.tobytes())
 

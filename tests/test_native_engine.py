@@ -108,3 +108,12 @@ def test_device_scored_matches_quality():
     host = compress_section_native(data)
     assert decompress_section(dev, len(data)) == data
     assert len(dev) <= len(host) * 1.25
+
+
+def test_extended_plus_native_engine():
+    data = _fasta(43, n_rec=15, max_len=6000)
+    blob, _ = encode(data, EncodeOptions(engine="native", extended=True,
+                                         block_bytes=1 << 13))
+    plain, _ = encode(data, EncodeOptions())
+    assert (Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+            == Decoder(io.BytesIO(plain), DecodeOptions()).fasta())
