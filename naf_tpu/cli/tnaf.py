@@ -106,10 +106,14 @@ def main(argv: list[str] | None = None) -> int:
             if a.startswith("--"):
                 if i < n - 1:
                     if a == "--temp-dir":
-                        i += 2
+                        i += 1
+                        opts.temp_dir = argv[i]
+                        i += 1
                         continue
                     if a == "--name":
-                        i += 2
+                        i += 1
+                        opts.temp_name = argv[i]
+                        i += 1
                         continue
                     if a == "--title":
                         i += 1
@@ -181,6 +185,7 @@ def main(argv: list[str] | None = None) -> int:
                     i += 1
                     continue
                 if a == "--keep-temp-files":
+                    opts.keep_temp_files = True
                     i += 1
                     continue
                 if a == "--no-mask":
@@ -288,6 +293,17 @@ def main(argv: list[str] | None = None) -> int:
     if in_path is None and sys.stdin.isatty():
         _msg(f'{PROG} error: no input specified, use "{PROG} -h" for help\n')
         return 0
+
+    if opts.temp_dir is not None and not os.path.isdir(opts.temp_dir):
+        _die(f'temporary directory "{opts.temp_dir}" does not exist')
+    if opts.temp_dir is None:
+        # spill only when the environment provides a temp dir (the
+        # reference *requires* one, ennaf.c:309-319; we work in RAM without)
+        env_tmp = os.environ.get("TMPDIR") or os.environ.get("TMP")
+        if env_tmp and os.path.isdir(env_tmp):
+            opts.temp_dir = env_tmp
+    if opts.temp_dir and in_path is not None and opts.temp_name == "tnaf":
+        opts.temp_name = os.path.basename(in_path)
 
     opts.in_format = fmt_cli
     opts.title = title

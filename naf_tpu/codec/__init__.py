@@ -5,6 +5,8 @@ from .zstd_backend import (
     WINDOWLOG_MIN,
     SectionCompressor,
     SectionDecompressor,
+    SpillingSectionCompressor,
+    SpilledPayload,
     compress_section,
     compress_section_blocked,
     compress_section_device,
@@ -18,6 +20,7 @@ from .zstd_backend import (
 __all__ = [
     "MAX_CLEVEL", "MIN_CLEVEL", "WINDOWLOG_MAX", "WINDOWLOG_MIN",
     "SectionCompressor", "SectionDecompressor",
+    "SpillingSectionCompressor", "SpilledPayload",
     "compress_section", "compress_section_native", "compress_section_device",
     "decompress_section", "iter_decompress",
     "compress_section_blocked", "decompress_section_blocked",

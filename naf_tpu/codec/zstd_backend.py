@@ -293,3 +293,94 @@ def compress_section_device(data) -> bytes:
     if frame[:4] != ZSTD_FRAME_MAGIC:
         raise RuntimeError("device engine produced an invalid frame")
     return frame[4:]
+
+
+# ---------------------------------------------------------------------------
+# Temp-file spill (parity: ennaf/src/compressor.c:51-61 — compressed section
+# output beyond a RAM threshold goes to a temp file and is streamed back
+# during container assembly)
+# ---------------------------------------------------------------------------
+
+class SpilledPayload:
+    """Magic-stripped section bytes living in a temp file."""
+
+    def __init__(self, path: str, size: int, keep: bool):
+        self.path = path
+        self._size = size
+        self._keep = keep
+
+    def __len__(self) -> int:
+        return self._size
+
+    def copy_into(self, out) -> None:
+        with open(self.path, "rb") as f:
+            f.seek(4)                      # skip the stored frame magic
+            while True:
+                chunk = f.read(1 << 20)
+                if not chunk:
+                    break
+                out.write(chunk)
+        if not self._keep:
+            try:
+                os.unlink(self.path)
+            except OSError:
+                pass
+
+
+class SpillingSectionCompressor(SectionCompressor):
+    """SectionCompressor that spills compressed output beyond a threshold.
+
+    Temp file naming mirrors the reference (`<prefix>.<section>` in the
+    temp dir, `--keep-temp-files` keeps them; files.c:69-103).
+    """
+
+    def __init__(self, level: int = 1, window_log: int = 0, threads: int = 0,
+                 *, temp_dir: str, name: str, section: str,
+                 threshold: int = 64 << 20, keep: bool = False):
+        super().__init__(level, window_log, threads)
+        self._path = os.path.join(temp_dir, f"{name}.{section}")
+        self._threshold = threshold
+        self._keep = keep
+        self._file = None
+        self._spilled = 0
+
+    def _maybe_spill(self) -> None:
+        pending = sum(len(c) for c in self._chunks)
+        if self._file is None and self._spilled + pending < self._threshold:
+            return
+        if self._file is None:
+            self._file = open(self._path, "wb")
+        for c in self._chunks:
+            self._file.write(c)
+            self._spilled += len(c)
+        self._chunks.clear()
+
+    def write(self, data) -> None:
+        super().write(data)
+        self._maybe_spill()
+
+    def finish(self):
+        """bytes when everything stayed in RAM, else a SpilledPayload."""
+        assert not self._finished
+        self._finished = True
+        tail = self._obj.flush(zstd.COMPRESSOBJ_FLUSH_FINISH)
+        if tail:
+            self._chunks.append(tail)
+        if self._file is None:
+            frame = b"".join(self._chunks)
+            self._chunks = []
+            if len(frame) < 4 or frame[:4] != ZSTD_FRAME_MAGIC:
+                raise RuntimeError("compression failed")
+            return frame[4:]
+        for c in self._chunks:
+            self._file.write(c)
+            self._spilled += len(c)
+        self._chunks = []
+        self._file.close()
+        self._file = None
+        # strip the 4-byte magic by rewriting the head in place
+        with open(self._path, "r+b") as f:
+            head = f.read(4)
+            if head != ZSTD_FRAME_MAGIC:
+                raise RuntimeError("compression failed")
+        return SpilledPayload(self._path, self._spilled - 4, self._keep)

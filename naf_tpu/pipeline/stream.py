@@ -30,7 +30,7 @@ from typing import BinaryIO, Optional
 import numpy as np
 
 from .. import native
-from ..codec import SectionCompressor
+from ..codec import SectionCompressor, SpillingSectionCompressor
 from ..format import constants as C
 from ..format.container import NafArchive, NafHeader, Section, write_naf
 from . import parser as P
@@ -60,13 +60,22 @@ def _last_record_start(buf: np.ndarray) -> int:
 class _SectionSet:
     def __init__(self, opts: EncodeOptions):
         lvl, th = opts.level, opts.threads
-        self.ids = SectionCompressor(lvl, threads=th)
-        self.comments = SectionCompressor(lvl, threads=th)
-        self.lengths = SectionCompressor(lvl, threads=th)
-        self.mask = SectionCompressor(lvl, threads=th)
-        self.seq = SectionCompressor(lvl, window_log=opts.long_window_log,
-                                     threads=th)
-        self.qual = SectionCompressor(lvl, threads=th)
+        temp = getattr(opts, "temp_dir", None)
+
+        def make(section: str, window_log: int = 0):
+            if temp:
+                return SpillingSectionCompressor(
+                    lvl, window_log=window_log, threads=th, temp_dir=temp,
+                    name=getattr(opts, "temp_name", "tnaf"), section=section,
+                    keep=getattr(opts, "keep_temp_files", False))
+            return SectionCompressor(lvl, window_log=window_log, threads=th)
+
+        self.ids = make("ids")
+        self.comments = make("comm")
+        self.lengths = make("len")
+        self.mask = make("mask")
+        self.seq = make("seq", opts.long_window_log)
+        self.qual = make("qual")
 
 
 class _WriteBehind:

@@ -214,3 +214,56 @@ def test_stream_decode_fastq(batch):
     Decoder(io.BytesIO(blob), DecodeOptions()).stream_fastq(
         out, batch_chars=batch)
     assert out.getvalue() == whole
+
+
+def test_spill_to_temp_dir(tmp_path):
+    """Sections beyond the spill threshold stream through temp files."""
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    data = _fasta(60, n_rec=20, max_len=30_000)
+    opts = EncodeOptions(temp_dir=str(tmp_path), temp_name="t")
+    # tiny threshold forces every section through the spill path
+    from naf_tpu.pipeline import stream as S
+    from naf_tpu.codec import SpillingSectionCompressor
+
+    orig = S._SectionSet.__init__
+
+    def patched(self, o):
+        lvl, th = o.level, o.threads
+
+        def make(section, window_log=0):
+            return SpillingSectionCompressor(
+                lvl, window_log=window_log, threads=th,
+                temp_dir=str(tmp_path), name="t", section=section,
+                threshold=64)
+        self.ids = make("ids"); self.comments = make("comm")
+        self.lengths = make("len"); self.mask = make("mask")
+        self.seq = make("seq", o.long_window_log); self.qual = make("qual")
+
+    S._SectionSet.__init__ = patched
+    try:
+        out = io.BytesIO()
+        S.encode_stream(io.BytesIO(data), out, opts, chunk_size=1 << 14)
+        sblob = out.getvalue()
+    finally:
+        S._SectionSet.__init__ = orig
+    blob, _ = encode(data, EncodeOptions())
+    assert sblob == blob
+    # spill files were cleaned up after assembly
+    assert not list(tmp_path.glob("t.*"))
+
+
+def test_keep_temp_files(tmp_path):
+    from naf_tpu.codec import SpillingSectionCompressor, decompress_section
+
+    sc = SpillingSectionCompressor(1, temp_dir=str(tmp_path), name="x",
+                                   section="seq", threshold=16, keep=True)
+    data = np.random.default_rng(0).integers(
+        0, 256, 1 << 20, dtype=np.uint8).tobytes()   # incompressible: spills
+    sc.write(data)
+    payload = sc.finish()
+    assert (tmp_path / "x.seq").exists()
+    buf = io.BytesIO()
+    payload.copy_into(buf)
+    assert decompress_section(buf.getvalue(), len(data)) == data
+    assert (tmp_path / "x.seq").exists()   # kept
