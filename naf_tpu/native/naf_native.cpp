@@ -20,6 +20,9 @@
 #include <thread>
 #include <vector>
 #include <algorithm>
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -167,6 +170,91 @@ typedef struct {
   uint64_t end_line_len;   // out: chars on the line open at EOF
 } NafScan;
 
+// ---------------------------------------------------------------------------
+// SIMD span classification: decompose a byte set into nibble lookups
+// (simdjson-style pshufb set membership) so "find the next special byte"
+// runs 32 bytes per step instead of 1.
+// ---------------------------------------------------------------------------
+
+struct SpanClass {
+  bool ok = false;
+  uint8_t lo[16], hi[16];
+  // plain[c] true for unconditional data bytes; representable iff the
+  // 16 high-nibble row patterns collapse to <= 8 distinct nonzero ones
+  bool build(const bool *plain) {
+    uint16_t rows[16] = {0};
+    for (int c = 0; c < 256; c++)
+      if (plain[c]) rows[c >> 4] |= (uint16_t)(1u << (c & 15));
+    uint16_t pats[8];
+    int np = 0;
+    uint8_t rowbit[16] = {0};
+    for (int h = 0; h < 16; h++) {
+      if (!rows[h]) continue;
+      int k = -1;
+      for (int j = 0; j < np; j++)
+        if (pats[j] == rows[h]) { k = j; break; }
+      if (k < 0) {
+        if (np == 8) { ok = false; return false; }
+        pats[np] = rows[h];
+        k = np++;
+      }
+      rowbit[h] = (uint8_t)(1u << k);
+    }
+    for (int h = 0; h < 16; h++) hi[h] = rowbit[h];
+    for (int l = 0; l < 16; l++) {
+      uint8_t m = 0;
+      for (int j = 0; j < np; j++)
+        if (pats[j] & (1u << l)) m |= (uint8_t)(1u << j);
+      lo[l] = m;
+    }
+    ok = true;
+    return true;
+  }
+};
+
+// span finder with hoisted SIMD registers (one init per scanner run, not
+// per line)
+struct SpanScanner {
+  const bool *plain = nullptr;
+  bool simd = false;
+#ifdef __AVX2__
+  __m256i lo_v, hi_v;
+#endif
+  void init(const bool *p, const SpanClass &sc) {
+    plain = p;
+    simd = sc.ok;
+#ifdef __AVX2__
+    lo_v = _mm256_broadcastsi128_si256(
+        _mm_loadu_si128((const __m128i *)sc.lo));
+    hi_v = _mm256_broadcastsi128_si256(
+        _mm_loadu_si128((const __m128i *)sc.hi));
+#else
+    simd = false;
+#endif
+  }
+  // first index >= i with a special (non-plain) byte, or n
+  inline uint64_t find(const uint8_t *data, uint64_t i, uint64_t n) const {
+#ifdef __AVX2__
+    if (simd) {
+      const __m256i m0f = _mm256_set1_epi8(0x0F);
+      const __m256i zero = _mm256_setzero_si256();
+      while (i + 32 <= n) {
+        __m256i v = _mm256_loadu_si256((const __m256i *)(data + i));
+        __m256i lm = _mm256_shuffle_epi8(lo_v, _mm256_and_si256(v, m0f));
+        __m256i hm = _mm256_shuffle_epi8(
+            hi_v, _mm256_and_si256(_mm256_srli_epi16(v, 4), m0f));
+        uint32_t special = (uint32_t)_mm256_movemask_epi8(
+            _mm256_cmpeq_epi8(_mm256_and_si256(lm, hm), zero));
+        if (special) return i + (uint64_t)__builtin_ctz(special);
+        i += 32;
+      }
+    }
+#endif
+    while (i < n && plain[data[i]]) i++;
+    return i;
+  }
+};
+
 // mask RLE emitter
 struct MaskState {
   bool on = false;
@@ -247,6 +335,10 @@ int32_t naf_scan_fasta(const uint8_t *data, uint64_t n, int32_t seq_type,
   for (int k = 0; k < 256; k++)
     plain_seq[k] = wf ? (k != '\n') : (!g_is_space[k] && !unex_seq[k]);
   if (!wf && seq_type == 3) plain_seq[(unsigned)'>'] = true;
+  SpanClass sc_seq_cls;
+  sc_seq_cls.build(plain_seq);
+  SpanScanner sc_seq;
+  sc_seq.init(plain_seq, sc_seq_cls);
 
   const int32_t fl = r->flags;
   MaskState mask; mask.units = r->mask_units;
@@ -317,8 +409,7 @@ int32_t naf_scan_fasta(const uint8_t *data, uint64_t n, int32_t seq_type,
           cur_len = 0;
           state = ID;
         } else if (plain_seq[c]) {
-          uint64_t j = i + 1;
-          while (j < n && plain_seq[data[j]]) j++;
+          uint64_t j = sc_seq.find(data, i + 1, n);
           uint64_t len = j - i;
           std::memcpy(r->seq + seq_n, data + i, len);
           if (do_mask) mask.span(data + i, len);
@@ -651,6 +742,12 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
     plain_seq[k] = wf ? (k != '\n') : (!g_is_space[k] && !unex_seq[k]);
     plain_qual[k] = wf ? (k != '\n') : (!g_is_space[k] && !g_unex_qual[k]);
   }
+  SpanClass sc_seq_cls, sc_qual_cls;
+  sc_seq_cls.build(plain_seq);
+  sc_qual_cls.build(plain_qual);
+  SpanScanner sc_seq, sc_qual;
+  sc_seq.init(plain_seq, sc_seq_cls);
+  sc_qual.init(plain_qual, sc_qual_cls);
 
   MaskState mask; mask.units = r->mask_units;
   if (fl & NAF_F_NO_MASK_FLUSH) {
@@ -746,8 +843,7 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
         break;
       case SEQ:
         if (plain_seq[c]) {
-          uint64_t j = i + 1;
-          while (j < n && plain_seq[data[j]]) j++;
+          uint64_t j = sc_seq.find(data, i + 1, n);
           uint64_t len = j - i;
           std::memcpy(r->seq + seq_n, data + i, len);
           if (do_mask) mask.span(data + i, len);
@@ -808,8 +904,7 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
         break;
       case QUAL:
         if (plain_qual[c]) {
-          uint64_t j = i + 1;
-          while (j < n && plain_qual[data[j]]) j++;
+          uint64_t j = sc_qual.find(data, i + 1, n);
           uint64_t len = j - i;
           std::memcpy(r->qual + qual_n, data + i, len);
           qual_n += len; rec_qual_len += len;
