@@ -270,9 +270,40 @@ struct MaskState {
     if (lower != on) { emit(run); run = 0; on = lower; }
     run++;
   }
-  // bulk RLE over a span of already-validated sequence bytes
+  // bulk RLE over a span of sequence bytes; unsigned >= 96 test matches
+  // the reference's `*c >= 96` for the full byte range (well-formed mode
+  // spans can carry bytes >= 0x80)
   inline void span(const uint8_t *p, uint64_t len) {
     uint64_t k = 0;
+#ifdef __AVX2__
+    const __m256i t96 = _mm256_set1_epi8((char)96);
+    for (; k + 32 <= len; k += 32) {
+      __m256i v = _mm256_loadu_si256((const __m256i *)(p + k));
+      uint32_t m = (uint32_t)_mm256_movemask_epi8(
+          _mm256_cmpeq_epi8(_mm256_max_epu8(v, t96), v));
+      if (m == 0) {                          // all unmasked
+        if (on) { emit(run); run = 0; on = false; }
+        run += 32;
+        continue;
+      }
+      if (m == 0xFFFFFFFFu) {                // all masked
+        if (!on) { emit(run); run = 0; on = true; }
+        run += 32;
+        continue;
+      }
+      uint32_t rem = 32;
+      while (rem) {
+        bool bit = (m & 1u) != 0;
+        uint32_t x = bit ? ~m : m;
+        uint32_t t = x ? (uint32_t)__builtin_ctz(x) : 32;
+        if (t > rem) t = rem;
+        if (bit != on) { emit(run); run = 0; on = bit; }
+        run += t;
+        m >>= t;
+        rem -= t;
+      }
+    }
+#endif
     while (k < len) {
       bool low = p[k] >= 96;
       if (low != on) { emit(run); run = 0; on = low; }
@@ -295,10 +326,65 @@ struct PackState {
     if (parity) { out[n - 1] |= (uint8_t)(code << 4); parity = false; }
     else { out[n++] = code; parity = true; }
   }
-  // bulk pack a span of chars: one 64K-LUT lookup per output byte
-  inline void span(const uint8_t *p, uint64_t len) {
+  // bulk pack a span of chars.  `validated` spans contain only alphabet
+  // bytes (robust mode already replaced everything else), so the IUPAC
+  // code is a function of (row in {2,4,5,6,7}, low nibble) and vectorizes
+  // with two pshufb tables; unvalidated (well-formed mode) spans use the
+  // 64K pair LUT.
+  inline void span(const uint8_t *p, uint64_t len, bool validated) {
     uint64_t k = 0;
     if (parity && len) { push(g_nuc_code[p[0]]); k = 1; }
+#ifdef __AVX2__
+    if (validated) {
+      // lo-nibble code tables for rows 4/6 (A..O) and 5/7 (P.._)
+      alignas(32) static const uint8_t TA[16] = {
+          15, 8, 7, 4, 11, 15, 15, 2, 13, 15, 15, 3, 15, 12, 15, 15};
+      alignas(32) static const uint8_t TB[16] = {
+          15, 15, 10, 6, 1, 1, 14, 9, 15, 5, 15, 15, 15, 15, 15, 15};
+      // row selector: 0xFF where high nibble is 5 or 7
+      alignas(32) static const uint8_t SB[16] = {
+          0, 0, 0, 0, 0, 0xFF, 0, 0xFF, 0, 0, 0, 0, 0, 0, 0, 0};
+      // dash row (high nibble 2 => code 0)
+      alignas(32) static const uint8_t DM[16] = {
+          0xFF, 0xFF, 0, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF,
+          0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF};
+      const __m256i ta = _mm256_broadcastsi128_si256(
+          _mm_load_si128((const __m128i *)TA));
+      const __m256i tb = _mm256_broadcastsi128_si256(
+          _mm_load_si128((const __m128i *)TB));
+      const __m256i sb = _mm256_broadcastsi128_si256(
+          _mm_load_si128((const __m128i *)SB));
+      const __m256i dm = _mm256_broadcastsi128_si256(
+          _mm_load_si128((const __m128i *)DM));
+      const __m256i m0f = _mm256_set1_epi8(0x0F);
+      const __m256i mff = _mm256_set1_epi16(0x00FF);
+      auto codes_of = [&](__m256i v) {
+        __m256i lo = _mm256_and_si256(v, m0f);
+        __m256i hi = _mm256_and_si256(_mm256_srli_epi16(v, 4), m0f);
+        __m256i ca = _mm256_shuffle_epi8(ta, lo);
+        __m256i cb = _mm256_shuffle_epi8(tb, lo);
+        __m256i sel = _mm256_shuffle_epi8(sb, hi);
+        __m256i mask = _mm256_shuffle_epi8(dm, hi);
+        return _mm256_and_si256(_mm256_blendv_epi8(ca, cb, sel), mask);
+      };
+      while (k + 64 <= len) {
+        __m256i c0 = codes_of(_mm256_loadu_si256((const __m256i *)(p + k)));
+        __m256i c1 = codes_of(
+            _mm256_loadu_si256((const __m256i *)(p + k + 32)));
+        __m256i w0 = _mm256_and_si256(
+            _mm256_or_si256(c0, _mm256_srli_epi16(c0, 4)), mff);
+        __m256i w1 = _mm256_and_si256(
+            _mm256_or_si256(c1, _mm256_srli_epi16(c1, 4)), mff);
+        __m256i r = _mm256_packus_epi16(w0, w1);
+        r = _mm256_permute4x64_epi64(r, 0xD8);
+        _mm256_storeu_si256((__m256i *)(out + n), r);
+        n += 32;
+        k += 64;
+      }
+    }
+#else
+    (void)validated;
+#endif
     for (; k + 1 < len; k += 2) {
       uint16_t pair;
       std::memcpy(&pair, p + k, 2);          // little-endian load
@@ -413,7 +499,7 @@ int32_t naf_scan_fasta(const uint8_t *data, uint64_t n, int32_t seq_type,
           uint64_t len = j - i;
           std::memcpy(r->seq + seq_n, data + i, len);
           if (do_mask) mask.span(data + i, len);
-          if (nuc) pack.span(data + i, len);
+          if (nuc) pack.span(data + i, len, !wf);
           seq_n += len; cur_len += len; line_len += len;
           i = j - 1;
           prev_eol = false;
@@ -847,7 +933,7 @@ int32_t naf_scan_fastq(const uint8_t *data, uint64_t n, int32_t seq_type,
           uint64_t len = j - i;
           std::memcpy(r->seq + seq_n, data + i, len);
           if (do_mask) mask.span(data + i, len);
-          if (nuc) pack.span(data + i, len);
+          if (nuc) pack.span(data + i, len, !wf);
           seq_n += len; read_len += len;
           i = j - 1;
         } else if (eol(c)) {
