@@ -1362,7 +1362,31 @@ static void materialize_chars(uint8_t *chars, const uint8_t *seq_data,
       seq_data++;
     }
     uint64_t n_bytes = (total - w) / 2;
-    for (uint64_t i = 0; i < n_bytes; i++) {
+    uint64_t i = 0;
+#ifdef __AVX2__
+    {
+      alignas(32) uint8_t c2c[16];
+      for (int c = 0; c < 16; c++)
+        c2c[c] = (uint8_t)(lut[c] & 0xFF);     // code -> char
+      const __m256i tab = _mm256_broadcastsi128_si256(
+          _mm_load_si128((const __m128i *)c2c));
+      const __m256i m0f = _mm256_set1_epi8(0x0F);
+      for (; i + 32 <= n_bytes; i += 32) {
+        __m256i v = _mm256_loadu_si256((const __m256i *)(seq_data + i));
+        __m256i lo = _mm256_shuffle_epi8(tab, _mm256_and_si256(v, m0f));
+        __m256i hi = _mm256_shuffle_epi8(
+            tab, _mm256_and_si256(_mm256_srli_epi16(v, 4), m0f));
+        // interleave lo/hi chars per 128-bit lane, then fix lane order
+        __m256i a = _mm256_unpacklo_epi8(lo, hi);
+        __m256i b = _mm256_unpackhi_epi8(lo, hi);
+        _mm256_storeu_si256((__m256i *)(chars + w + 2 * i),
+                            _mm256_permute2x128_si256(a, b, 0x20));
+        _mm256_storeu_si256((__m256i *)(chars + w + 2 * i + 32),
+                            _mm256_permute2x128_si256(a, b, 0x31));
+      }
+    }
+#endif
+    for (; i < n_bytes; i++) {
       uint16_t v = lut[seq_data[i]];
       std::memcpy(chars + w + 2 * i, &v, 2);
     }
