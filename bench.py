@@ -91,7 +91,7 @@ def build_reference() -> bool:
     return True
 
 
-REPS = int(os.environ.get("NAF_BENCH_REPS", "5"))
+REPS = int(os.environ.get("NAF_BENCH_REPS", "7"))
 
 
 def _best(fn, reps=REPS):
@@ -106,17 +106,23 @@ def _best(fn, reps=REPS):
     return best, result
 
 
-def time_reference(data: bytes) -> tuple[float, float, int]:
-    env = dict(os.environ, TMPDIR="/tmp")
-    t_c, p = _best(lambda: subprocess.run(
-        [str(REF_BUILD / "ennaf"), f"-{LEVEL}", "-c"],
-        input=data, capture_output=True, env=env))
-    archive = p.stdout
-    t_d, q = _best(lambda: subprocess.run(
-        [str(REF_BUILD / "unnaf"), "-c"],
-        input=archive, capture_output=True, env=env))
-    assert q.returncode == 0
-    return t_c, t_d, len(archive)
+def _best_interleaved(fns, reps=REPS):
+    """Best-of-N for several functions, round-robin interleaved.
+
+    On a noisy shared host a contention burst lasting several seconds would
+    bias sequential best-of-N toward whichever side ran in the quiet window;
+    interleaving exposes every candidate to the same conditions each round.
+    Returns ([best_times], [last_results]).
+    """
+    bests = [None] * len(fns)
+    results = [None] * len(fns)
+    for _ in range(reps):
+        for i, fn in enumerate(fns):
+            t0 = time.perf_counter()
+            results[i] = fn()
+            dt = time.perf_counter() - t0
+            bests[i] = dt if bests[i] is None else min(bests[i], dt)
+    return bests, results
 
 
 def main() -> None:
@@ -126,6 +132,7 @@ def main() -> None:
     data = gen_fasta(SIZE_MB)
     mb = len(data) / (1 << 20)
     opts = EncodeOptions(level=LEVEL, threads=os.cpu_count() or 0)
+    env = dict(os.environ, TMPDIR="/tmp")
 
     from naf_tpu.pipeline.encoder import encode
 
@@ -136,24 +143,34 @@ def main() -> None:
         return Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
 
     blob = compress()    # warm-up (page cache, lazy inits)
-    t_c, blob = _best(compress)
-    decompress()
-    t_d, out = _best(decompress)
-
-    ours = mb / (t_c + t_d)
+    out = decompress()
 
     vs = 0.0
     if build_reference():
         # correctness gate: reference decodes our archive to our own output
         q = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=blob,
-                           capture_output=True, env=dict(os.environ, TMPDIR="/tmp"))
+                           capture_output=True, env=env)
         assert q.returncode == 0 and q.stdout == out, "round-trip mismatch vs reference"
-        rc, rd, ref_size = time_reference(data)
-        ref = mb / (rc + rd)
-        vs = ours / ref
+
+        def ref_compress():
+            return subprocess.run(
+                [str(REF_BUILD / "ennaf"), f"-{LEVEL}", "-c"],
+                input=data, capture_output=True, env=env).stdout
+
+        ref_archive = ref_compress()   # warm-up
+
+        def ref_decompress():
+            return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
+                                  input=ref_archive, capture_output=True, env=env)
+
+        (t_c, rc), _ = _best_interleaved([compress, ref_compress])
+        (t_d, rd), (out2, q) = _best_interleaved([decompress, ref_decompress])
+        assert q.returncode == 0 and out2 == out
+        ours = mb / (t_c + t_d)
+        vs = ours / (mb / (rc + rd))
         extra = dict(our_compress_s=round(t_c, 3), our_decompress_s=round(t_d, 3),
                      ref_compress_s=round(rc, 3), ref_decompress_s=round(rd, 3),
-                     our_archive_bytes=len(blob), ref_archive_bytes=ref_size)
+                     our_archive_bytes=len(blob), ref_archive_bytes=len(ref_archive))
         print(json.dumps(extra), file=sys.stderr)
 
         # secondary metric (BASELINE.md config 3): FASTQ round trip
@@ -163,17 +180,24 @@ def main() -> None:
         def fq_compress():
             return encode(fq, opts)[0]
 
-        fq_blob = fq_compress()
-        tqc, fq_blob = _best(fq_compress)
-        tqd, fq_out = _best(
-            lambda: Decoder(io.BytesIO(fq_blob), DecodeOptions()).fastq())
-        env = dict(os.environ, TMPDIR="/tmp")
-        rqc, p = _best(lambda: subprocess.run(
-            [str(REF_BUILD / "ennaf"), f"-{LEVEL}", "--fastq", "-c"],
-            input=fq, capture_output=True, env=env))
-        rqd, q = _best(lambda: subprocess.run(
-            [str(REF_BUILD / "unnaf"), "-c"], input=p.stdout,
-            capture_output=True, env=env))
+        def fq_ref_compress():
+            return subprocess.run(
+                [str(REF_BUILD / "ennaf"), f"-{LEVEL}", "--fastq", "-c"],
+                input=fq, capture_output=True, env=env).stdout
+
+        fq_blob = fq_compress()          # warm-ups
+        fq_ref_blob = fq_ref_compress()
+
+        def fq_decompress():
+            return Decoder(io.BytesIO(fq_blob), DecodeOptions()).fastq()
+
+        def fq_ref_decompress():
+            return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
+                                  input=fq_ref_blob, capture_output=True, env=env)
+
+        (tqc, rqc), _ = _best_interleaved([fq_compress, fq_ref_compress])
+        (tqd, rqd), (fq_out, q) = _best_interleaved(
+            [fq_decompress, fq_ref_decompress])
         assert q.returncode == 0
         qq = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=fq_blob,
                             capture_output=True, env=env)
@@ -184,6 +208,10 @@ def main() -> None:
             vs_baseline=round((fq_mb / (tqc + tqd)) / (fq_mb / (rqc + rqd)), 3),
             our_s=[round(tqc, 3), round(tqd, 3)],
             ref_s=[round(rqc, 3), round(rqd, 3)])), file=sys.stderr)
+    else:
+        t_c, blob = _best(compress)
+        t_d, out = _best(decompress)
+        ours = mb / (t_c + t_d)
 
     print(json.dumps({
         "metric": "fasta_roundtrip_MBps",
