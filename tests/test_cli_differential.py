@@ -98,3 +98,22 @@ def test_differential_roundtrip(trial):
     assert _norm(p_our.stderr) == p_ref.stderr, ctx
     assert q_our.stdout == q_ref.stdout, ctx
     assert (q_our.returncode == 0) == (q_ref.returncode == 0), ctx
+
+
+@pytest.mark.parametrize("threads", ["0", "1", "2", "4"])
+def test_threads_flag_reference_decodable(threads):
+    """tnaf --threads N must emit single-frame sections the reference
+    unnaf decodes; output bytes must match the single-threaded pipeline."""
+    rng = np.random.default_rng(7)
+    data = _gen_fasta(rng)
+    p = _run([PY, "-m", "naf_tpu.cli.tnaf", "--threads", threads, "-19",
+              "--long", "20", "-c"], data)
+    assert p.returncode == 0, p.stderr
+    q_ref = _run([str(REF_BUILD / "unnaf"), "-c"], p.stdout)
+    q_our = _run([PY, "-m", "naf_tpu.cli.untnaf", "-c"], p.stdout)
+    assert q_ref.returncode == 0
+    assert q_our.stdout == q_ref.stdout
+    # default (no flag) must also stay reference-decodable
+    p2 = _run([PY, "-m", "naf_tpu.cli.tnaf", "-c"], data)
+    q2 = _run([str(REF_BUILD / "unnaf"), "-c"], p2.stdout)
+    assert q2.returncode == 0 and q2.stdout == q_ref.stdout
