@@ -57,6 +57,7 @@ class SectionCompressor:
 
     def __init__(self, level: int = 1, window_log: int = 0, threads: int = 0):
         self._chunks: list[bytes] = []
+        self._pending = 0           # == sum(len(c) for c in self._chunks)
         self._uncompressed = 0
         cctx = _compressor(level, window_log, threads)
         self._obj = cctx.compressobj()
@@ -74,6 +75,7 @@ class SectionCompressor:
         out = self._obj.compress(mv)
         if out:
             self._chunks.append(out)
+            self._pending += len(out)
 
     def finish(self) -> bytes:
         """End the frame and return payload with the 4-byte magic stripped."""
@@ -84,6 +86,7 @@ class SectionCompressor:
             self._chunks.append(tail)
         frame = b"".join(self._chunks)
         self._chunks = []
+        self._pending = 0
         if len(frame) < 4 or frame[:4] != ZSTD_FRAME_MAGIC:
             raise RuntimeError("compression failed")
         return frame[4:]
@@ -327,6 +330,13 @@ class SpilledPayload:
                 pass
 
 
+#: In-RAM budget per compressed section before spilling to the temp dir.
+#: The reference always spills beyond its 2 MB buffers (compressor.c:51-61);
+#: holding up to 256 MB of *compressed* bytes avoids the extra
+#: write+read+unlink round trip for typical inputs (override: NAF_TPU_SPILL_MB).
+_SPILL_THRESHOLD = int(os.environ.get("NAF_TPU_SPILL_MB", "256")) << 20
+
+
 class SpillingSectionCompressor(SectionCompressor):
     """SectionCompressor that spills compressed output beyond a threshold.
 
@@ -336,7 +346,7 @@ class SpillingSectionCompressor(SectionCompressor):
 
     def __init__(self, level: int = 1, window_log: int = 0, threads: int = 0,
                  *, temp_dir: str, name: str, section: str,
-                 threshold: int = 64 << 20, keep: bool = False):
+                 threshold: int = _SPILL_THRESHOLD, keep: bool = False):
         super().__init__(level, window_log, threads)
         self._path = os.path.join(temp_dir, f"{name}.{section}")
         self._threshold = threshold
@@ -345,8 +355,7 @@ class SpillingSectionCompressor(SectionCompressor):
         self._spilled = 0
 
     def _maybe_spill(self) -> None:
-        pending = sum(len(c) for c in self._chunks)
-        if self._file is None and self._spilled + pending < self._threshold:
+        if self._file is None and self._spilled + self._pending < self._threshold:
             return
         if self._file is None:
             self._file = open(self._path, "wb")
@@ -354,6 +363,7 @@ class SpillingSectionCompressor(SectionCompressor):
             self._file.write(c)
             self._spilled += len(c)
         self._chunks.clear()
+        self._pending = 0
 
     def write(self, data) -> None:
         super().write(data)
@@ -369,6 +379,7 @@ class SpillingSectionCompressor(SectionCompressor):
         if self._file is None:
             frame = b"".join(self._chunks)
             self._chunks = []
+            self._pending = 0
             if len(frame) < 4 or frame[:4] != ZSTD_FRAME_MAGIC:
                 raise RuntimeError("compression failed")
             return frame[4:]
@@ -376,6 +387,7 @@ class SpillingSectionCompressor(SectionCompressor):
             self._file.write(c)
             self._spilled += len(c)
         self._chunks = []
+        self._pending = 0
         self._file.close()
         self._file = None
         # strip the 4-byte magic by rewriting the head in place

@@ -141,6 +141,9 @@ class Decoder:
     """One NAF archive opened for reading."""
 
     def __init__(self, f: BinaryIO, opts: DecodeOptions | None = None):
+        from ..utils.malloc import tune_for_large_buffers
+
+        tune_for_large_buffers()
         self.r = NafReader(f)
         self.h = self.r.header
         self.opts = opts or DecodeOptions()

@@ -90,6 +90,9 @@ def split_lengths(lengths: np.ndarray) -> np.ndarray:
 
 def encode(data: bytes, opts: EncodeOptions) -> tuple[bytes, EncodeStats]:
     """Compress one FASTA/FASTQ input held in memory into a NAF archive."""
+    from ..utils.malloc import tune_for_large_buffers
+
+    tune_for_large_buffers()
     stats = EncodeStats()
 
     fmt, marker = P.detect_format(data)   # raises on junk input (process.c:561)
