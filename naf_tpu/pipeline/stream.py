@@ -106,6 +106,9 @@ class _WriteBehind:
                 if item is None:
                     return
                 sc, data = item
+                if sc is None:      # fence marker: everything before is done
+                    data.set()
+                    continue
                 try:
                     sc.write(data)
                 except BaseException as e:   # surfaced on join
@@ -118,6 +121,20 @@ class _WriteBehind:
         if self._err:
             raise self._err[0]
         self._q.put((sc, data))
+
+    def fence(self) -> "threading.Event":
+        """Event set once all previously queued writes have completed.
+
+        Lets callers hand zero-copy scratch views to the worker: a scratch
+        buffer may be reused as soon as its fence is set."""
+        import threading
+
+        ev = threading.Event()
+        if self._err:       # worker may be dead; don't deadlock waiters
+            ev.set()
+            raise self._err[0]
+        self._q.put((None, ev))
+        return ev
 
     def join(self) -> None:
         if self._t.is_alive():
@@ -167,7 +184,12 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
 
     secs = _SectionSet(opts)
     wb = _WriteBehind()
-    scratch: dict = {}
+    # Two scratch sets alternate between iterations so scan outputs can be
+    # handed to the write-behind compressor without copying: scratch k may
+    # be reused once its fence (queued after chunk k's writes) is set.
+    scratches: tuple[dict, dict] = ({}, {})
+    fences: list = [None, None]
+    it = 0
 
     # carry state
     total_chars = 0
@@ -194,18 +216,18 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
                 pass   # nothing emitted; pending byte unchanged
             elif new_total % 2 == 1:
                 if pk.size:
-                    wb.write(secs.seq, pk[:-1].copy())
+                    wb.write(secs.seq, pk[:-1])
                     pending_nibble = int(pk[-1]) & 0x0F
             else:
-                wb.write(secs.seq, pk.copy())
+                wb.write(secs.seq, pk)
                 pending_nibble = None
             total_chars = new_total
         else:
             wb.write(secs.seq,
-                     s.seq.copy() if not opts.no_mask else C.TOUPPER[s.seq])
+                     s.seq if not opts.no_mask else C.TOUPPER[s.seq])
             total_chars += chars
         if store_mask:
-            wb.write(secs.mask, s.mask_units.copy())
+            wb.write(secs.mask, s.mask_units)
             mask_on, mask_run = s.mask_tail_on, s.mask_tail_run
         wb.write(secs.ids, np.frombuffer(s.ids_blob, np.uint8))
         wb.write(secs.comments, np.frombuffer(s.comments_blob, np.uint8))
@@ -227,12 +249,20 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
         stats.unexpected_seq += s.unexpected_seq
         stats.unexpected_qual += s.unexpected_qual
         if store_qual:
-            wb.write(secs.qual, s.qual.copy())
+            wb.write(secs.qual, s.qual)
+        # the views queued above alias scratch buffers; fence before reuse
+        nonlocal it
+        fences[it & 1] = wb.fence()
+        it += 1
 
     base_flags = native.F_NO_MASK_FLUSH if store_mask else 0
 
     def scan_piece(piece: bytes, *, fastq: bool, extra_flags: int = 0,
                    cont_in: bool = False) -> "native.NativeScan":
+        fence = fences[it & 1]
+        if fence is not None:
+            fence.wait()
+        scratch = scratches[it & 1]
         try:
           with trace_span("scan", bytes=len(piece)):
             return native.scan(
