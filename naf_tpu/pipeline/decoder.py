@@ -68,12 +68,61 @@ def merge_u32_lengths(units: np.ndarray) -> np.ndarray:
     return out
 
 
+class _ChunkWindow:
+    """Sliding window over a stream of decompressed chunks.
+
+    Chunks append at the tail; ``take(a, b)`` assembles the absolute byte
+    range [a, b) into one contiguous array; ``drop_to(a)`` releases whole
+    chunks that end at or before ``a``.  Unlike a growing ``bytearray``
+    (extend + del-prefix), retained data is never reallocated or moved —
+    on fault-expensive VMs the bytearray scheme cost ~50 ms per MB of
+    window churn.
+    """
+
+    __slots__ = ("_chunks", "end")
+
+    def __init__(self):
+        from collections import deque
+
+        self._chunks: "deque[tuple[int, bytes]]" = deque()   # (abs_start, data)
+        self.end = 0          # absolute offset one past the last byte appended
+
+    def append(self, data: bytes) -> None:
+        if data:
+            self._chunks.append((self.end, data))
+            self.end += len(data)
+
+    def overlapping(self, a: int, b: int) -> list:
+        """Chunk refs overlapping [a, b) (cheap; for snapshot-under-lock)."""
+        return [(s, d) for s, d in self._chunks
+                if s < b and s + len(d) > a]
+
+    @staticmethod
+    def assemble(chunks: list, a: int, b: int) -> np.ndarray:
+        out = np.empty(b - a, np.uint8)
+        for s, d in chunks:
+            lo, hi = max(a, s), min(b, s + len(d))
+            if lo < hi:
+                out[lo - a:hi - a] = np.frombuffer(d, np.uint8,
+                                                   count=hi - lo, offset=lo - s)
+        return out
+
+    def take(self, a: int, b: int) -> np.ndarray:
+        return self.assemble(self.overlapping(a, b), a, b)
+
+    def drop_to(self, a: int) -> None:
+        ch = self._chunks
+        while ch and ch[0][0] + len(ch[0][1]) <= a:
+            ch.popleft()
+
+
 class _Prefetcher:
     """Background zstd-decompress of a section: overlaps with rendering.
 
     A producer thread reads the compressed payload and appends decompressed
-    bytes to `buf`; the consumer waits for coverage then trims what it has
-    written out.  The high-water mark bounds memory.
+    chunks to a window; the consumer waits for absolute coverage, assembles
+    the batch it needs, then releases what it has written out.  The
+    high-water mark bounds memory.
     """
 
     def __init__(self, f: BinaryIO, csize: int, high_water: int):
@@ -81,7 +130,8 @@ class _Prefetcher:
 
         from ..codec import SectionDecompressor
 
-        self.buf = bytearray()
+        self._win = _ChunkWindow()
+        self._dropped = 0
         self._lock = threading.Lock()
         self._can_consume = threading.Condition(self._lock)
         self._can_produce = threading.Condition(self._lock)
@@ -100,9 +150,10 @@ class _Prefetcher:
                     left -= len(chunk)
                     out = d.feed(chunk)
                     with self._lock:
-                        while (len(self.buf) > self._high and not self._done):
+                        while (self._win.end - self._dropped > self._high
+                               and not self._done):
                             self._can_produce.wait(0.1)
-                        self.buf.extend(out)
+                        self._win.append(out)
                         self._can_consume.notify_all()
             except BaseException as e:
                 self._err = e
@@ -114,9 +165,10 @@ class _Prefetcher:
         self._t = threading.Thread(target=run, daemon=True)
         self._t.start()
 
-    def wait_for(self, nbytes: int) -> None:
+    def wait_until(self, abs_bytes: int) -> None:
+        """Block until the window covers absolute offset `abs_bytes`."""
         with self._lock:
-            while len(self.buf) < nbytes:
+            while self._win.end < abs_bytes:
                 if self._err is not None:
                     raise self._err
                 if self._done:
@@ -125,9 +177,16 @@ class _Prefetcher:
             if self._err is not None:
                 raise self._err
 
-    def consume(self, nbytes: int) -> None:
+    def take(self, a: int, b: int) -> np.ndarray:
+        """Assemble absolute range [a, b); caller must have waited for b."""
         with self._lock:
-            del self.buf[:nbytes]
+            chunks = self._win.overlapping(a, b)   # refs only; bytes immutable
+        return _ChunkWindow.assemble(chunks, a, b)
+
+    def drop_to(self, abs_bytes: int) -> None:
+        with self._lock:
+            self._win.drop_to(abs_bytes)
+            self._dropped = abs_bytes
             self._can_produce.notify_all()
 
     def close(self) -> None:
@@ -663,7 +722,6 @@ class Decoder:
 
         rec_ends = np.cumsum(slens)
         pf = _Prefetcher(self.r.f, csize, high_water=4 * (batch_chars // 2))
-        base_byte = 0            # global byte index of pf.buf[0]
         r0 = 0
         nuc = True
         while r0 < n:
@@ -674,11 +732,10 @@ class Decoder:
                          r0 + 1), n)
             c1 = int(rec_ends[r1 - 1])
             need_bytes = (c1 + 1) // 2
-            pf.wait_for(need_bytes - base_byte)
+            pf.wait_until(need_bytes)
 
             b0 = c0 // 2
-            seq_slice = np.frombuffer(bytes(pf.buf[b0 - base_byte:
-                                            need_bytes - base_byte]), np.uint8)
+            seq_slice = pf.take(b0, need_bytes)
             out = native.render(
                 native.MODE_FASTA,
                 seq_data=seq_slice, total_chars=c1 - c0, is_packed=nuc,
@@ -695,8 +752,7 @@ class Decoder:
                 + (len(com) if com is not None else 0) + (1 << 16))
             outf.write(out)
             # drop consumed bytes (keep the byte shared with the next batch)
-            pf.consume((c1 // 2) - base_byte)
-            base_byte = c1 // 2
+            pf.drop_to(c1 // 2)
             r0 = r1
         pf.close()
 
@@ -729,12 +785,10 @@ class Decoder:
         rec_ends = np.cumsum(slens)
         ds = SectionDecompressor()
         dq = SectionDecompressor()
-        sbuf = bytearray()
-        qbuf = bytearray()
+        swin = _ChunkWindow()
+        qwin = _ChunkWindow()
         s_off = 0          # compressed seq consumed
         q_left = qcsize
-        base_byte = 0
-        qbase = 0
         r0 = 0
         while r0 < n:
             c0 = int(rec_ends[r0 - 1]) if r0 > 0 else 0
@@ -743,24 +797,22 @@ class Decoder:
                          r0 + 1), n)
             c1 = int(rec_ends[r1 - 1])
             need_bytes = (c1 + 1) // 2
-            while base_byte + len(sbuf) < need_bytes and s_off < len(seq_payload):
+            while swin.end < need_bytes and s_off < len(seq_payload):
                 take = seq_payload[s_off:s_off + (4 << 20)]
                 s_off += len(take)
-                sbuf.extend(ds.feed(take))
-            while qbase + len(qbuf) < c1 and q_left > 0:
+                swin.append(ds.feed(take))
+            while qwin.end < c1 and q_left > 0:
                 chunk = self.r.f.read(min(q_left, 4 << 20))
                 if not chunk:
                     raise NafFormatError("incomplete or truncated input")
                 q_left -= len(chunk)
-                qbuf.extend(dq.feed(chunk))
-            if base_byte + len(sbuf) < need_bytes or qbase + len(qbuf) < c1:
+                qwin.append(dq.feed(chunk))
+            if swin.end < need_bytes or qwin.end < c1:
                 raise NafFormatError("incomplete or truncated input")
 
             b0 = c0 // 2
-            seq_slice = np.frombuffer(
-                bytes(sbuf[b0 - base_byte:need_bytes - base_byte]), np.uint8)
-            qual_slice = np.frombuffer(
-                bytes(qbuf[c0 - qbase:c1 - qbase]), np.uint8)
+            seq_slice = swin.take(b0, need_bytes)
+            qual_slice = qwin.take(c0, c1)
             out = native.render(
                 native.MODE_FASTQ,
                 seq_data=seq_slice, total_chars=c1 - c0, is_packed=True,
@@ -775,10 +827,8 @@ class Decoder:
                 + (len(ids) if ids is not None else 0)
                 + (len(com) if com is not None else 0) + (1 << 16))
             outf.write(out)
-            del sbuf[:(c1 // 2) - base_byte]
-            base_byte = c1 // 2
-            del qbuf[:c1 - qbase]
-            qbase = c1
+            swin.drop_to(c1 // 2)
+            qwin.drop_to(c1)
             r0 = r1
 
     def fastq(self) -> bytes:
