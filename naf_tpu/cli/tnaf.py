@@ -61,6 +61,9 @@ Options:
   --threads N        - zstd worker threads per section (default: all
                        cores; 0 = single-threaded). The output is still
                        one reference-decodable frame per section
+  --device           - Run the block-sharded device pipeline (JAX mesh
+                       over all visible TPU/CPU devices); archives are
+                       byte-identical to the host pipeline's
   -h, --help         - Show help
   -V, --version      - Show version
 """ % (MIN_CLEVEL, MAX_CLEVEL, WINDOWLOG_MIN, WINDOWLOG_MAX)
@@ -104,6 +107,7 @@ def main(argv: list[str] | None = None) -> int:
     title = None
     line_length = None
     threads_set = False
+    use_device = False
     while i < n:
         a = argv[i]
         if a.startswith("-") and a != "-":
@@ -205,6 +209,10 @@ def main(argv: list[str] | None = None) -> int:
                     if argv[i] not in ("zstd", "native"):
                         _die(f'unknown engine "{argv[i]}"')
                     opts.engine = argv[i]
+                    i += 1
+                    continue
+                if a == "--device":
+                    use_device = True
                     i += 1
                     continue
                 if a == "--threads" and i < n - 1:
@@ -370,7 +378,14 @@ def main(argv: list[str] | None = None) -> int:
         except OSError:
             pass
     try:
-        if (opts.extended or opts.engine != "zstd"
+        if use_device:
+            # block-sharded device pipeline (jax imported only here,
+            # keeping the default CLI cold start jax-free)
+            from ..parallel.pipeline import encode_sharded
+
+            blob, stats = encode_sharded(inf.read(), opts)
+            outf.write(blob)
+        elif (opts.extended or opts.engine != "zstd"
                 or (in_size is not None and in_size < stream_threshold)):
             from ..pipeline.encoder import encode as _encode
 

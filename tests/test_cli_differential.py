@@ -117,3 +117,19 @@ def test_threads_flag_reference_decodable(threads):
     p2 = _run([PY, "-m", "naf_tpu.cli.tnaf", "-c"], data)
     q2 = _run([str(REF_BUILD / "unnaf"), "-c"], p2.stdout)
     assert q2.returncode == 0 and q2.stdout == q_ref.stdout
+
+
+def test_device_flag_byte_identical():
+    """tnaf --device (sharded mesh pipeline) must produce the same archive
+    bytes as the host pipeline (JAX_PLATFORMS=cpu keeps the test hermetic)."""
+    rng = np.random.default_rng(11)
+    data = _gen_fasta(rng)
+    env = dict(os.environ, TMPDIR="/tmp", PYTHONPATH="",
+               JAX_PLATFORM_NAME="cpu")
+    env.pop("JAX_PLATFORMS", None)   # the axon plugin pins this
+    p_dev = subprocess.run([PY, "-m", "naf_tpu.cli.tnaf", "--device", "-c"],
+                           input=data, capture_output=True, env=env, timeout=300)
+    p_host = subprocess.run([PY, "-m", "naf_tpu.cli.tnaf", "-c"],
+                            input=data, capture_output=True, env=env, timeout=300)
+    assert p_dev.returncode == 0, p_dev.stderr
+    assert p_dev.stdout == p_host.stdout
