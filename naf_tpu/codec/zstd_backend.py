@@ -55,6 +55,14 @@ class SectionCompressor:
     (ennaf/src/compressor.c:119-147) but keeps output in RAM.
     """
 
+    #: Fixed feed granularity in multithreaded mode.  zstd's MT path emits a
+    #: slightly different (equally valid) frame when the whole input arrives
+    #: in a single compress() call versus chunked; feeding in exact 4 MB
+    #: units makes the frame a pure function of (options, payload bytes), so
+    #: in-memory, streaming, and sharded encodes stay byte-identical
+    #: regardless of caller chunking.
+    _STAGE = 4 << 20
+
     def __init__(self, level: int = 1, window_log: int = 0, threads: int = 0):
         self._chunks: list[bytes] = []
         self._pending = 0           # == sum(len(c) for c in self._chunks)
@@ -62,25 +70,49 @@ class SectionCompressor:
         cctx = _compressor(level, window_log, threads)
         self._obj = cctx.compressobj()
         self._finished = False
+        self._mt = threads != 0
+        self._buf = bytearray()     # MT: sub-_STAGE staging remainder
 
     @property
     def uncompressed_size(self) -> int:
         return self._uncompressed
+
+    def _emit(self, out: bytes) -> None:
+        if out:
+            self._chunks.append(out)
+            self._pending += len(out)
 
     def write(self, data) -> None:
         mv = memoryview(data)
         if mv.nbytes == 0:
             return
         self._uncompressed += mv.nbytes
-        out = self._obj.compress(mv)
-        if out:
-            self._chunks.append(out)
-            self._pending += len(out)
+        if not self._mt:
+            self._emit(self._obj.compress(mv))
+            return
+        stage = self._STAGE
+        if self._buf:
+            take = min(stage - len(self._buf), mv.nbytes)
+            self._buf += mv[:take]
+            mv = mv[take:]
+            if len(self._buf) == stage:
+                self._emit(self._obj.compress(self._buf))
+                self._buf.clear()
+        off = 0
+        n = mv.nbytes
+        while n - off >= stage:                 # large writes feed zero-copy
+            self._emit(self._obj.compress(mv[off:off + stage]))
+            off += stage
+        if off < n:
+            self._buf += mv[off:]
 
     def finish(self) -> bytes:
         """End the frame and return payload with the 4-byte magic stripped."""
         assert not self._finished
         self._finished = True
+        if self._buf:
+            self._emit(self._obj.compress(self._buf))
+            self._buf.clear()
         tail = self._obj.flush(zstd.COMPRESSOBJ_FLUSH_FINISH)
         if tail:
             self._chunks.append(tail)
@@ -373,6 +405,9 @@ class SpillingSectionCompressor(SectionCompressor):
         """bytes when everything stayed in RAM, else a SpilledPayload."""
         assert not self._finished
         self._finished = True
+        if self._buf:                       # drain MT staging remainder
+            self._emit(self._obj.compress(self._buf))
+            self._buf.clear()
         tail = self._obj.flush(zstd.COMPRESSOBJ_FLUSH_FINISH)
         if tail:
             self._chunks.append(tail)

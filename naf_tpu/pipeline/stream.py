@@ -41,7 +41,14 @@ _LF = ord("\n")
 _GT = ord(">")
 _AT = ord("@")
 
-DEFAULT_CHUNK = 32 << 20
+# Chunk size scales with cores: small chunks keep the scratch footprint
+# (and first-touch page-fault exposure, which virtualized hosts charge at
+# ~30 us/page) low on small machines, while many-core hosts get chunks big
+# enough for the multithreaded scanner to fan out. Output bytes do not
+# depend on the chunk size (SectionCompressor normalizes feed granularity).
+import os as _os
+
+DEFAULT_CHUNK = max(4, min(32, 2 * (_os.cpu_count() or 2))) << 20
 
 
 def _last_record_start(buf: np.ndarray) -> int:

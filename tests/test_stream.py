@@ -267,3 +267,33 @@ def test_keep_temp_files(tmp_path):
     payload.copy_into(buf)
     assert decompress_section(buf.getvalue(), len(data)) == data
     assert (tmp_path / "x.seq").exists()   # kept
+
+
+def test_mt_byte_identity_giant_record_across_chunk_sizes():
+    """zstd MT frames must not depend on feed granularity: a single record
+    larger than the chunk produces one-big-write vs chunked-write feed
+    patterns, which raw zstd MT encodes differently; the SectionCompressor
+    staging normalizes this (in-memory == streaming at every chunk size)."""
+    import io
+
+    import numpy as np
+
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+    from naf_tpu.pipeline.stream import encode_stream
+
+    rng = np.random.default_rng(3)
+    seq = rng.choice(np.frombuffer(b"ACGTacgt", np.uint8),
+                     size=(6 << 20) - ((6 << 20) % 80))
+    body = seq.reshape(-1, 80)
+    out = np.concatenate(
+        [body, np.full((body.shape[0], 1), 10, np.uint8)], axis=1)
+    data = b">chr1 test\n" + out.tobytes()
+
+    blobs = []
+    for cs in (1 << 20, 4 << 20):
+        o = io.BytesIO()
+        encode_stream(io.BytesIO(data), o,
+                      EncodeOptions(level=1, threads=2), chunk_size=cs)
+        blobs.append(o.getvalue())
+    mem, _ = encode(data, EncodeOptions(level=1, threads=2))
+    assert blobs[0] == blobs[1] == mem
