@@ -141,8 +141,28 @@ def write_naf(out: BinaryIO, archive: NafArchive) -> None:
             sec.payload.copy_into(out)   # spilled payload streams from disk
 
 
+class _PartsWriter:
+    """Write-API shim that collects parts for a single-copy b"".join.
+
+    BytesIO grows by realloc-and-copy, which on multi-MB archives moves each
+    byte several times; joining once moves it exactly once.
+    """
+
+    __slots__ = ("parts",)
+
+    def __init__(self):
+        self.parts: List[bytes] = []
+
+    def write(self, b) -> int:
+        self.parts.append(bytes(b) if isinstance(b, memoryview) else b)
+        return len(b)
+
+    def getvalue(self) -> bytes:
+        return b"".join(self.parts)
+
+
 def naf_bytes(archive: NafArchive) -> bytes:
-    buf = io.BytesIO()
+    buf = _PartsWriter()
     write_naf(buf, archive)
     return buf.getvalue()
 

@@ -25,7 +25,6 @@ Every archive produced here is decodable by the reference `unnaf`.
 
 from __future__ import annotations
 
-import io
 from dataclasses import dataclass
 from typing import Optional
 
@@ -33,7 +32,7 @@ import numpy as np
 
 from ..codec import SectionCompressor, compress_section_blocked
 from ..format import constants as C
-from ..format.container import NafArchive, NafHeader, Section, write_naf
+from ..format.container import NafArchive, NafHeader, Section, naf_bytes
 from ..ops.mask import mask_units_from_bytes
 from ..ops.pack import pack_4bit
 from . import parser as P
@@ -242,6 +241,4 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
         title=opts.title.encode() if opts.title is not None else None,
         sections=sections,
     )
-    out = io.BytesIO()
-    write_naf(out, archive)
-    return out.getvalue(), stats
+    return naf_bytes(archive), stats
