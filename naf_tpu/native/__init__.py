@@ -119,6 +119,13 @@ def _load() -> Optional[ct.CDLL]:
         lib.naf_render_mt.argtypes = (
             lib.naf_render.argtypes[:-2] + [ct.c_int32] +
             lib.naf_render.argtypes[-2:])
+        lib.naf_render_size.restype = ct.c_uint64
+        lib.naf_render_size.argtypes = [
+            ct.c_int32, ct.c_uint64,
+            u8p, ct.c_uint64,
+            u8p, ct.c_uint64,
+            u8p, ct.c_uint64,
+            ct.c_uint64, ct.c_uint64]
         lib.naf_unpack.restype = None
         lib.naf_unpack.argtypes = [u8p, ct.c_uint64, ct.c_int32, u8p]
         _lib = lib
@@ -264,6 +271,21 @@ def scan(data: bytes, *, fastq: bool, seq_type: int, strict: bool,
 
 _FALLBACK = (1 << 64) - 1
 
+# Uninitialized-bytes allocator: PyBytes_FromStringAndSize(NULL, n) returns a
+# bytes object whose buffer is left uninitialized; the native renderer fills
+# every byte (naf_render_size is exact), so the final output needs no
+# truncate-copy and no memset.
+_pyapi = ct.pythonapi
+_pyapi.PyBytes_FromStringAndSize.restype = ct.py_object
+_pyapi.PyBytes_FromStringAndSize.argtypes = [ct.c_void_p, ct.c_ssize_t]
+_pyapi.PyBytes_AsString.restype = ct.c_void_p
+_pyapi.PyBytes_AsString.argtypes = [ct.py_object]
+
+
+def _alloc_bytes(n: int) -> tuple[bytes, ct.c_void_p]:
+    buf = _pyapi.PyBytes_FromStringAndSize(None, n)
+    return buf, ct.c_void_p(_pyapi.PyBytes_AsString(buf))
+
 
 def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
            is_packed: bool, is_rna: bool, do_upper: bool,
@@ -310,6 +332,24 @@ def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
         else:
             lib.naf_render(mode, *head, None, cptr)
         return counts
+
+    if mode != MODE_SEQ and (n_rec == 0 or lengths is not None):
+        # exact-size path: render straight into the final bytes object
+        # (MODE_SEQ is excluded — its paired u16 stores may touch one byte
+        # past the stream and need the slack buffer below)
+        exact = lib.naf_render_size(
+            mode, ct.c_uint64(total_chars), _ptr(lengths), n_rec,
+            _ptr(ids_a), 0 if ids_a is None else ids_a.size,
+            _ptr(com_a), 0 if com_a is None else com_a.size,
+            ct.c_uint64(qual_len), ct.c_uint64(line_len))
+        buf, optr = _alloc_bytes(exact)
+        w = _FALLBACK
+        if use_mt:
+            w = lib.naf_render_mt(mode, *head, threads, optr, None)
+        if w == _FALLBACK:
+            w = lib.naf_render(mode, *head, optr, None)
+        assert w == exact, ("native render size mismatch", w, exact)
+        return buf
 
     out = np.empty(out_capacity, np.uint8)
     optr = out.ctypes.data_as(ct.c_void_p)

@@ -1558,6 +1558,87 @@ uint64_t naf_render(int32_t mode,
   return w;
 }
 
+// Exact output size of naf_render for the same inputs: a counting replay of
+// the emit loops above (any change to naf_render's emission must be mirrored
+// here).  O(n_records + ids_len + comments_len) — lets the caller allocate
+// the final output buffer exactly once, with no truncate-copy.
+uint64_t naf_render_size(int32_t mode, uint64_t total_chars,
+                         const uint64_t *lengths, uint64_t n_records,
+                         const uint8_t *ids, uint64_t ids_len,
+                         const uint8_t *comments, uint64_t comments_len,
+                         uint64_t qual_len, uint64_t line_len) {
+  if (mode == MODE_SEQ) return total_chars;
+  if (mode == MODE_CHARCOUNT) return 0;
+
+  uint64_t w = 0;
+  const uint8_t *id_p = ids, *id_end = ids + ids_len;
+  const uint8_t *co_p = comments, *co_end = comments + comments_len;
+  bool has_ids = ids != nullptr, has_com = comments != nullptr;
+  auto name_size = [&]() {
+    uint64_t n = 2;  // marker + '\n'
+    uint64_t clen = 0;
+    if (has_com) { while (co_p < co_end && *co_p) { co_p++; clen++; } co_p++; }
+    if (has_ids) {
+      while (id_p < id_end && *id_p) { id_p++; n++; }
+      id_p++;
+      if (has_com && clen) n += 1 + clen;
+    } else if (has_com) {
+      n += clen;
+    }
+    return n;
+  };
+
+  uint64_t pos = 0;
+  if (mode == MODE_FASTQ) {
+    uint64_t q = 0;
+    for (uint64_t rec = 0; rec < n_records; rec++) {
+      w += name_size();
+      uint64_t len = lengths[rec];
+      uint64_t sn = len;
+      if (pos + sn > total_chars) sn = total_chars - pos;
+      w += sn + 3; pos += sn;
+      uint64_t qn = len;
+      if (q + qn > qual_len) qn = qual_len - q;
+      w += qn + 1; q += qn;
+    }
+    return w;
+  }
+
+  if (mode == MODE_SEQUENCES) {
+    if (total_chars == 0) return 0;
+    for (uint64_t rec = 0; rec < n_records; rec++) {
+      uint64_t len = lengths[rec];
+      if (pos + len > total_chars) len = total_chars - pos;
+      w += len + 1; pos += len;
+    }
+    return w + (total_chars - pos);
+  }
+
+  // MODE_FASTA
+  uint64_t cur_line = 0;
+  bool any_data = false;
+  auto wrapped_size = [&](uint64_t len) {
+    if (line_len == 0) { pos += len; w += len; return; }
+    while (len > 0) {
+      if (cur_line == 0) { w++; cur_line = line_len; }
+      uint64_t take = len < cur_line ? len : cur_line;
+      w += take; pos += take; cur_line -= take; len -= take;
+    }
+  };
+  for (uint64_t rec = 0; rec < n_records; rec++) {
+    w += name_size();
+    uint64_t len = lengths[rec];
+    if (len == 0) continue;
+    any_data = true;
+    cur_line = line_len;
+    if (pos + len > total_chars) len = total_chars - pos;
+    wrapped_size(len);
+    w += 1;
+  }
+  if (any_data && pos < total_chars) wrapped_size(total_chars - pos);
+  return w;
+}
+
 // ---------------------------------------------------------------------------
 // Multithreaded render.
 //
