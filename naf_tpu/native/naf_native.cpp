@@ -1349,6 +1349,84 @@ enum { MODE_FASTA = 0, MODE_SEQUENCES = 1, MODE_SEQ = 2, MODE_CHARCOUNT = 3,
 // walk reproduces MaskReader's clamp semantics exactly: a run is consecutive
 // 255-units plus their terminator; the state only toggles when another unit
 // follows; leftover characters keep the last run's state.
+struct MaskSpans {
+  std::vector<uint64_t> starts, ends;   // masked char spans, clipped
+};
+
+static void build_mask_spans(const uint8_t *units, uint64_t n_units,
+                             uint64_t total, MaskSpans &ms) {
+  bool on = false;
+  uint64_t pos = 0, i = 0;
+  while (i < n_units && pos < total) {
+    uint64_t run = 0;
+    while (i < n_units && units[i] == 255) { run += 255; i++; }
+    if (i < n_units) { run += units[i]; i++; }
+    uint64_t end = std::min(pos + run, total);
+    if (on && end > pos) { ms.starts.push_back(pos); ms.ends.push_back(end); }
+    pos += run;
+    if (i < n_units) on = !on;
+  }
+  if (on && pos < total) { ms.starts.push_back(pos); ms.ends.push_back(total); }
+}
+
+static void materialize_range(uint8_t *chars, const uint8_t *seq_data,
+                              uint64_t a, uint64_t b, bool packed, bool rna,
+                              bool upper, const MaskSpans &ms) {
+  // [a, b) with a even
+  if (packed) {
+    const uint16_t *lut = rna ? g_codes_to_nucs_rna : g_codes_to_nucs_dna;
+    const uint8_t *src = seq_data + (a >> 1);
+    uint8_t *dst = chars + a;
+    uint64_t n_pairs = (b - a) / 2;
+    uint64_t i = 0;
+#ifdef __AVX2__
+    {
+      alignas(32) uint8_t c2c[16];
+      for (int c = 0; c < 16; c++)
+        c2c[c] = (uint8_t)(lut[c] & 0xFF);     // code -> char
+      const __m256i tab = _mm256_broadcastsi128_si256(
+          _mm_load_si128((const __m128i *)c2c));
+      const __m256i m0f = _mm256_set1_epi8(0x0F);
+      for (; i + 32 <= n_pairs; i += 32) {
+        __m256i v = _mm256_loadu_si256((const __m256i *)(src + i));
+        __m256i lo = _mm256_shuffle_epi8(tab, _mm256_and_si256(v, m0f));
+        __m256i hi = _mm256_shuffle_epi8(
+            tab, _mm256_and_si256(_mm256_srli_epi16(v, 4), m0f));
+        __m256i x = _mm256_unpacklo_epi8(lo, hi);
+        __m256i y = _mm256_unpackhi_epi8(lo, hi);
+        _mm256_storeu_si256((__m256i *)(dst + 2 * i),
+                            _mm256_permute2x128_si256(x, y, 0x20));
+        _mm256_storeu_si256((__m256i *)(dst + 2 * i + 32),
+                            _mm256_permute2x128_si256(x, y, 0x31));
+      }
+    }
+#endif
+    for (; i < n_pairs; i++) {
+      uint16_t v = lut[src[i]];
+      std::memcpy(dst + 2 * i, &v, 2);
+    }
+    if (a + 2 * n_pairs < b)
+      chars[b - 1] = (uint8_t)(lut[src[n_pairs]] & 0xFF);
+  } else {
+    std::memcpy(chars + a, seq_data + a, b - a);
+    if (upper)
+      for (uint64_t k = a; k < b; k++) {
+        uint8_t c = chars[k];
+        if (c >= 'a' && c <= 'z') chars[k] = c - 32;
+      }
+  }
+  // lowercase the masked spans overlapping [a, b)
+  if (!ms.starts.empty()) {
+    size_t lo = std::upper_bound(ms.ends.begin(), ms.ends.end(), a)
+                - ms.ends.begin();
+    for (size_t s = lo; s < ms.starts.size() && ms.starts[s] < b; s++) {
+      uint64_t x0 = std::max(ms.starts[s], a), x1 = std::min(ms.ends[s], b);
+      for (uint64_t k = x0; k < x1; k++) chars[k] += 32;
+    }
+  }
+}
+
+
 static void materialize_chars(uint8_t *chars, const uint8_t *seq_data,
                               uint64_t total, bool packed, bool rna,
                               bool upper, const uint8_t *mask_units,
@@ -1444,24 +1522,52 @@ uint64_t naf_render(int32_t mode,
   const uint8_t *mu = (mode == MODE_FASTQ) ? nullptr : mask_units;
   uint64_t mu_n = (mode == MODE_FASTQ) ? 0 : n_mask_units;
 
-  uint8_t *chars = (mode == MODE_SEQ) ? out : new uint8_t[total_chars + 2];
-  materialize_chars(chars, seq_data, total_chars, is_packed != 0,
-                    is_rna != 0, do_upper != 0, mu, mu_n, nibble_off);
+  if (mode == MODE_SEQ) {
+    materialize_chars(out, seq_data, total_chars, is_packed != 0,
+                      is_rna != 0, do_upper != 0, mu, mu_n, nibble_off);
+    return total_chars;
+  }
 
-  if (mode == MODE_SEQ) return total_chars;
+  // The character stream is materialized in L2-resident tiles and consumed
+  // immediately, so decoded bytes never round-trip through DRAM twice.
+  // A nibble-offset stream (extended-format range decode) starts mid-byte,
+  // which materialize_range can't address: degrade to one full-size tile.
+  static const uint64_t TILE = 1 << 18;   // chars per tile (power of two)
+  const bool one_tile = nibble_off != 0 || total_chars <= TILE;
+  MaskSpans ms;
+  if (!one_tile && mu && mu_n) build_mask_spans(mu, mu_n, total_chars, ms);
+  uint8_t *tile = new uint8_t[one_tile ? total_chars + 2 : TILE];
+  uint64_t t_base = 0, t_end = 0;
+  if (one_tile) {
+    materialize_chars(tile, seq_data, total_chars, is_packed != 0,
+                      is_rna != 0, do_upper != 0, mu, mu_n, nibble_off);
+    t_end = total_chars;
+  }
+  auto ensure_tile = [&](uint64_t p) {
+    if (p >= t_base && p < t_end) return;
+    t_base = p & ~(TILE - 1);
+    t_end = std::min(t_base + TILE, total_chars);
+    materialize_range(tile - t_base, seq_data, t_base, t_end,
+                      is_packed != 0, is_rna != 0, do_upper != 0, ms);
+  };
 
   if (mode == MODE_CHARCOUNT) {
     // 4 sub-histograms dodge store-to-load stalls on repeated chars
     uint64_t h[4][256] = {};
-    uint64_t k = 0;
-    for (; k + 4 <= total_chars; k += 4) {
-      h[0][chars[k]]++; h[1][chars[k + 1]]++;
-      h[2][chars[k + 2]]++; h[3][chars[k + 3]]++;
+    uint64_t p = 0;
+    while (p < total_chars) {
+      ensure_tile(p);
+      const uint8_t *c = tile + (p - t_base);
+      uint64_t n = t_end - p, k = 0;
+      for (; k + 4 <= n; k += 4) {
+        h[0][c[k]]++; h[1][c[k + 1]]++; h[2][c[k + 2]]++; h[3][c[k + 3]]++;
+      }
+      for (; k < n; k++) h[0][c[k]]++;
+      p = t_end;
     }
-    for (; k < total_chars; k++) h[0][chars[k]]++;
     for (int b = 0; b < 256; b++)
       charcounts[b] += h[0][b] + h[1][b] + h[2][b] + h[3][b];
-    delete[] chars;
+    delete[] tile;
     return 0;
   }
 
@@ -1487,6 +1593,14 @@ uint64_t naf_render(int32_t mode,
   };
 
   uint64_t pos = 0;   // chars consumed
+  auto copy_chars = [&](uint64_t len) {   // sequential copy-out from `pos`
+    while (len) {
+      ensure_tile(pos);
+      uint64_t take = std::min(len, t_end - pos);
+      std::memcpy(out + w, tile + (pos - t_base), take);
+      w += take; pos += take; len -= take;
+    }
+  };
 
   if (mode == MODE_FASTQ) {
     const uint8_t *q = qual;
@@ -1496,46 +1610,41 @@ uint64_t naf_render(int32_t mode,
       uint64_t len = lengths[rec];
       uint64_t sn = len;
       if (pos + sn > total_chars) sn = total_chars - pos;
-      std::memcpy(out + w, chars + pos, sn); w += sn; pos += sn;
+      copy_chars(sn);
       put('\n'); put('+'); put('\n');
       uint64_t qn = len;
       if (q + qn > q_end) qn = (uint64_t)(q_end - q);
       std::memcpy(out + w, q, qn); w += qn; q += qn;
       put('\n');
     }
-    delete[] chars;
+    delete[] tile;
     return w;
   }
 
   if (mode == MODE_SEQUENCES) {
-    if (total_chars == 0) { delete[] chars; return 0; }
+    if (total_chars == 0) { delete[] tile; return 0; }
     for (uint64_t rec = 0; rec < n_records; rec++) {
       uint64_t len = lengths[rec];
       if (pos + len > total_chars) len = total_chars - pos;
-      std::memcpy(out + w, chars + pos, len); w += len; pos += len;
+      copy_chars(len);
       put('\n');
     }
-    // spill beyond sum(lengths), raw
-    std::memcpy(out + w, chars + pos, total_chars - pos);
-    w += total_chars - pos;
-    delete[] chars;
+    copy_chars(total_chars - pos);   // spill beyond sum(lengths), raw
+    delete[] tile;
     return w;
   }
 
-  // MODE_FASTA: per record, emit whole wrapped lines with memcpy
+  // MODE_FASTA: per record, emit whole wrapped lines
   uint64_t cur_line = 0;   // bp remaining in the current output line
   bool any_data = false;
   auto emit_wrapped = [&](uint64_t len) {
     // emits `len` chars from `pos`, breaking at line_len using cur_line
-    if (line_len == 0) {
-      std::memcpy(out + w, chars + pos, len); w += len; pos += len;
-      return;
-    }
+    if (line_len == 0) { copy_chars(len); return; }
     while (len > 0) {
       if (cur_line == 0) { put('\n'); cur_line = line_len; }
       uint64_t take = len < cur_line ? len : cur_line;
-      std::memcpy(out + w, chars + pos, take);
-      w += take; pos += take; cur_line -= take; len -= take;
+      copy_chars(take);
+      cur_line -= take; len -= take;
     }
   };
   for (uint64_t rec = 0; rec < n_records; rec++) {
@@ -1554,7 +1663,7 @@ uint64_t naf_render(int32_t mode,
     // continuing the wrap, after the '\n' already written
     emit_wrapped(total_chars - pos);
   }
-  delete[] chars;
+  delete[] tile;
   return w;
 }
 
@@ -1654,58 +1763,6 @@ uint64_t naf_render_size(int32_t mode, uint64_t total_chars,
 
 static const uint64_t NAF_RENDER_FALLBACK = ~(uint64_t)0;
 
-struct MaskSpans {
-  std::vector<uint64_t> starts, ends;   // masked char spans, clipped
-};
-
-static void build_mask_spans(const uint8_t *units, uint64_t n_units,
-                             uint64_t total, MaskSpans &ms) {
-  bool on = false;
-  uint64_t pos = 0, i = 0;
-  while (i < n_units && pos < total) {
-    uint64_t run = 0;
-    while (i < n_units && units[i] == 255) { run += 255; i++; }
-    if (i < n_units) { run += units[i]; i++; }
-    uint64_t end = std::min(pos + run, total);
-    if (on && end > pos) { ms.starts.push_back(pos); ms.ends.push_back(end); }
-    pos += run;
-    if (i < n_units) on = !on;
-  }
-  if (on && pos < total) { ms.starts.push_back(pos); ms.ends.push_back(total); }
-}
-
-static void materialize_range(uint8_t *chars, const uint8_t *seq_data,
-                              uint64_t a, uint64_t b, bool packed, bool rna,
-                              bool upper, const MaskSpans &ms) {
-  // [a, b) with a even
-  if (packed) {
-    const uint16_t *lut = rna ? g_codes_to_nucs_rna : g_codes_to_nucs_dna;
-    uint64_t g = a;
-    for (; g + 1 < b; g += 2) {
-      uint16_t v = lut[seq_data[g >> 1]];
-      std::memcpy(chars + g, &v, 2);
-    }
-    if (g < b)
-      chars[g] = (uint8_t)((rna ? g_codes_to_nucs_rna : g_codes_to_nucs_dna)
-                           [seq_data[g >> 1]] & 0xFF);
-  } else {
-    std::memcpy(chars + a, seq_data + a, b - a);
-    if (upper)
-      for (uint64_t k = a; k < b; k++) {
-        uint8_t c = chars[k];
-        if (c >= 'a' && c <= 'z') chars[k] = c - 32;
-      }
-  }
-  // lowercase the masked spans overlapping [a, b)
-  if (!ms.starts.empty()) {
-    size_t lo = std::upper_bound(ms.ends.begin(), ms.ends.end(), a)
-                - ms.ends.begin();
-    for (size_t s = lo; s < ms.starts.size() && ms.starts[s] < b; s++) {
-      uint64_t x0 = std::max(ms.starts[s], a), x1 = std::min(ms.ends[s], b);
-      for (uint64_t k = x0; k < x1; k++) chars[k] += 32;
-    }
-  }
-}
 
 uint64_t naf_render_mt(int32_t mode,
                        const uint8_t *seq_data, uint64_t total_chars,
