@@ -321,11 +321,29 @@ class Decoder:
                 merged = (np.resize(merged, n) if merged.size
                           else np.zeros(n, np.uint64))
         mask_units = self._load_mask_units() if masking else None
-        total, raw = self._load_seq_raw()
         qual = None
-        if with_qual:
+        if with_qual and self._seq_raw is None:
+            # SEQ and QUAL are independent zstd frames; read both payloads
+            # (cheap, container order) and decompress them concurrently —
+            # zstd releases the GIL, so this rides two cores.
+            total, spayload = self.r.load_section("sequence")
+            self._total_seq_len = total
             qu, qpayload = self.r.load_section("quality")
-            qual = np.frombuffer(self._decode_payload(qpayload, qu), np.uint8)
+            expect = (total + 1) // 2 if self.is_nucleotide else total
+            from concurrent.futures import ThreadPoolExecutor
+
+            with trace_span("seq+qual-unzstd", bytes=expect + qu):
+                with ThreadPoolExecutor(2) as ex:
+                    f_seq = ex.submit(self._decode_payload, spayload, expect)
+                    f_qual = ex.submit(self._decode_payload, qpayload, qu)
+                    self._seq_raw = np.frombuffer(f_seq.result(), np.uint8)
+                    qual = np.frombuffer(f_qual.result(), np.uint8)
+            raw = self._seq_raw
+        else:
+            total, raw = self._load_seq_raw()
+            if with_qual:
+                qu, qpayload = self.r.load_section("quality")
+                qual = np.frombuffer(self._decode_payload(qpayload, qu), np.uint8)
         nuc = self.is_nucleotide
         do_upper = (not nuc) and (not self.opts.use_mask) and mode != native.MODE_FASTQ
         n_hdr = merged.size if merged is not None else 0
