@@ -91,7 +91,7 @@ def build_reference() -> bool:
     return True
 
 
-REPS = int(os.environ.get("NAF_BENCH_REPS", "7"))
+REPS = int(os.environ.get("NAF_BENCH_REPS", "15"))
 
 
 def _best(fn, reps=REPS):

@@ -351,3 +351,65 @@ def test_fastq_scan_mt_errors_match():
                         marker_pos=0, threads=threads)
         assert e.value.code == 14
         assert e.value.record == 40001
+
+
+# ---------------------------------------------------------------------------
+# Tiled render (exact-size path): edge semantics and tile-boundary crossing
+# ---------------------------------------------------------------------------
+
+def test_render_tiled_masked_roundtrip():
+    """Masked records spanning several 256 KB render tiles round-trip exactly."""
+    import io
+
+    from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    rng = np.random.default_rng(11)
+    recs = []
+    for i in range(3):
+        ln = 700_007  # > 2 tiles per record, odd (nibble parity)
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=ln)
+        for s in rng.integers(0, ln - 500, size=400):
+            seq[s:s + 500] |= 32  # soft-masked runs crossing tile edges
+        body = seq.tobytes()
+        wrapped = b"\n".join(body[j:j + 80] for j in range(0, ln, 80))
+        recs.append(b">rec%d tile crossing\n%s\n" % (i, wrapped))
+    data = b"".join(recs)
+    blob, _ = encode(data, EncodeOptions(level=1))
+    out = Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+    assert out == data
+
+
+@pytest.mark.parametrize("line_len", [0, 5, 70])
+def test_render_size_spill_and_clamp(line_len):
+    """naf_render's internal exact-size precomputation must survive the spill
+    (sum(lengths) < total) and clamp (sum(lengths) > total) quirks; render
+    asserts w == naf_render_size, so a mismatch raises."""
+    seq = np.frombuffer(b"ACGTACGTACGTACGTACGTA", np.uint8)  # 21 chars (odd)
+    packed, carry = pack_4bit(seq)
+    if carry is not None:
+        packed = np.concatenate([packed, [np.uint8(carry)]])
+    ids = b"a\0b\0c\0"
+    comments = b"x\0\0y\0"
+    for lengths in ([7, 7, 7], [5, 5, 5], [10, 10, 10], [0, 21, 0], [21, 0, 0]):
+        out = native.render(
+            native.MODE_FASTA, seq_data=packed, total_chars=21,
+            is_packed=True, is_rna=False, do_upper=False, mask_units=None,
+            lengths=np.asarray(lengths, np.uint64), ids_blob=ids,
+            comments_blob=comments, qual=None, name_sep=32,
+            line_len=line_len, out_capacity=4096)
+        assert isinstance(out, bytes) and out.count(b">") == 3
+
+
+def test_render_size_fastq_short_quality():
+    seq = np.frombuffer(b"ACGTACGT", np.uint8)
+    packed, carry = pack_4bit(seq)
+    assert carry is None
+    out = native.render(
+        native.MODE_FASTQ, seq_data=packed, total_chars=8,
+        is_packed=True, is_rna=False, do_upper=False, mask_units=None,
+        lengths=np.asarray([4, 4], np.uint64), ids_blob=b"r1\0r2\0",
+        comments_blob=b"\0\0", qual=np.frombuffer(b"IIIII", np.uint8),
+        name_sep=32, line_len=0, out_capacity=4096)
+    # quality exhausted after 5 chars: second record's qual line is short
+    assert out == b"@r1\nACGT\n+\nIIII\n@r2\nACGT\n+\nI\n"
