@@ -333,10 +333,14 @@ def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
             lib.naf_render(mode, *head, None, cptr)
         return counts
 
-    if mode != MODE_SEQ and (n_rec == 0 or lengths is not None):
-        # exact-size path: render straight into the final bytes object
-        # (MODE_SEQ is excluded — its paired u16 stores may touch one byte
-        # past the stream and need the slack buffer below)
+    if mode != MODE_SEQ:
+        # exact-size path: render straight into the final bytes object.
+        # MODE_SEQ is excluded — its paired u16 stores may touch one byte
+        # past the stream and need the slack buffer below.  naf_render_size
+        # mirrors naf_render's emission replay for every mode including
+        # lengths==NULL, so the size is exact by construction; the check
+        # below is a hard error (not an assert) so `python -O` can't turn a
+        # divergence into silent heap corruption.
         exact = lib.naf_render_size(
             mode, ct.c_uint64(total_chars), _ptr(lengths), n_rec,
             _ptr(ids_a), 0 if ids_a is None else ids_a.size,
@@ -348,7 +352,9 @@ def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
             w = lib.naf_render_mt(mode, *head, threads, optr, None)
         if w == _FALLBACK:
             w = lib.naf_render(mode, *head, optr, None)
-        assert w == exact, ("native render size mismatch", w, exact)
+        if w != exact:
+            raise RuntimeError(
+                f"native render size mismatch: wrote {w}, sized {exact}")
         return buf
 
     out = np.empty(out_capacity, np.uint8)
@@ -358,7 +364,8 @@ def render(mode: int, *, seq_data: np.ndarray, total_chars: int,
         w = lib.naf_render_mt(mode, *head, threads, optr, None)
     if w == _FALLBACK:
         w = lib.naf_render(mode, *head, optr, None)
-    assert w <= out_capacity, "native render overflowed its buffer"
+    if w > out_capacity:
+        raise RuntimeError("native render overflowed its buffer")
     return out[:w].tobytes()
 
 

@@ -1369,14 +1369,17 @@ static void build_mask_spans(const uint8_t *units, uint64_t n_units,
   if (on && pos < total) { ms.starts.push_back(pos); ms.ends.push_back(total); }
 }
 
-static void materialize_range(uint8_t *chars, const uint8_t *seq_data,
-                              uint64_t a, uint64_t b, bool packed, bool rna,
+static void materialize_range(uint8_t *buf, const uint8_t *seq_data,
+                              uint64_t base, uint64_t a, uint64_t b,
+                              bool packed, bool rna,
                               bool upper, const MaskSpans &ms) {
-  // [a, b) with a even
+  // decode stream chars [a, b) (a even) into buf[a - base ...]; `base` is
+  // the stream offset of buf[0], so no pointer ever leaves the allocation
+  // (a full-array caller passes base = 0, the tiled caller base = t_base)
   if (packed) {
     const uint16_t *lut = rna ? g_codes_to_nucs_rna : g_codes_to_nucs_dna;
     const uint8_t *src = seq_data + (a >> 1);
-    uint8_t *dst = chars + a;
+    uint8_t *dst = buf + (a - base);
     uint64_t n_pairs = (b - a) / 2;
     uint64_t i = 0;
 #ifdef __AVX2__
@@ -1406,13 +1409,13 @@ static void materialize_range(uint8_t *chars, const uint8_t *seq_data,
       std::memcpy(dst + 2 * i, &v, 2);
     }
     if (a + 2 * n_pairs < b)
-      chars[b - 1] = (uint8_t)(lut[src[n_pairs]] & 0xFF);
+      buf[b - 1 - base] = (uint8_t)(lut[src[n_pairs]] & 0xFF);
   } else {
-    std::memcpy(chars + a, seq_data + a, b - a);
+    std::memcpy(buf + (a - base), seq_data + a, b - a);
     if (upper)
-      for (uint64_t k = a; k < b; k++) {
-        uint8_t c = chars[k];
-        if (c >= 'a' && c <= 'z') chars[k] = c - 32;
+      for (uint64_t k = a - base; k < b - base; k++) {
+        uint8_t c = buf[k];
+        if (c >= 'a' && c <= 'z') buf[k] = c - 32;
       }
   }
   // lowercase the masked spans overlapping [a, b)
@@ -1421,7 +1424,7 @@ static void materialize_range(uint8_t *chars, const uint8_t *seq_data,
                 - ms.ends.begin();
     for (size_t s = lo; s < ms.starts.size() && ms.starts[s] < b; s++) {
       uint64_t x0 = std::max(ms.starts[s], a), x1 = std::min(ms.ends[s], b);
-      for (uint64_t k = x0; k < x1; k++) chars[k] += 32;
+      for (uint64_t k = x0 - base; k < x1 - base; k++) buf[k] += 32;
     }
   }
 }
@@ -1547,7 +1550,7 @@ uint64_t naf_render(int32_t mode,
     if (p >= t_base && p < t_end) return;
     t_base = p & ~(TILE - 1);
     t_end = std::min(t_base + TILE, total_chars);
-    materialize_range(tile - t_base, seq_data, t_base, t_end,
+    materialize_range(tile, seq_data, t_base, t_base, t_end,
                       is_packed != 0, is_rna != 0, do_upper != 0, ms);
   };
 
@@ -1796,7 +1799,7 @@ uint64_t naf_render_mt(int32_t mode,
       uint64_t a = std::min((uint64_t)t * step, total_chars);
       uint64_t b = std::min(a + step, total_chars);
       if (a >= b) break;
-      th.emplace_back(materialize_range, chars, seq_data, a, b,
+      th.emplace_back(materialize_range, chars, seq_data, (uint64_t)0, a, b,
                       is_packed != 0, is_rna != 0, do_upper != 0,
                       std::cref(ms));
     }

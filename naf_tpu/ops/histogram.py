@@ -17,8 +17,27 @@ jnp = LazyModule("jax.numpy")
 
 @lazy_jit
 def charcount_jnp(data: jnp.ndarray) -> jnp.ndarray:
-    """u8[N] -> u64-ish counts[256] (int64 on device where enabled, else int32)."""
+    """u8[N] -> i32 counts[256] for ONE chunk (N must be < 2**31).
+
+    Device scatter-adds are 32-bit; unbounded streams go through
+    ``charcount_device`` which accumulates chunk histograms in u64 on host.
+    """
     return jnp.zeros(256, dtype=jnp.int32).at[data.astype(jnp.int32)].add(1)
+
+
+#: chunk bound for 32-bit device histograms: a single chunk can add at most
+#: 2**30 to one bin, so the i32 bins cannot wrap.
+_HIST_CHUNK = 1 << 30
+
+
+def charcount_device(data: np.ndarray) -> np.ndarray:
+    """u8[N] (any N) -> u64 counts[256]; device per-chunk, u64 host merge."""
+    total = np.zeros(256, np.uint64)
+    for off in range(0, max(data.size, 1), _HIST_CHUNK):
+        chunk = data[off:off + _HIST_CHUNK]
+        if chunk.size:
+            total += np.asarray(charcount_jnp(jnp.asarray(chunk))).astype(np.uint64)
+    return total
 
 
 def charcount_np(data: np.ndarray) -> np.ndarray:
