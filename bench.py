@@ -125,6 +125,49 @@ def _best_interleaved(fns, reps=REPS):
     return bests, results
 
 
+def bench_device_kernels() -> dict:
+    """On-chip compiled Pallas kernel throughput (empty when no TPU).
+
+    Data stays device-resident (the sharded pipeline's regime); steady-state
+    best-of-N with block_until_ready.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+    except Exception:
+        return {}
+    if jax.default_backend() != "tpu":
+        return {}
+    from naf_tpu.ops.pack import pack_4bit_pallas
+    from naf_tpu.ops.unpack import unpack_4bit_pallas
+
+    rng = np.random.default_rng(0)
+    n = 1 << 26                       # 64 MB on device
+    seq = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8), size=n)
+    x = jnp.asarray(seq)
+    packed = pack_4bit_pallas(x)
+    packed.block_until_ready()        # compile (persistent-cached)
+
+    def t_best(fn, reps=10):
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn().block_until_ready()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    tp = t_best(lambda: pack_4bit_pallas(x))
+    up = unpack_4bit_pallas(packed)
+    up.block_until_ready()
+    tu = t_best(lambda: unpack_4bit_pallas(packed))
+    return {
+        "device_pack_GBps": round(n / tp / 1e9, 2),
+        "device_unpack_GBps": round(n / tu / 1e9, 2),
+        "device": str(jax.devices()[0]),
+    }
+
+
 def main() -> None:
     from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
     from naf_tpu.pipeline.encoder import EncodeOptions
@@ -213,12 +256,15 @@ def main() -> None:
         t_d, out = _best(decompress)
         ours = mb / (t_c + t_d)
 
-    print(json.dumps({
+    line = {
         "metric": "fasta_roundtrip_MBps",
         "value": round(ours, 2),
         "unit": "MB/s",
         "vs_baseline": round(vs, 3),
-    }))
+    }
+    if not os.environ.get("NAF_BENCH_NO_DEVICE"):
+        line.update(bench_device_kernels())
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

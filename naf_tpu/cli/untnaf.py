@@ -59,6 +59,8 @@ Options for selecting output type:
   --range A:B     - FASTA records [A, B) only (tnaf extension; random
                     access on extended-format archives)
 Other options:
+  --device        - Render FASTA/FASTQ on the attached device mesh (tnaf
+                    extension; sharded gather render, same bytes)
   -o FILE         - Decompress into FILE
   -c              - Write to standard output
   --line-length N - Use lines of width N for FASTA output
@@ -91,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
     force_stdout = False
     print_version = False
     use_mask = True
+    use_device = False
     line_length: int | None = None
 
     def set_out_type(t: int) -> None:
@@ -134,6 +137,10 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 if a == "--no-mask":
                     use_mask = False
+                    i += 1
+                    continue
+                if a == "--device":
+                    use_device = True
                     i += 1
                     continue
                 if a in ("--binary-stdout", "--binary-stderr", "--binary"):
@@ -231,9 +238,19 @@ def main(argv: list[str] | None = None) -> int:
     global _RANGE_ARG
     _RANGE_ARG = rng_arg
     try:
-        streamed = _maybe_stream(dec, out_type, out_f)
-        if not streamed:
-            out_f.write(_render(dec, out_type))
+        if use_device and out_type in (FASTA, MASKED_FASTA, UNMASKED_FASTA,
+                                       FASTQ):
+            dec.r.read_counters()
+            dec.r.skip_section("title")
+            if out_type == FASTQ:
+                out_f.write(dec.fastq_device())
+            else:
+                out_f.write(dec.fasta_device(
+                    masking=None if out_type != UNMASKED_FASTA else False))
+        else:
+            streamed = _maybe_stream(dec, out_type, out_f)
+            if not streamed:
+                out_f.write(_render(dec, out_type))
     except (NafFormatError, VleError, DecodeError, ValueError) as e:
         _die(str(e))
 

@@ -650,6 +650,79 @@ class Decoder:
         pieces.append(extra[pos:].tobytes())
         return b"".join(pieces)
 
+    # ---- device-sharded outputs -------------------------------------------
+
+    def fasta_device(self, masking: Optional[bool] = None, *, mesh=None,
+                     out_batch: int = 0) -> bytes:
+        """FASTA render over a device mesh (parallel/decode.py).
+
+        Byte-identical to ``fasta()``; archives with spill quirks
+        (stream chars beyond sum(lengths)) or resized length tables fall
+        back to the host renderer.  Reference counterpart: the decode hot
+        loop unnaf/src/output.c:433-512 and print_fasta output.c:608-674.
+        """
+        if not self.h.has_sequence:
+            return b""
+        masking = self.masking if masking is None else masking
+        n = self.r.n_sequences
+        line_len = self.r.line_length
+        if self.opts.line_length is not None:
+            line_len = self.opts.line_length
+        ids, com, merged, spans, _, _ = self._batch_metadata(masking)
+        total, raw = self._load_seq_raw()
+        if int(merged.astype(np.int64).sum()) != total or n == 0:
+            return self.fasta(masking)
+        from ..parallel import decode as DV
+
+        plan = DV.build_plan(
+            mode=DV.MODE_FASTA, line_len=line_len,
+            rna=self.h.seq_type == C.SEQ_TYPE_RNA,
+            packed=self.is_nucleotide,
+            upper=(not self.is_nucleotide) and (not self.opts.use_mask),
+            slens=merged,
+            ids_blob=ids.tobytes() if ids is not None else None,
+            comments_blob=com.tobytes() if com is not None else None,
+            name_sep=self.h.name_separator.encode(), mask_spans=spans)
+        return DV.render_sharded(plan, raw, None, mesh=self._mesh(mesh),
+                                 out_batch=out_batch)
+
+    def fastq_device(self, *, mesh=None, out_batch: int = 0) -> bytes:
+        """FASTQ render over a device mesh; byte-identical to ``fastq()``.
+
+        Reference counterpart: print_fastq output-fastq.c:100-149 (the mask
+        is never applied — unnaf.c:443).
+        """
+        if not self.h.has_sequence or self.r.n_sequences == 0:
+            return b""
+        if not self.h.has_quality:
+            raise DecodeError("FASTQ output requested, but input has no qualities")
+        n = self.r.n_sequences
+        ids, com, merged, _, _, _ = self._batch_metadata(False)
+        total, raw = self._load_seq_raw()
+        if int(merged.astype(np.int64).sum()) != total or merged.size != n:
+            return self.fastq()
+        qu, qpayload = self.r.load_section("quality")
+        qual = np.frombuffer(self._decode_payload(qpayload, qu), np.uint8)
+        from ..parallel import decode as DV
+
+        plan = DV.build_plan(
+            mode=DV.MODE_FASTQ, line_len=0,
+            rna=self.h.seq_type == C.SEQ_TYPE_RNA,
+            packed=self.is_nucleotide, upper=False, slens=merged,
+            ids_blob=ids.tobytes() if ids is not None else None,
+            comments_blob=com.tobytes() if com is not None else None,
+            name_sep=self.h.name_separator.encode(), mask_spans=None)
+        return DV.render_sharded(plan, raw, qual, mesh=self._mesh(mesh),
+                                 out_batch=out_batch)
+
+    @staticmethod
+    def _mesh(mesh):
+        if mesh is not None:
+            return mesh
+        from ..parallel.mesh import block_mesh
+
+        return block_mesh()
+
     # ---- streaming (bounded-memory) outputs -------------------------------
 
     def _batch_metadata(self, masking: bool):

@@ -1,0 +1,104 @@
+"""Real-chip kernel proof: compiled (non-interpret) Pallas on the TPU.
+
+These tests run only when a TPU backend is attached AND the suite was
+launched with NAF_TPU_REAL_DEVICE=1 (conftest forces CPU otherwise).  They
+make Mosaic compile failures visible: every other Pallas test runs in
+interpret mode or on CPU XLA.
+
+    NAF_TPU_REAL_DEVICE=1 python -m pytest tests/test_real_tpu.py -v
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("NAF_TPU_REAL_DEVICE"),
+    reason="real-device tests need NAF_TPU_REAL_DEVICE=1",
+)
+
+
+@pytest.fixture(scope="module")
+def tpu():
+    import jax
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("no TPU backend attached")
+    return jax
+
+
+def test_pack_kernel_compiled_on_tpu(tpu):
+    import jax.numpy as jnp
+
+    from naf_tpu.format import constants as C
+    from naf_tpu.ops.pack import pack_4bit_pallas
+
+    rng = np.random.default_rng(0)
+    n = 1 << 16
+    seq = rng.choice(np.frombuffer(b"ACGTacgtNnRYKM-", np.uint8), size=n)
+    out = np.asarray(pack_4bit_pallas(jnp.asarray(seq)))   # interpret=False
+    codes = C.NUC_CODE[:256][seq]
+    expect = codes[0::2] | (codes[1::2] << 4)
+    assert out.tobytes() == expect.tobytes()
+
+
+def test_unpack_kernel_compiled_on_tpu(tpu):
+    import jax.numpy as jnp
+
+    from naf_tpu.format import constants as C
+    from naf_tpu.ops.unpack import unpack_4bit_pallas
+
+    rng = np.random.default_rng(1)
+    m = 1 << 15
+    packed = rng.integers(0, 256, size=m, dtype=np.uint8)
+    for rna in (False, True):
+        out = np.asarray(unpack_4bit_pallas(jnp.asarray(packed), rna=rna))
+        lut = C.CODES_TO_NUCS_RNA if rna else C.CODES_TO_NUCS_DNA
+        assert out.tobytes() == lut[packed].reshape(-1).tobytes()
+
+
+def test_scan_block_compiled_on_tpu(tpu):
+    """The whole device encode scan jits and runs on the chip."""
+    import jax.numpy as jnp
+
+    from naf_tpu.format import constants as C
+    from naf_tpu.ops import scan as S
+    from naf_tpu.pipeline import parser as P_
+
+    rng = np.random.default_rng(2)
+    rows = []
+    for i in range(16):
+        rows.append(b">r%d c\n" % i)
+        seq = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8),
+                         size=int(rng.integers(50, 300)))
+        rows.append(seq.tobytes() + b"\n")
+    data = b"".join(rows)
+    body = np.frombuffer(data, np.uint8)[1:]
+    s = S.scan_fasta_block(jnp.asarray(body), jnp.asarray(np.uint8(ord(">"))))
+    host = P_.parse_fasta(data, C.SEQ_TYPE_DNA)
+    stream = np.asarray(s["stream_val"])[np.asarray(s["stream_keep"])]
+    assert stream.tobytes() == host.seq.tobytes()
+
+
+def test_device_decode_on_tpu(tpu):
+    """Sharded gather-render runs on the real chip (1-device mesh)."""
+    import io
+
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(20):
+        rows.append(b">rec%d note\n" % i)
+        seq = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8),
+                         size=int(rng.integers(10, 400)))
+        rows.append(seq.tobytes() + b"\n")
+    data = b"".join(rows)
+    blob, _ = encode(data, EncodeOptions(level=1))
+    host = Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+    dev = Decoder(io.BytesIO(blob), DecodeOptions()).fasta_device(
+        mesh=block_mesh(1))
+    assert dev == host
