@@ -168,7 +168,51 @@ def bench_device_kernels() -> dict:
     }
 
 
+def scaling_mode() -> None:
+    """1->N virtual-device scaling of the sharded encode (BASELINE north
+    star).  Run as: NAF_BENCH_SCALING=1 python bench.py
+
+    Prints one JSON line per mesh size with the device-pass throughput and
+    scaling efficiency vs 1 device.  On this 2-core host the virtual CPU
+    mesh measures the pipeline's balance/overhead, not real chip scaling —
+    wall clock saturates at the core count.
+    """
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " --xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.parallel.pipeline import encode_sharded
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    data = gen_fasta(int(os.environ.get("NAF_BENCH_SCALING_MB", "32")))
+    mb = len(data) / (1 << 20)
+    opts = EncodeOptions(level=1)
+    host_blob, _ = encode(data, opts)
+    base = None
+    for D in (1, 2, 4, 8):
+        mesh = block_mesh(D)
+        blob, _ = encode_sharded(data, opts, mesh=mesh)   # warm-up/compile
+        assert blob == host_blob, "sharded archive != host archive"
+        t, _ = _best(lambda: encode_sharded(data, opts, mesh=mesh), reps=5)
+        mbps = mb / t
+        if base is None:
+            base = mbps
+        print(json.dumps({
+            "metric": "sharded_encode_MBps", "devices": D,
+            "value": round(mbps, 2), "unit": "MB/s",
+            "scaling_vs_1dev": round(mbps / base / D, 3),
+            "note": "virtual CPU mesh on 2 cores",
+        }))
+
+
 def main() -> None:
+    if os.environ.get("NAF_BENCH_SCALING"):
+        scaling_mode()
+        return
     from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
     from naf_tpu.pipeline.encoder import EncodeOptions
 

@@ -20,6 +20,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..utils.jaxenv import setup_jax
+
+setup_jax()   # persistent compile cache (remote TPU compiles are expensive)
+
 from ..format import constants as C
 from . import tables as T
 
@@ -28,11 +32,15 @@ _GT = ord(">")
 
 @functools.partial(jax.jit, static_argnames=("seq_type",))
 def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
-                     seq_type: int = C.SEQ_TYPE_DNA) -> dict:
+                     seq_type: int = C.SEQ_TYPE_DNA,
+                     starts_in_seq=False) -> dict:
     """Classify every byte of a FASTA block (bytes after any leading '>').
 
     block: u8[B]; prev_byte: u8[] — the byte preceding the block ('>' for the
     very first block, since scan starts right after the first marker).
+    starts_in_seq: traced bool — bytes before the block's first '>' marker
+    are sequence data (the block was cut at a line boundary inside a record,
+    the sequence-parallel case) instead of record-0 header bytes.
 
     Returns per-byte arrays (all length B):
       rec_start  bool  — '>' markers starting a new record
@@ -85,6 +93,12 @@ def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     in_id = (pos >= m1) & (pos < id_end)
     in_comment = (pos > id_end) & (pos < header_end) & (id_end < header_end)
     in_seq = pos > header_end
+    # sequence-parallel cut: bytes before the first in-block marker belong to
+    # the previous block's open record's sequence, not to a record-0 header
+    pre = (rec_marker < 0) & jnp.asarray(starts_in_seq)
+    in_id = in_id & ~pre
+    in_comment = in_comment & ~pre
+    in_seq = in_seq | pre
     region = jnp.where(in_id, 1, jnp.where(in_comment, 2, jnp.where(in_seq, 3, 0)))
     region = jnp.where(rec_start, 0, region)
 
@@ -128,9 +142,115 @@ def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
         id_unex=id_unex,
         com_keep=com_keep,
         com_unex=com_unex,
+        com_val=jnp.where(com_unex, jnp.uint8(C.REPLACEMENT_NAME), b),
         hist_id=hist(id_unex),
         hist_comment=hist(com_unex),
         hist_seq=hist(seq_unex),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("seq_type",))
+def scan_fastq_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
+                     seq_type: int = C.SEQ_TYPE_DNA) -> dict:
+    """Classify every byte of a regular-grid FASTQ block.
+
+    Preconditions (validated by the host reader, parallel/block.py
+    make_blocks_fastq): LF-only line ends, non-empty lines, strict 4-line
+    records ('@header', seq, '+', qual), blocks cut at record starts, '\\n'
+    padding.  block: u8[B]; prev_byte: u8[] ('@' for the very first block —
+    its record-0 header starts at byte 0 with the marker stripped; an EOL
+    otherwise).
+
+    Parity target: the robust FASTQ parser (ennaf/src/process.c:477-544 and
+    pipeline/parser.py _parse_fastq_lines): id to first space-class byte,
+    comment to EOL, spaces dropped from seq/qual, unexpected chars replaced
+    (seq by type table, qual by '!'), the FIRST byte of each quality line
+    kept verbatim, unexpected id chars inject '?' into the sequence stream.
+    """
+    B = block.shape[0]
+    b = block
+    is_eol = b == jnp.uint8(ord("\n"))
+    is_space = jnp.asarray(T.IS_SPACE)[b.astype(jnp.int32)]
+
+    prev_is_eol = jnp.concatenate(
+        [jnp.asarray(T.IS_EOL)[prev_byte.astype(jnp.int32)].reshape(1),
+         is_eol[:-1]]
+    )
+    # byte's own line index (EOL byte belongs to the line it terminates)
+    line_id = jnp.cumsum(is_eol.astype(jnp.int32)) - is_eol.astype(jnp.int32)
+    lane = line_id % 4          # 0 header, 1 seq, 2 '+', 3 qual
+
+    rec_start = (b == jnp.uint8(ord("@"))) & prev_is_eol & (lane == 0)
+
+    pos = jnp.arange(B, dtype=jnp.int32)
+    marker_pos = jnp.where(rec_start, pos, -1)
+    rec_marker = jax.lax.associative_scan(jnp.maximum, marker_pos)
+
+    eolpos = jnp.where(is_eol, pos, B)
+    next_eol_incl = jax.lax.associative_scan(jnp.minimum, eolpos, reverse=True)
+    sppos = jnp.where(is_space, pos, B)
+    next_space_incl = jax.lax.associative_scan(jnp.minimum, sppos, reverse=True)
+
+    def at_or_b(arr, idx):
+        safe = jnp.minimum(idx, B - 1)
+        return jnp.where(idx >= B, B, arr[safe])
+
+    m1 = jnp.clip(rec_marker + 1, 0, B)
+    header_end = at_or_b(next_eol_incl, m1)
+    id_end = at_or_b(next_space_incl, m1)
+
+    in_hdr = (lane == 0) & ~rec_start & ~is_eol
+    in_id = in_hdr & (pos >= m1) & (pos < id_end)
+    in_comment = in_hdr & (pos > id_end) & (pos < header_end) & (id_end < header_end)
+
+    unex_text = jnp.asarray(T.IS_UNEXPECTED_TEXT)[b.astype(jnp.int32)]
+    unex_com = jnp.asarray(T.IS_UNEXPECTED_COMMENT)[b.astype(jnp.int32)]
+    unex_seq_b = jnp.asarray(T.UNEXPECTED_BY_TYPE[seq_type])[b.astype(jnp.int32)]
+    unex_qual_b = jnp.asarray(T.IS_UNEXPECTED_QUAL)[b.astype(jnp.int32)]
+
+    id_unex = in_id & unex_text
+    id_keep = in_id & ~unex_text
+    com_unex = in_comment & unex_com
+    com_keep = in_comment
+
+    in_seq = (lane == 1) & ~is_eol
+    seq_keep = in_seq & ~is_space
+    seq_unex = seq_keep & unex_seq_b
+    repl = jnp.uint8(C.REPLACEMENT_SEQ[seq_type])
+    seq_val = jnp.where(seq_unex, repl, b)
+
+    qual_first = (lane == 3) & prev_is_eol & ~is_eol
+    qual_rest = (lane == 3) & ~is_eol & ~qual_first
+    qual_unex = qual_rest & ~is_space & unex_qual_b
+    qual_keep = (qual_rest & ~is_space) | qual_first
+    qual_val = jnp.where(qual_unex, jnp.uint8(C.REPLACEMENT_QUAL), b)
+
+    stream_keep = seq_keep | id_unex
+    stream_val = jnp.where(id_unex, jnp.uint8(C.REPLACEMENT_NAME), seq_val)
+
+    def hist(mask):
+        return jnp.zeros(256, jnp.int32).at[
+            jnp.where(mask, b.astype(jnp.int32), 256)
+        ].add(1, mode="drop")
+
+    return dict(
+        rec_start=rec_start,
+        stream_keep=stream_keep,
+        stream_val=stream_val,
+        seq_keep=seq_keep,
+        is_eol=is_eol,
+        id_keep=id_keep,
+        id_unex=id_unex,
+        com_keep=com_keep,
+        com_unex=com_unex,
+        com_val=jnp.where(com_unex, jnp.uint8(C.REPLACEMENT_NAME), b),
+        qual_keep=qual_keep,
+        qual_unex=qual_unex,
+        qual_val=qual_val,
+        hist_id=hist(id_unex),
+        hist_comment=hist(com_unex),
+        hist_seq=hist(seq_unex),
+        hist_qual=hist(qual_unex),
     )
 
 

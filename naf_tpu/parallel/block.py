@@ -1,23 +1,29 @@
-"""Block-parallel encode step over a device mesh (shard_map).
+"""Block-parallel encode over a device mesh (shard_map) — pod-shaped.
 
 The distributed design (greenfield — the reference is single-threaded;
-SURVEY.md §2.4):
+SURVEY.md §2.4).  Two passes over record/line-aligned byte blocks sharded
+on the mesh's ``blocks`` axis:
 
-  * the host reader splits the input byte stream into fixed-size blocks
-    aligned to record starts ('>' markers), sharded over the mesh's
-    `blocks` axis;
-  * every device scans its block (ops.scan), compacts the sequence stream,
-    and 4-bit packs it — all local VPU work, no communication;
-  * the only cross-device traffic is O(1) per block: an `all_gather` of
-    per-block char counts (to compute nibble-parity offsets) and `psum`s of
-    the unexpected-char histograms and line-length max — these ride ICI;
-  * the packed payloads return to host sharded; the host stitches boundary
-    nibbles (one OR per block edge) and streams them into the zstd section
-    writer.
+  pass 1 (stats): every device scans its block (ops.scan) and returns only
+    O(1) scalars — stream char count, id/comment/qual byte counts, record
+    and mask-run counts — plus the cross-block reductions that ride ICI:
+    an ``all_gather`` of char counts (nibble-parity prefix), ``psum`` of the
+    four unexpected-char histograms (split into u32 hi/lo halves so u64
+    totals cannot wrap), and ``pmax`` of the longest line.
 
-The same step serves sequence parallelism: a single giant record spanning
-all blocks works because the carry state (parity nibble, mask runs) is
-associative across block boundaries.
+  pass 2 (emit): with output capacities sized from pass-1 maxima (bucketed
+    to powers of two to bound recompiles), every device re-scans and emits
+    *compacted* payloads: 4-bit packed sequence, id/comment byte streams,
+    per-record length vectors, mask-run lengths, and (FASTQ) the quality
+    stream.  Device->host traffic is ~the section payload bytes — nothing
+    per-input-byte ever returns to the host (the v1 design shipped [D, B]
+    region/rec_start/is_lower arrays back and re-classified on host).
+
+The host then stitches O(records + runs + blocks) carry state: nibble
+parity at block edges, first/last mask-run merges, open-record length
+accumulation.  Blocks are cut at line starts, so a single giant record
+(chr1) shards across all devices — the sequence-parallel case — and
+headers/lines never straddle blocks.
 """
 
 from __future__ import annotations
@@ -35,146 +41,241 @@ from ..format import constants as C
 from ..ops import scan as S
 from .mesh import BLOCK_AXIS
 
+_GT = ord(">")
+_AT = ord("@")
+_LF = ord("\n")
 
-def _device_block_fn(block, prev_byte, *, seq_type: int):
-    """Per-device work: scan + compact + pack one block. Runs inside shard_map.
 
-    block: u8[1, B] (this device's slice), prev_byte: u8[1].
+def _bucket(n: int, align: int = 16) -> int:
+    m = align
+    while m < n:
+        m *= 2
+    return m
+
+
+# ---------------------------------------------------------------------------
+# shared per-device scan + compaction
+# ---------------------------------------------------------------------------
+
+def _segment_sum(mask, rec_id, r_cap: int):
+    """i32[r_cap]: count of set mask bits per record segment."""
+    return jnp.zeros(r_cap, jnp.int32).at[
+        jnp.where(mask, rec_id, r_cap)
+    ].add(1, mode="drop")
+
+
+def _fit(arr, cap: int):
+    """Pad-or-slice a 1-D array to exactly `cap` elements (static shapes)."""
+    n = arr.shape[0]
+    if n >= cap:
+        return arr[:cap]
+    return jnp.concatenate([arr, jnp.zeros(cap - n, arr.dtype)])
+
+
+def _run_stats(lower, count):
+    """(first_lower bool, n_runs i32) of the compacted case vector."""
+    B = lower.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    valid = idx < count
+    prev = jnp.concatenate([lower[:1], lower[:-1]])
+    change = valid & (idx > 0) & (lower != prev)
+    n_changes = jnp.sum(change.astype(jnp.int32))
+    n_runs = jnp.where(count > 0, n_changes + 1, 0)
+    return lower[0] & (count > 0), n_runs
+
+
+def _run_lengths(lower, count, m_cap: int):
+    """i32[m_cap] run lengths of the compacted case vector."""
+    B = lower.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    valid = idx < count
+    prev = jnp.concatenate([lower[:1], lower[:-1]])
+    change = valid & (idx > 0) & (lower != prev)
+    pos_c, n_changes = S.compact(change, idx)
+    # boundaries: [0, change_0, ..., change_{k-1}, count]
+    bounds = jnp.zeros(m_cap + 1, jnp.int32)
+    j = jnp.arange(m_cap, dtype=jnp.int32)
+    bounds = bounds.at[jnp.where(j < n_changes, j + 1, m_cap + 1)].set(
+        _fit(pos_c, m_cap), mode="drop")        # OOB index -> dropped
+    bounds = bounds.at[n_changes + 1].set(count, mode="drop")
+    lens = bounds[1:] - bounds[:-1]
+    n_runs = jnp.where(count > 0, n_changes + 1, 0)
+    return jnp.where(j < n_runs, lens, 0)
+
+
+def _scan_block(b, prev_byte, starts_in_seq, *, seq_type: int, fastq: bool):
+    """Per-byte classification shared by both passes.
+
+    Returns the dict from ops.scan plus 'qual_keep'/'qual_val'/'qual_unex'
+    (zeros for FASTA) and 'rec_id'.
     """
-    b = block[0]
-    s = S.scan_fasta_block(b, prev_byte[0], seq_type=seq_type)
-    seq, count = S.compact(s["stream_keep"], s["stream_val"])
+    if fastq:
+        s = S.scan_fastq_block(b, prev_byte, seq_type=seq_type)
+    else:
+        s = S.scan_fasta_block(b, prev_byte, seq_type=seq_type,
+                               starts_in_seq=starts_in_seq)
+        z = jnp.zeros(b.shape[0], bool)
+        s = dict(s, qual_keep=z, qual_unex=z, qual_val=b,
+                 hist_qual=jnp.zeros(256, jnp.int32))
+    return s
 
-    # nibble-parity alignment: this block's first char pairs with the last
-    # char of the previous blocks iff the prefix char count is odd
+
+def _hist_split(h):
+    """i32[256] -> (lo, hi) u32 halves so psum over many blocks can't wrap."""
+    hu = h.astype(jnp.uint32)
+    return hu & 0xFFFF, hu >> 16
+
+
+# ---------------------------------------------------------------------------
+# pass 1: stats
+# ---------------------------------------------------------------------------
+
+def _stats_fn(block, prev_byte, sis, *, seq_type: int, fastq: bool):
+    b = block[0]
+    s = _scan_block(b, prev_byte[0], sis[0], seq_type=seq_type, fastq=fastq)
+    count = jnp.sum(s["stream_keep"].astype(jnp.int32))
+
     counts = jax.lax.all_gather(count, BLOCK_AXIS)              # i32[D]
     my = jax.lax.axis_index(BLOCK_AXIS)
     prefix = jnp.sum(jnp.where(jnp.arange(counts.shape[0]) < my, counts, 0))
     odd = (prefix % 2) == 1
-    # when odd, pack chars[1:] and emit chars[0]'s code separately
-    shifted = jnp.where(odd, jnp.roll(seq, -1), seq)
-    packed = S.pack_even(shifted)
-    first_code = jnp.take(jnp.take(S.T.NUC_CODE, seq.astype(jnp.int32)), 0)
 
-    is_lower = (seq >= 96) & (jnp.arange(seq.shape[0]) < count)
+    seq_c, cnt = S.compact(s["stream_keep"], s["stream_val"])
+    lower = (seq_c >= 96) & (jnp.arange(seq_c.shape[0]) < cnt)
+    first_lower, n_runs = _run_stats(lower, cnt)
 
-    hist_seq = jax.lax.psum(s["hist_seq"], BLOCK_AXIS)
-    hist_id = jax.lax.psum(s["hist_id"], BLOCK_AXIS)
-    hist_comment = jax.lax.psum(s["hist_comment"], BLOCK_AXIS)
-    longest = jax.lax.pmax(
-        S.longest_line_block(s["seq_keep"], s["is_eol"]), BLOCK_AXIS
-    )
+    id_bytes = jnp.sum(s["id_keep"].astype(jnp.int32))
+    com_bytes = jnp.sum(s["com_keep"].astype(jnp.int32))
+    qual_bytes = jnp.sum(s["qual_keep"].astype(jnp.int32))
+    n_rec = jnp.sum(s["rec_start"].astype(jnp.int32))
 
-    n_rec = jax.lax.psum(jnp.sum(s["rec_start"].astype(jnp.int32)), BLOCK_AXIS)
+    if fastq:
+        # FASTQ "longest line" is the max read length — derived on host
+        # from the stitched per-record lengths (records never span blocks)
+        longest = jnp.int32(0)
+    else:
+        longest = jax.lax.pmax(
+            S.longest_line_block(s["seq_keep"], s["is_eol"]), BLOCK_AXIS)
 
-    return (
-        packed[None], count[None], first_code[None], odd[None],
-        is_lower[None], s["region"][None].astype(jnp.uint8),
-        s["rec_start"][None],
-        hist_seq[None], hist_id[None], hist_comment[None],
-        longest[None], n_rec[None],
-    )
+    hists = []
+    for key in ("hist_id", "hist_comment", "hist_seq", "hist_qual"):
+        lo, hi = _hist_split(s[key])
+        hists.append(jax.lax.psum(lo, BLOCK_AXIS))
+        hists.append(jax.lax.psum(hi, BLOCK_AXIS))
+
+    out = (count[None], odd[None], id_bytes[None], com_bytes[None],
+           qual_bytes[None], n_rec[None], n_runs[None], first_lower[None],
+           longest[None]) + tuple(h[None] for h in hists)
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("seq_type", "mesh"))
-def encode_blocks_sharded(blocks: jnp.ndarray, prev_bytes: jnp.ndarray, *,
-                          seq_type: int = C.SEQ_TYPE_DNA, mesh: Mesh):
-    """blocks: u8[D, B] sharded over the mesh; prev_bytes: u8[D].
-
-    Returns per-block packed payloads + counts + carry info + reductions.
-    """
+@functools.partial(jax.jit, static_argnames=("seq_type", "fastq", "mesh"))
+def stats_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
+                         seq_type: int, fastq: bool, mesh: Mesh):
+    n_out = 9 + 8
     fn = shard_map(
-        functools.partial(_device_block_fn, seq_type=seq_type),
+        functools.partial(_stats_fn, seq_type=seq_type, fastq=fastq),
         mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        out_specs=(
-            P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
-            P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
-            P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS),
-            P(BLOCK_AXIS), P(BLOCK_AXIS),
-        ),
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=tuple(P(BLOCK_AXIS) for _ in range(n_out)),
     )
-    return fn(blocks, prev_bytes)
+    return fn(blocks, prev_bytes, starts_in_seq)
 
+
+# ---------------------------------------------------------------------------
+# pass 2: emit compacted payloads
+# ---------------------------------------------------------------------------
+
+def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
+             p_cap: int, id_cap: int, com_cap: int, r_cap: int, m_cap: int,
+             q_cap: int):
+    b = block[0]
+    s = _scan_block(b, prev_byte[0], sis[0], seq_type=seq_type, fastq=fastq)
+
+    seq_c, cnt = S.compact(s["stream_keep"], s["stream_val"])
+    # nibble-parity alignment: when the global prefix char count is odd,
+    # this block's first char pairs with the previous block's last char —
+    # pack chars[1:] and emit chars[0]'s code separately
+    shifted = jnp.where(odd[0], jnp.roll(seq_c, -1), seq_c)
+    packed = _fit(S.pack_even(shifted), p_cap)
+    first_code = jnp.take(jnp.take(S.T.NUC_CODE, seq_c.astype(jnp.int32)), 0)
+
+    id_vals = _fit(S.compact(s["id_keep"], b)[0], id_cap)
+    com_vals = _fit(S.compact(s["com_keep"], s["com_val"])[0], com_cap)
+
+    rec_id = jnp.cumsum(s["rec_start"].astype(jnp.int32))
+    seq_lens = _segment_sum(s["seq_keep"], rec_id, r_cap)
+    id_lens = _segment_sum(s["id_keep"], rec_id, r_cap)
+    com_lens = _segment_sum(s["com_keep"], rec_id, r_cap)
+
+    lower = (seq_c >= 96) & (jnp.arange(seq_c.shape[0]) < cnt)
+    run_lens = _run_lengths(lower, cnt, m_cap)
+
+    if fastq:
+        qual_vals = _fit(S.compact(s["qual_keep"], s["qual_val"])[0], q_cap)
+        qual_lens = _segment_sum(s["qual_keep"], rec_id, r_cap)
+    else:
+        qual_vals = jnp.zeros(q_cap, jnp.uint8)
+        qual_lens = jnp.zeros(r_cap, jnp.int32)
+
+    return (packed[None], first_code[None], cnt[None],
+            id_vals[None], com_vals[None], qual_vals[None],
+            seq_lens[None], id_lens[None], com_lens[None],
+            qual_lens[None], run_lens[None])
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "seq_type", "fastq", "mesh", "p_cap", "id_cap", "com_cap", "r_cap",
+    "m_cap", "q_cap"))
+def emit_blocks_sharded(blocks, prev_bytes, starts_in_seq, odd, *,
+                        seq_type: int, fastq: bool, mesh: Mesh,
+                        p_cap: int, id_cap: int, com_cap: int, r_cap: int,
+                        m_cap: int, q_cap: int):
+    fn = shard_map(
+        functools.partial(_emit_fn, seq_type=seq_type, fastq=fastq,
+                          p_cap=p_cap, id_cap=id_cap, com_cap=com_cap,
+                          r_cap=r_cap, m_cap=m_cap, q_cap=q_cap),
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),) * 4,
+        out_specs=tuple(P(BLOCK_AXIS) for _ in range(11)),
+    )
+    return fn(blocks, prev_bytes, starts_in_seq, odd)
+
+
+# ---------------------------------------------------------------------------
+# host-side block splitting
+# ---------------------------------------------------------------------------
 
 @dataclass
-class ShardedEncodeResult:
-    packed: np.ndarray       # u8[D, B/2] per-block packed (even-aligned)
-    counts: np.ndarray       # i32[D] chars per block
-    first_codes: np.ndarray  # u8[D] first char's 4-bit code per block
-    odd: np.ndarray          # bool[D] block started at odd nibble offset
-    is_lower: np.ndarray     # bool[D, B]
-    region: np.ndarray       # u8[D, B]
-    rec_start: np.ndarray    # bool[D, B]
-    hist_seq: np.ndarray
-    hist_id: np.ndarray
-    hist_comment: np.ndarray
-    longest_line: int
-    n_records_after_first: int
+class Blocks:
+    data: np.ndarray          # u8[D, B] '\n'-padded
+    prev: np.ndarray          # u8[D] byte before each block
+    starts_in_seq: np.ndarray  # bool[D] block cut mid-record (FASTA SP)
 
 
-def stitch_packed(res: ShardedEncodeResult) -> np.ndarray:
-    """Merge per-block even-aligned payloads into one nibble stream.
+def make_blocks(data: np.ndarray, n_blocks: int, *, marker: int = _GT
+                ) -> Blocks:
+    """Split bytes (already past the first marker) into line-aligned blocks.
 
-    For a block whose prefix parity is odd, its first char's code was left
-    out of its packed payload; it belongs in the high nibble of the previous
-    byte of the stream.  That is one OR per block edge on host.
-    """
-    pieces: list[np.ndarray] = []
-    total = 0
-    pending_low: int | None = None
-    for d in range(res.counts.shape[0]):
-        cnt = int(res.counts[d])
-        if cnt == 0:
-            continue
-        odd = (total % 2) == 1
-        if odd:
-            assert pending_low is not None
-            pieces.append(np.asarray(
-                [pending_low | (int(res.first_codes[d]) << 4)], dtype=np.uint8))
-            pending_low = None
-            packed_chars = cnt - 1
-        else:
-            packed_chars = cnt
-        nbytes = packed_chars // 2
-        body = res.packed[d, :nbytes]
-        pieces.append(np.ascontiguousarray(body))
-        if packed_chars % 2:
-            pending_low = int(res.packed[d, nbytes]) & 0x0F
-        total += cnt
-    if pending_low is not None:
-        pieces.append(np.asarray([pending_low], dtype=np.uint8))
-    if not pieces:
-        return np.zeros(0, dtype=np.uint8)
-    return np.concatenate(pieces)
-
-
-def make_blocks(data: np.ndarray, n_blocks: int) -> tuple[np.ndarray, np.ndarray]:
-    """Split bytes (already past the first '>') into record-aligned blocks.
-
-    Returns (blocks u8[n_blocks, B], prev_bytes u8[n_blocks]).  Block 0's
-    prev byte is '>' (scan starts after the first marker); later blocks
-    start exactly at a '>' marker, so their prev byte is the EOL before it.
-    Blocks are padded with '\n' (EOL padding parses as empty lines).
+    Cut candidates are line starts (byte after any EOL), so headers and
+    lines never straddle blocks; a block whose first byte is not a record
+    marker starts mid-record (sequence-parallel continuation).
     """
     n = data.size
     if n == 0:
-        blocks = np.full((n_blocks, 2), ord("\n"), dtype=np.uint8)
-        prev = np.full(n_blocks, ord("\n"), dtype=np.uint8)
-        prev[0] = ord(">")
-        return blocks, prev
+        blocks = np.full((n_blocks, 2), _LF, dtype=np.uint8)
+        prev = np.full(n_blocks, _LF, dtype=np.uint8)
+        prev[0] = marker
+        return Blocks(blocks, prev, np.zeros(n_blocks, bool))
 
-    # candidate split points: '>' preceded by EOL
     is_eol = C.IS_EOL[:256][data]
-    rec_start = np.zeros(n, dtype=bool)
-    rec_start[1:] = (data[1:] == ord(">")) & is_eol[:-1]
-    starts = np.flatnonzero(rec_start)
+    line_starts = np.flatnonzero(is_eol[:-1]) + 1     # n excluded
 
     targets = (np.arange(1, n_blocks) * n) // n_blocks
-    idx = np.searchsorted(starts, targets)
+    idx = np.searchsorted(line_starts, targets)
     cuts = [0]
     for i in idx:
-        cut = int(starts[i]) if i < starts.size else n
+        cut = int(line_starts[i]) if i < line_starts.size else n
         if cut > cuts[-1]:
             cuts.append(cut)
     while len(cuts) < n_blocks + 1:
@@ -184,11 +285,166 @@ def make_blocks(data: np.ndarray, n_blocks: int) -> tuple[np.ndarray, np.ndarray
 
     B = max(max(e - s for s, e in zip(cuts[:-1], cuts[1:])), 2)
     B += B % 2
-    blocks = np.full((n_blocks, B), ord("\n"), dtype=np.uint8)
-    prev = np.full(n_blocks, ord("\n"), dtype=np.uint8)
-    prev[0] = ord(">")
+    blocks = np.full((n_blocks, B), _LF, dtype=np.uint8)
+    prev = np.full(n_blocks, _LF, dtype=np.uint8)
+    prev[0] = marker
+    sis = np.zeros(n_blocks, bool)
+    for k, (s, e) in enumerate(zip(cuts[:-1], cuts[1:])):
+        blocks[k, : e - s] = data[s:e]
+        if k > 0:
+            if s > 0:
+                prev[k] = data[s - 1]
+            sis[k] = (e > s) and data[s] != marker
+    return Blocks(blocks, prev, sis)
+
+
+def make_blocks_fastq(data: np.ndarray, n_blocks: int):
+    """Record-aligned FASTQ blocks; returns (Blocks, n_records) or None.
+
+    Requires the regular 4-line LF grid (every production FASTQ): non-empty
+    lines, '+' third lines, '@' record heads, trailing newline, no '\\r'.
+    Irregular inputs take the host parser.  ``data`` starts right after the
+    leading '@'.
+    """
+    n = data.size
+    if n == 0 or data[-1] != _LF:
+        return None
+    if np.any(data == 13):
+        return None
+    eol = np.flatnonzero(data == _LF)
+    n_lines = eol.size
+    if n_lines % 4 != 0:
+        return None
+    line_start = np.concatenate([[0], eol[:-1] + 1])
+    if np.any(eol == line_start):           # empty line
+        return None
+    if not np.all(data[line_start[2::4]] == ord("+")):
+        return None
+    if n_lines > 4 and not np.all(data[line_start[4::4]] == _AT):
+        return None
+
+    rec_starts = line_start[0::4]
+    n_rec = rec_starts.size
+    targets = (np.arange(1, n_blocks) * n) // n_blocks
+    idx = np.searchsorted(rec_starts, targets)
+    cuts = [0]
+    for i in idx:
+        cut = int(rec_starts[i]) if i < rec_starts.size else n
+        if cut > cuts[-1]:
+            cuts.append(cut)
+    while len(cuts) < n_blocks + 1:
+        cuts.append(n)
+    cuts = cuts[: n_blocks + 1]
+    cuts[-1] = n
+
+    B = max(max(e - s for s, e in zip(cuts[:-1], cuts[1:])), 2)
+    B += B % 2
+    blocks = np.full((n_blocks, B), _LF, dtype=np.uint8)
+    prev = np.full(n_blocks, _LF, dtype=np.uint8)
+    prev[0] = _AT
     for k, (s, e) in enumerate(zip(cuts[:-1], cuts[1:])):
         blocks[k, : e - s] = data[s:e]
         if k > 0 and s > 0:
             prev[k] = data[s - 1]
-    return blocks, prev
+    return Blocks(blocks, prev, np.zeros(n_blocks, bool)), n_rec
+
+
+# ---------------------------------------------------------------------------
+# host-side stitching
+# ---------------------------------------------------------------------------
+
+def stitch_packed(packed: np.ndarray, counts: np.ndarray,
+                  first_codes: np.ndarray) -> np.ndarray:
+    """Merge per-block even-aligned payloads into one nibble stream.
+
+    For a block whose prefix parity is odd, its first char's code was left
+    out of its packed payload; it belongs in the high nibble of the previous
+    byte of the stream.  One OR per block edge.
+    """
+    pieces: list[np.ndarray] = []
+    total = 0
+    pending_low: int | None = None
+    for d in range(counts.shape[0]):
+        cnt = int(counts[d])
+        if cnt == 0:
+            continue
+        odd = (total % 2) == 1
+        if odd:
+            assert pending_low is not None
+            pieces.append(np.asarray(
+                [pending_low | (int(first_codes[d]) << 4)], dtype=np.uint8))
+            pending_low = None
+            packed_chars = cnt - 1
+        else:
+            packed_chars = cnt
+        nbytes = packed_chars // 2
+        body = packed[d, :nbytes]
+        pieces.append(np.ascontiguousarray(body))
+        if packed_chars % 2:
+            pending_low = int(packed[d, nbytes]) & 0x0F
+        total += cnt
+    if pending_low is not None:
+        pieces.append(np.asarray([pending_low], dtype=np.uint8))
+    if not pieces:
+        return np.zeros(0, dtype=np.uint8)
+    return np.concatenate(pieces)
+
+
+def stitch_lengths(per_block: list[np.ndarray]) -> np.ndarray:
+    """Per-block segment counts -> global per-record values.
+
+    Segment 0 of every block after the first continues the previous open
+    record (0 when the block starts at a marker); block 0's segment 0 is
+    record 0 itself (its marker was stripped by the reader).
+    """
+    out: list[np.ndarray] = []
+    for k, lens in enumerate(per_block):
+        lens = np.asarray(lens, dtype=np.int64)
+        if k == 0:
+            seg = lens
+        else:
+            if out and lens.size:
+                out[-1][-1] += int(lens[0])
+            seg = lens[1:]
+        if seg.size:
+            out.append(seg.copy())
+    if not out:
+        return np.zeros(0, np.int64)
+    return np.concatenate(out)
+
+
+def stitch_runs(per_block_runs: list[np.ndarray],
+                per_block_first: list[bool]) -> tuple[np.ndarray, bool]:
+    """Per-block mask runs -> (global run lengths, first char is lower)."""
+    runs: list[np.ndarray] = []
+    state_first = False
+    state_last = None          # case of the last run appended
+    for lens, first in zip(per_block_runs, per_block_first):
+        lens = np.asarray(lens, dtype=np.int64)
+        if lens.size == 0:
+            continue
+        if state_last is None:
+            runs.append(lens.copy())
+            state_first = bool(first)
+        elif bool(first) == state_last:
+            runs[-1][-1] += int(lens[0])
+            if lens.size > 1:
+                runs.append(lens[1:].copy())
+        else:
+            runs.append(lens.copy())
+        state_last = bool(first) ^ ((lens.size - 1) % 2 == 1)
+    if not runs:
+        return np.zeros(0, np.int64), False
+    return np.concatenate(runs), state_first
+
+
+def blob_from_lens(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Concatenated per-record values + lens -> '\\0'-terminated blob."""
+    n_rec = lens.size
+    total = int(vals.size) + n_rec
+    out = np.zeros(total, dtype=np.uint8)
+    ends = np.cumsum(lens + 1) - 1
+    fill = np.ones(total, dtype=bool)
+    fill[ends] = False
+    out[fill] = vals
+    return out.tobytes()

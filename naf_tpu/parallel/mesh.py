@@ -6,6 +6,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..utils.jaxenv import setup_jax
+
+setup_jax()   # persistent compile cache (remote TPU compiles are expensive)
 
 BLOCK_AXIS = "blocks"
 

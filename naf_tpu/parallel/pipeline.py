@@ -6,19 +6,19 @@ reference ``unnaf`` decodes.  Produces *byte-identical* archives to the host
 pipeline (``naf_tpu.pipeline.encoder.encode``) because the two share
 ``build_archive``.
 
-Division of labor:
-  * device (shard_map over the ``blocks`` axis, see block.py): per-byte
-    classification + replacement, sequence-stream compaction, 4-bit packing,
-    unexpected-char histograms (psum), longest-line (pmax), record counting
-    — all the per-byte work;
-  * host: record-aligned block splitting, boundary stitching (nibble parity
-    OR at block edges, mask-run carry), '\0'-terminated id/comment blob
-    assembly, zstd section framing, container write.
+Division of labor (pod-shaped — see parallel/block.py):
+  * device pass 1: per-block scan + O(1) stats; psum/pmax/all_gather
+    collectives ride ICI;
+  * device pass 2: compacted section payloads (packed 4-bit seq, id/comment
+    bytes, per-record lengths, mask runs, FASTQ quality) — device->host
+    traffic ~= payload bytes, never per-input-byte metadata;
+  * host: line/record-aligned block splitting, O(blocks + records + runs)
+    carry stitching, zstd section framing, container write.
 
-Multi-host note: with ``jax.distributed`` initialized, the same step runs
-with per-host input shards; the host-side gather becomes
-``multihost_utils.process_allgather`` of the per-block byte counts and
-payloads (O(compressed bytes) traffic to host 0 only).
+FASTA nucleotide inputs shard even when one giant record spans every device
+(blocks cut at line starts — the sequence-parallel case).  FASTQ shards on
+the regular 4-line grid; irregular inputs and protein/text/strict/
+well-formed modes take the host path (same archive bytes either way).
 """
 
 from __future__ import annotations
@@ -30,37 +30,34 @@ import numpy as np
 from ..format import constants as C
 from ..pipeline import parser as P
 from ..pipeline.encoder import EncodeOptions, EncodeStats, build_archive
-from .block import encode_blocks_sharded, make_blocks, stitch_packed
+from .block import (
+    blob_from_lens, emit_blocks_sharded, make_blocks, make_blocks_fastq,
+    stats_blocks_sharded, stitch_lengths, stitch_packed, stitch_runs,
+)
 
 
-def _units_from_bool(lower: np.ndarray) -> np.ndarray:
-    """Case-mask RLE units from a boolean is-lower vector.
+def _bucket(n: int, align: int = 16) -> int:
+    m = align
+    while m < n:
+        m *= 2
+    return m
 
-    Same semantics as ops.mask.mask_units_from_bytes (initial state
-    unmasked, 255-continuation, trailing run flushed).
-    """
-    n = lower.size
-    if n == 0:
-        return np.zeros(0, np.uint8)
-    change = np.flatnonzero(lower[1:] != lower[:-1]) + 1
-    starts = np.concatenate([[0], change])
-    ends = np.concatenate([change, [n]])
-    runs = (ends - starts).astype(np.int64)
-    if lower[0]:
-        runs = np.concatenate([[0], runs])   # leading masked run
-    from ..ops.mask import runs_to_units
 
-    return runs_to_units(runs)
+def _merge_hist(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """u32 (lo16, hi16) psum halves -> u64[257] histogram."""
+    h = np.zeros(257, np.uint64)
+    h[:256] = (hi.astype(np.uint64) << 16) + lo.astype(np.uint64)
+    return h
 
 
 def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
                    mesh=None, n_blocks: Optional[int] = None
                    ) -> tuple[bytes, EncodeStats]:
-    """Sharded FASTA encode over a device mesh.
+    """Sharded FASTA/FASTQ encode over a device mesh.
 
-    Nucleotide FASTA runs the device pipeline; other inputs (FASTQ,
-    protein/text, strict/well-formed modes) currently take the host path —
-    same archive bytes either way.
+    Nucleotide inputs run the device pipeline; protein/text, strict and
+    well-formed modes, and irregular FASTQ take the host path — same
+    archive bytes either way.
     """
     import jax
     import jax.numpy as jnp
@@ -77,7 +74,7 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
             "input format is different from format specified in the command line")
 
     device_path = (
-        fmt == C.IN_FORMAT_FASTA
+        fmt in (C.IN_FORMAT_FASTA, C.IN_FORMAT_FASTQ)
         and opts.seq_type <= C.SEQ_TYPE_RNA
         and not opts.strict and not opts.well_formed
     )
@@ -88,84 +85,122 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
         mesh = block_mesh(n_blocks)
     D = mesh.devices.size
 
+    fastq = fmt == C.IN_FORMAT_FASTQ
     body = np.frombuffer(data, np.uint8)[marker + 1:]
-    blocks, prev = make_blocks(body, D)
+    if fastq:
+        mb = make_blocks_fastq(body, D)
+        if mb is None:                      # irregular grid -> host parser
+            return host_encode(data, opts)
+        blocks, _ = mb
+    else:
+        blocks = make_blocks(body, D)
 
     sharding = block_sharding(mesh)
-    blocks_d = jax.device_put(jnp.asarray(blocks), sharding)
-    prev_d = jax.device_put(jnp.asarray(prev), sharding)
+    blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
+    prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
+    sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
 
-    outs = encode_blocks_sharded(blocks_d, prev_d, seq_type=opts.seq_type,
-                                 mesh=mesh)
-    outs_np = [np.asarray(o) for o in outs]
-    return _host_stitch(blocks, outs_np, opts, fmt)
+    st = stats_blocks_sharded(blocks_d, prev_d, sis_d,
+                              seq_type=opts.seq_type, fastq=fastq, mesh=mesh)
+    (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
+     first_lower, longest) = [np.asarray(o) for o in st[:9]]
+    hists = [np.asarray(o) for o in st[9:]]
+
+    p_cap = _bucket(int((counts + 1).max(initial=2) // 2) + 1)
+    id_cap = _bucket(max(int(id_bytes.max(initial=1)), 1))
+    com_cap = _bucket(max(int(com_bytes.max(initial=1)), 1))
+    r_cap = _bucket(int(n_rec.max(initial=0)) + 1)
+    m_cap = _bucket(max(int(n_runs.max(initial=2)), 2))
+    q_cap = _bucket(max(int(qual_bytes.max(initial=1)), 1)) if fastq else 16
+
+    em = emit_blocks_sharded(
+        blocks_d, prev_d, sis_d, st[1],
+        seq_type=opts.seq_type, fastq=fastq, mesh=mesh,
+        p_cap=p_cap, id_cap=id_cap, com_cap=com_cap, r_cap=r_cap,
+        m_cap=m_cap, q_cap=q_cap)
+    em_np = [np.asarray(o) for o in em]
+
+    return _stitch_and_build(
+        D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes, n_rec,
+        n_runs, first_lower, longest, hists, em_np,
+        fallback=lambda: host_encode(data, opts))
 
 
-def _host_stitch(blocks: np.ndarray, outs_np: list, opts: EncodeOptions,
-                 fmt: int) -> tuple[bytes, EncodeStats]:
-    """Boundary stitching + blob assembly + container from device outputs."""
-    D = blocks.shape[0]
-    (packed, counts, first_codes, odd, is_lower, region, rec_start,
-     hist_seq, hist_id, hist_comment, longest, n_rec) = outs_np
+def _stitch_and_build(D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes,
+                      n_rec, n_runs, first_lower, longest, hists, em_np,
+                      fallback):
+    """Host carry stitching (O(blocks + records + runs)) + container."""
+    fastq = fmt == C.IN_FORMAT_FASTQ
+    (packed, first_codes, cnt2, id_vals, com_vals, qual_vals,
+     seq_lens, id_lens, com_lens, qual_lens, run_lens) = em_np
 
-    from .block import ShardedEncodeResult
+    def trim(arr2d):
+        return [arr2d[k, : int(n_rec[k]) + 1] for k in range(D)]
 
-    sres = ShardedEncodeResult(
-        packed=packed, counts=counts, first_codes=first_codes, odd=odd,
-        is_lower=is_lower, region=region, rec_start=rec_start,
-        hist_seq=hist_seq[0], hist_id=hist_id[0], hist_comment=hist_comment[0],
-        longest_line=int(longest[0]), n_records_after_first=int(n_rec[0]),
-    )
+    g_seq_lens = stitch_lengths(trim(seq_lens))
+    g_id_lens = stitch_lengths(trim(id_lens))
+    g_com_lens = stitch_lengths(trim(com_lens))
+    n_records = int(n_rec.sum()) + 1
+    assert g_seq_lens.size == n_records
 
-    # ---- host stitching ---------------------------------------------------
-    # flatten [D, B] device outputs; padding bytes ('\n') classify as
-    # nothing, so flattening is equivalent to the unpadded byte stream
-    flat_b = blocks.reshape(-1)
-    flat_region = region.reshape(-1)
-    flat_rec_start = rec_start.reshape(-1).astype(bool)
-    n_rec_total = int(flat_rec_start.sum()) + 1
-    flat_rec_id = np.cumsum(flat_rec_start.astype(np.int32))
-
-    in_id = flat_region == 1
-    in_com = flat_region == 2
-    unex_text = C.IS_UNEXPECTED_TEXT[:256][flat_b]
-    unex_com = C.IS_UNEXPECTED_COMMENT[:256][flat_b]
-    id_keep = in_id & ~unex_text
-    com_vals = np.where(in_com & unex_com, np.uint8(C.REPLACEMENT_NAME), flat_b)
+    if fastq:
+        g_qual_lens = stitch_lengths(trim(qual_lens))
+        if not np.array_equal(g_qual_lens, g_seq_lens):
+            # exact error text (record index, counts) comes from the host
+            # parser, which scans sequentially like the reference
+            return fallback()
 
     res = P.ParseResult()
-    res.n_sequences = n_rec_total
-    res.ids_blob = P._blob_with_terminators(flat_b, id_keep, flat_rec_id, n_rec_total)
-    res.comments_blob = P._blob_with_terminators(com_vals, in_com, flat_rec_id, n_rec_total)
+    res.n_sequences = n_records
+    res.ids_blob = blob_from_lens(
+        np.concatenate([id_vals[k, : int(id_bytes[k])] for k in range(D)]),
+        g_id_lens)
+    res.comments_blob = blob_from_lens(
+        np.concatenate([com_vals[k, : int(com_bytes[k])] for k in range(D)]),
+        g_com_lens)
+    res.lengths = g_seq_lens.astype(np.uint64)
+    res.longest_line = (int(g_seq_lens.max(initial=0)) if fastq
+                        else int(longest[0]))
 
-    is_space = C.IS_SPACE[:256][flat_b]
-    seq_keep = (flat_region == 3) & ~is_space
-    res.lengths = np.bincount(flat_rec_id[seq_keep],
-                              minlength=n_rec_total).astype(np.uint64)
-    res.longest_line = sres.longest_line
+    total_chars = int(counts.sum())
+    res.seq = np.zeros(total_chars, np.uint8)    # only .size is used
+    res.packed = stitch_packed(packed, counts, first_codes)
 
-    # stream chars (for size + mask): per-block compacted is_lower
-    lower_flat = np.concatenate(
-        [is_lower[d, : int(counts[d])] for d in range(D)]
-    ) if D else np.zeros(0, bool)
-    res.seq = np.zeros(lower_flat.size, np.uint8)  # only .size is used (packed set)
-    res.packed = stitch_packed(sres)
     store_mask = not opts.no_mask
     if store_mask:
-        res.mask_units = _units_from_bool(lower_flat)
+        from ..ops.mask import runs_to_units
 
-    h257 = np.zeros(257, np.uint64)
-    res.unexpected_id = h257.copy(); res.unexpected_id[:256] = sres.hist_id
-    res.unexpected_comment = h257.copy(); res.unexpected_comment[:256] = sres.hist_comment
-    res.unexpected_seq = h257.copy(); res.unexpected_seq[:256] = sres.hist_seq
+        runs, state_first = stitch_runs(
+            [run_lens[k, : int(n_runs[k])] for k in range(D)],
+            [bool(first_lower[k]) for k in range(D)])
+        if state_first and runs.size:
+            runs = np.concatenate([[0], runs])   # leading masked run
+        res.mask_units = runs_to_units(runs)
+
+    if fastq:
+        res.qual = np.concatenate(
+            [qual_vals[k, : int(qual_bytes[k])] for k in range(D)])
+
+    res.unexpected_id = _merge_hist(hists[0][0], hists[1][0])
+    res.unexpected_comment = _merge_hist(hists[2][0], hists[3][0])
+    res.unexpected_seq = _merge_hist(hists[4][0], hists[5][0])
+    res.unexpected_qual = _merge_hist(hists[6][0], hists[7][0])
 
     stats = EncodeStats(
         n_sequences=res.n_sequences, longest_line=res.longest_line,
-        seq_size_original=int(lower_flat.size),
+        seq_size_original=total_chars,
         unexpected_id=res.unexpected_id,
         unexpected_comment=res.unexpected_comment,
         unexpected_seq=res.unexpected_seq,
-        unexpected_qual=np.zeros(257, np.uint64),
+        unexpected_qual=res.unexpected_qual,
         in_format=fmt,
     )
     return build_archive(res, opts, stats)
+
+
+def device_to_host_bytes(D: int, caps: dict) -> int:
+    """Accounting helper for tests/bench: bytes shipped device->host by
+    pass 2 (payloads only; pass 1 is O(1) scalars + histograms)."""
+    per_block = (caps["p_cap"] + caps["id_cap"] + caps["com_cap"]
+                 + caps["q_cap"] + 4 * 4 * caps["r_cap"] + 4 * caps["m_cap"])
+    return D * per_block

@@ -13,6 +13,7 @@ import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
 import pytest
 
 REPO = Path(__file__).resolve().parent.parent
@@ -30,65 +31,46 @@ jax.distributed.initialize(
 )
 
 import numpy as np
-import jax.numpy as jnp
-from jax.experimental import multihost_utils
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from naf_tpu.format import constants as C
-from naf_tpu.parallel.block import encode_blocks_sharded, make_blocks
-from naf_tpu.parallel.mesh import BLOCK_AXIS
+from naf_tpu.parallel.multihost import encode_multihost
+from naf_tpu.pipeline.encoder import EncodeOptions, encode
 
 pid = int(sys.argv[2])
 devices = jax.devices()
 assert len(devices) == 4, devices
-mesh = Mesh(np.asarray(devices), (BLOCK_AXIS,))
 
-# identical input everywhere; each process feeds its local block shards
+# identical input everywhere; each process feeds its local block shards.
+# Record sizes vary wildly so block cuts are uneven, and one giant record
+# spans several blocks (sequence-parallel continuation across hosts).
 rng = np.random.default_rng(0)
 rows = []
-for i in range(16):
+for i in range(15):
     seq = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8),
-                     size=int(rng.integers(30, 90)))
+                     size=int(rng.integers(5, 400)))
     rows.append(b">r%d c\n" % i + seq.tobytes() + b"\n")
-body = np.frombuffer(b"".join(rows), np.uint8)[1:]
-
-blocks, prev = make_blocks(body, 4)
-sharding = NamedSharding(mesh, P(BLOCK_AXIS))
-
-def to_global(arr):
-    # each process owns the shards for its addressable devices
-    return jax.make_array_from_callback(
-        arr.shape, sharding, lambda idx: arr[idx])
-
-blocks_d = to_global(blocks)
-prev_d = to_global(prev)
-
-outs = encode_blocks_sharded(blocks_d, prev_d,
-                             seq_type=C.SEQ_TYPE_DNA, mesh=mesh)
-# replicated reductions are identical on every host
-hist_seq = np.asarray(jax.device_get(outs[7].addressable_data(0)))
-n_rec = int(np.asarray(jax.device_get(outs[11].addressable_data(0)))[0])
-counts_local = np.concatenate(
-    [np.asarray(d.data) for d in outs[1].addressable_shards])
-
-# host gather: per-block char counts to every process (rides the
-# coordinator on CPU, ICI/DCN on a pod)
-counts_global = multihost_utils.process_allgather(counts_local)
-total_chars = int(counts_global.sum())
-assert n_rec + 1 == 16, n_rec
-
-# full end-to-end multihost archive == single-host archive
-from naf_tpu.parallel.multihost import encode_multihost
-from naf_tpu.pipeline.encoder import EncodeOptions, encode
-
+giant = rng.choice(np.frombuffer(b"ACGTacgt", np.uint8), size=3000)
+rows.append(b">giant\n")
+rows.append(b"\n".join(giant[j:j+61].tobytes() for j in range(0, 3000, 61)))
+rows.append(b"\n")
 data = b"".join(rows)
+
 blob, stats = encode_multihost(data, EncodeOptions(level=1))
 host_blob, _ = encode(data, EncodeOptions(level=1))
-assert blob == host_blob, "multihost archive != host archive"
+assert blob == host_blob, "multihost FASTA archive != host archive"
+assert stats.n_sequences == 16
 
-print(f"proc{pid}: OK n_rec={n_rec + 1} chars={total_chars} "
-      f"archive={len(blob)}B "
-      f"hist_nonzero={int((hist_seq != 0).sum())}")
+fq = []
+for i in range(23):          # odd count -> uneven record split over blocks
+    ln = int(rng.integers(5, 120))
+    s = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=ln).tobytes()
+    q = rng.integers(33, 74, size=ln, dtype=np.uint8).tobytes()
+    fq.append(b"@rd%d x\n%s\n+\n%s\n" % (i, s, q))
+fq_data = b"".join(fq)
+fq_blob, _ = encode_multihost(fq_data, EncodeOptions(level=1))
+fq_host, _ = encode(fq_data, EncodeOptions(level=1))
+assert fq_blob == fq_host, "multihost FASTQ archive != host archive"
+
+print(f"proc{pid}: OK n_rec=16 fasta={len(blob)}B fastq={len(fq_blob)}B")
 """
 
 
@@ -123,3 +105,30 @@ def test_two_process_mesh(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, (out.decode()[-500:], err.decode()[-2000:])
         assert b"OK n_rec=16" in out, out
+
+
+def test_gather_rows_orders_uneven_shards():
+    """_gather_rows reassembles rows by index even when shard order varies."""
+    from naf_tpu.parallel import multihost as MH
+
+    class Shard:
+        def __init__(self, start, data):
+            self.index = (slice(start, start + data.shape[0]),)
+            self.data = data
+
+    class FakeGlobal:
+        def __init__(self, rows):
+            # deliberately out of order, uneven split: [2:5], [0:2]
+            self.addressable_shards = [Shard(2, rows[2:5]), Shard(0, rows[0:2])]
+
+    rows = np.arange(10).reshape(5, 2)
+
+    import naf_tpu.parallel.multihost as mh
+    import jax.experimental.multihost_utils as mu
+    orig = mu.process_allgather
+    mu.process_allgather = lambda x: np.asarray(x)[None]   # single process
+    try:
+        out = MH._gather_rows(FakeGlobal(rows), 5)
+    finally:
+        mu.process_allgather = orig
+    assert np.array_equal(out, rows)

@@ -1,5 +1,7 @@
 """Multi-device block pipeline tests (8 virtual CPU devices, see conftest)."""
 
+import io
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,13 +9,12 @@ import pytest
 
 from naf_tpu.format import constants as C
 from naf_tpu.ops import scan as S
-from naf_tpu.parallel.block import (
-    ShardedEncodeResult, encode_blocks_sharded, make_blocks, stitch_packed,
-)
-from naf_tpu.parallel.mesh import block_mesh, block_sharding
+from naf_tpu.parallel.block import make_blocks, make_blocks_fastq
+from naf_tpu.parallel.mesh import block_mesh
+from naf_tpu.parallel.pipeline import encode_sharded
 from naf_tpu.pipeline import parser as P_
-
-from naf_tpu.ops.pack import pack_4bit
+from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
+from naf_tpu.pipeline.encoder import EncodeOptions, encode
 
 
 def _fasta(rng, n_rec=40, max_len=500):
@@ -24,6 +25,17 @@ def _fasta(rng, n_rec=40, max_len=500):
         seq = rng.choice(np.frombuffer(b"ACGTacgtNn-", np.uint8), size=ln).tobytes()
         for j in range(0, ln, 70):
             out.append(seq[j:j + 70] + b"\n")
+    return b"".join(out)
+
+
+def _fastq(rng, n_rec=60, max_len=120):
+    out = []
+    for i in range(n_rec):
+        ln = int(rng.integers(1, max_len))
+        seq = rng.choice(np.frombuffer(b"ACGTNacgt", np.uint8), size=ln).tobytes()
+        qual = rng.integers(33, 74, size=ln, dtype=np.uint8).tobytes()
+        com = b" c%d" % i if i % 3 else b""
+        out.append(b"@read%d%s\n%s\n+\n%s\n" % (i, com, seq, qual))
     return b"".join(out)
 
 
@@ -40,81 +52,105 @@ def test_scan_block_matches_host_parser():
     assert longest == host.longest_line
 
 
+def test_scan_fastq_block_matches_host_parser():
+    rng = np.random.default_rng(9)
+    data = _fastq(rng, n_rec=25)
+    host = P_.parse_fastq(data, C.SEQ_TYPE_DNA)
+    body = np.frombuffer(data, np.uint8)[1:]   # after first '@'
+    s = S.scan_fastq_block(jnp.asarray(body), jnp.asarray(np.uint8(ord("@"))))
+    stream = np.asarray(s["stream_val"])[np.asarray(s["stream_keep"])]
+    assert stream.tobytes() == host.seq.tobytes()
+    qual = np.asarray(s["qual_val"])[np.asarray(s["qual_keep"])]
+    assert qual.tobytes() == host.qual.tobytes()
+    assert int(np.asarray(s["rec_start"]).sum()) + 1 == host.n_sequences
+
+
 @pytest.mark.parametrize("n_rec", [1, 7, 40])
 def test_sharded_encode_matches_host(n_rec):
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     rng = np.random.default_rng(n_rec)
     data = _fasta(rng, n_rec=n_rec)
-    host = P_.parse_fasta(data, C.SEQ_TYPE_DNA)
+    host_blob, host_stats = encode(data, EncodeOptions(level=1))
+    dev_blob, dev_stats = encode_sharded(data, EncodeOptions(level=1),
+                                         mesh=block_mesh(8))
+    assert dev_blob == host_blob
+    assert dev_stats.n_sequences == host_stats.n_sequences
+    assert dev_stats.longest_line == host_stats.longest_line
 
-    mesh = block_mesh(8)
+
+def test_sharded_encode_giant_record_spans_blocks():
+    """Sequence parallelism: one record cut at line starts across devices."""
+    rng = np.random.default_rng(42)
+    seq = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8), size=120_000)
+    lines = [seq[i:i + 61].tobytes() for i in range(0, seq.size, 61)]
+    data = b">chr1 giant\n" + b"\n".join(lines) + b"\n"
+    host_blob, _ = encode(data, EncodeOptions(level=1))
+    dev_blob, _ = encode_sharded(data, EncodeOptions(level=1),
+                                 mesh=block_mesh(8))
+    assert dev_blob == host_blob
+    # the blocks really did split the record
     body = np.frombuffer(data, np.uint8)[1:]
-    blocks, prev = make_blocks(body, 8)
-    sharding = block_sharding(mesh)
-    blocks_d = jax.device_put(jnp.asarray(blocks), sharding)
-    prev_d = jax.device_put(jnp.asarray(prev), sharding)
-
-    outs = encode_blocks_sharded(blocks_d, prev_d, seq_type=C.SEQ_TYPE_DNA, mesh=mesh)
-    (packed, counts, first_codes, odd, is_lower, region, rec_start,
-     hist_seq, hist_id, hist_comment, longest, n_rec_ag) = [np.asarray(o) for o in outs]
-
-    res = ShardedEncodeResult(
-        packed=packed, counts=counts, first_codes=first_codes, odd=odd,
-        is_lower=is_lower, region=region, rec_start=rec_start,
-        hist_seq=hist_seq[0], hist_id=hist_id[0], hist_comment=hist_comment[0],
-        longest_line=int(longest[0]), n_records_after_first=int(n_rec_ag[0]),
-    )
-
-    # packed stream matches the host single-stream pack
-    expect_packed, carry = pack_4bit(host.seq, backend="numpy")
-    if carry is not None:
-        expect_packed = np.concatenate([expect_packed, [np.uint8(carry)]])
-    got = stitch_packed(res)
-    assert got.tobytes() == expect_packed.tobytes()
-
-    # reductions match
-    assert int(counts.sum()) == host.seq.size
-    assert res.longest_line == host.longest_line
-    assert res.n_records_after_first + 1 == host.n_sequences
-    assert np.array_equal(res.hist_seq, host.unexpected_seq[:256].astype(np.int32))
+    blocks = make_blocks(body, 8)
+    assert blocks.starts_in_seq[1:].all()
 
 
-def test_make_blocks_covers_all_bytes():
-    rng = np.random.default_rng(5)
-    data = _fasta(rng, n_rec=20)
-    body = np.frombuffer(data, np.uint8)[1:]
-    blocks, prev = make_blocks(body, 8)
-    # reassembling non-pad content must give back the original bytes
-    joined = []
-    for k in range(8):
-        row = blocks[k]
-        joined.append(row)
-    # blocks are padded with '\n'; total real bytes = body.size
-    assert blocks.shape[0] == 8
-    assert prev[0] == ord(">")
-
-
-def test_encode_sharded_archive_matches_host():
-    """End-to-end: device-sharded encode == host encode, byte-identical."""
-    from naf_tpu.parallel.mesh import block_mesh
-    from naf_tpu.parallel.pipeline import encode_sharded
-    from naf_tpu.pipeline.encoder import EncodeOptions, encode
-
+def test_sharded_encode_fastq_matches_host():
     rng = np.random.default_rng(3)
-    data = _fasta(rng, n_rec=60, max_len=700)
+    data = _fastq(rng, n_rec=80)
     for no_mask in (False, True):
         opts = EncodeOptions(level=1, no_mask=no_mask)
         host_blob, host_stats = encode(data, opts)
         dev_blob, dev_stats = encode_sharded(data, opts, mesh=block_mesh(8))
         assert dev_blob == host_blob
         assert dev_stats.n_sequences == host_stats.n_sequences
-        assert dev_stats.longest_line == host_stats.longest_line
+    # FASTQ decode intentionally loses lowercase masking (unnaf.c:443)
+    out = Decoder(io.BytesIO(dev_blob), DecodeOptions()).fastq()
+    assert out.upper() == data.upper()
+
+
+def test_sharded_encode_unexpected_chars_match():
+    """Replacement + histogram parity (device hists are u32 hi/lo psums)."""
+    data = (b">r1 ok\nACGT@home\nACGT\n"
+            b">r2\nNNNN!!\nacgt\n" * 5)
+    host_blob, host_stats = encode(data, EncodeOptions(level=1))
+    dev_blob, dev_stats = encode_sharded(data, EncodeOptions(level=1),
+                                         mesh=block_mesh(8))
+    assert dev_blob == host_blob
+    assert np.array_equal(dev_stats.unexpected_seq, host_stats.unexpected_seq)
+
+
+def test_make_blocks_line_aligned():
+    rng = np.random.default_rng(5)
+    data = _fasta(rng, n_rec=20)
+    body = np.frombuffer(data, np.uint8)[1:]
+    blocks = make_blocks(body, 8)
+    assert blocks.data.shape[0] == 8
+    assert blocks.prev[0] == ord(">")
+    # every later block's prev byte is an EOL (cut at a line start)
+    assert all(C.IS_EOL[p] for p in blocks.prev[1:])
+
+
+def test_make_blocks_fastq_grid_detection():
+    rng = np.random.default_rng(6)
+    good = _fastq(rng, n_rec=16)
+    body = np.frombuffer(good, np.uint8)[1:]
+    mb = make_blocks_fastq(body, 4)
+    assert mb is not None
+    _, n_rec = mb
+    assert n_rec == 16
+    # irregular: an empty line
+    bad = good + b"\n"
+    assert make_blocks_fastq(np.frombuffer(bad, np.uint8)[1:], 4) is None
+
+
+def test_fastq_mismatch_falls_back_to_host_error():
+    data = b"@a\nACGT\n+\n!!!\n"     # qual len 3 != seq len 4
+    with pytest.raises(P_.InputError, match="quality length"):
+        encode_sharded(data, EncodeOptions(level=1), mesh=block_mesh(4))
 
 
 def test_encode_sharded_decodes_with_reference(ref_bin):
-    import subprocess
     from naf_tpu.parallel.mesh import block_mesh
-    from naf_tpu.parallel.pipeline import encode_sharded
 
     rng = np.random.default_rng(5)
     data = _fasta(rng, n_rec=25, max_len=300)
@@ -122,7 +158,65 @@ def test_encode_sharded_decodes_with_reference(ref_bin):
     from conftest import run_ref
     q = run_ref([ref_bin["unnaf"], "-c"], blob)
     assert q.returncode == 0
-    import io
-    from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
     ours = Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
     assert q.stdout == ours
+
+
+def test_encode_sharded_fastq_decodes_with_reference(ref_bin):
+    rng = np.random.default_rng(8)
+    data = _fastq(rng, n_rec=30)
+    blob, _ = encode_sharded(data, mesh=block_mesh(4))
+    from conftest import run_ref
+    q = run_ref([ref_bin["unnaf"], "-c"], blob)
+    assert q.returncode == 0
+    # FASTQ decode loses lowercase masking in both implementations
+    ours = Decoder(io.BytesIO(blob), DecodeOptions()).fastq()
+    assert q.stdout == ours
+
+
+def test_pass2_transfer_is_payload_shaped():
+    """Device->host traffic ~ payload bytes, not per-input-byte metadata.
+
+    Uses realistic soft-masking (runs, like genomes) — per-char random case
+    would make the mask RLE itself payload-sized, which pass 2 ships as i32
+    runs (4x the eventual u8 units but still O(runs), never O(bytes)).
+    """
+    rng = np.random.default_rng(11)
+    out = []
+    for i in range(64):
+        ln = int(rng.integers(500, 4000))
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=ln)
+        for s in rng.integers(0, max(1, ln - 200), size=max(1, ln // 1000)):
+            seq[s:s + 200] |= 32          # soft-mask runs
+        body = seq.tobytes()
+        lines = [body[j:j + 70] for j in range(0, ln, 70)]
+        out.append(b">rec%d c\n" % i + b"\n".join(lines) + b"\n")
+    data = b"".join(out)
+    body_n = len(data) - 1
+    from naf_tpu.parallel import pipeline as PL
+
+    # reproduce the caps encode_sharded would choose
+    import naf_tpu.parallel.block as B
+    mesh = block_mesh(8)
+    blocks = B.make_blocks(np.frombuffer(data, np.uint8)[1:], 8)
+    import jax as _jax
+    from naf_tpu.parallel.mesh import block_sharding
+    sh = block_sharding(mesh)
+    st = B.stats_blocks_sharded(
+        _jax.device_put(jnp.asarray(blocks.data), sh),
+        _jax.device_put(jnp.asarray(blocks.prev), sh),
+        _jax.device_put(jnp.asarray(blocks.starts_in_seq), sh),
+        seq_type=C.SEQ_TYPE_DNA, fastq=False, mesh=mesh)
+    (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
+     *_rest) = [np.asarray(o) for o in st[:9]]
+    caps = dict(
+        p_cap=PL._bucket(int((counts + 1).max() // 2) + 1),
+        id_cap=PL._bucket(max(int(id_bytes.max()), 1)),
+        com_cap=PL._bucket(max(int(com_bytes.max()), 1)),
+        q_cap=16,
+        r_cap=PL._bucket(int(n_rec.max()) + 1),
+        m_cap=PL._bucket(max(int(n_runs.max()), 2)),
+    )
+    xfer = PL.device_to_host_bytes(8, caps)
+    # v1 shipped >4 bytes per input byte; the packed payload alone is ~0.5
+    assert xfer < 1.5 * body_n, (xfer, body_n)
