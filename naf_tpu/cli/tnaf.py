@@ -55,9 +55,11 @@ Options:
                        index for parallel + seekable decode (NOT readable
                        by the reference unnaf; flag bit 0x80, spec 2.4)
   --block-size N     - Extended-format block size in MB (default 4)
-  --engine NAME      - Entropy engine: 'zstd' (library, default) or
-                       'native' (tnaf's own RFC 8878 encoder; archives
-                       remain decodable by the reference unnaf)
+  --engine NAME      - Entropy engine: 'zstd' (library, default),
+                       'native' (tnaf's own RFC 8878 encoder; honors -# and
+                       --long), or 'device' (JAX match-finding kernel +
+                       native serializer); all archives remain decodable by
+                       the reference unnaf
   --threads N        - zstd worker threads per section (default: all
                        cores; 0 = single-threaded). The output is still
                        one reference-decodable frame per section
@@ -206,7 +208,7 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 if a == "--engine" and i < n - 1:
                     i += 1
-                    if argv[i] not in ("zstd", "native"):
+                    if argv[i] not in ("zstd", "native", "device"):
                         _die(f'unknown engine "{argv[i]}"')
                     opts.engine = argv[i]
                     i += 1

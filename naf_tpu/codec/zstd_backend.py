@@ -192,9 +192,13 @@ def compress_section_blocked(data, level: int = 1, window_log: int = 0,
     mv = memoryview(data)
     n = mv.nbytes
     blocks = [mv[i:i + block_bytes] for i in range(0, n, block_bytes)] or [mv[:0]]
-    if engine == "native":
+    if engine == "device":
         def one(b):
-            return compress_section_native(b)
+            return compress_section_device(b)
+    elif engine == "native":
+        def one(b):
+            return compress_section_native(b, level=level,
+                                           window_log=window_log)
     else:
         def one(b):
             return compress_section(b, level=level, window_log=window_log)
@@ -254,8 +258,14 @@ def decompress_section_blocked(payload: bytes, uncompressed_size: int,
 # reference unnaf and by this package's decoder alike.
 # ---------------------------------------------------------------------------
 
-def compress_section_native(data) -> bytes:
-    """Compress one section with the native engine; magic-stripped frame."""
+def compress_section_native(data, level: int = 1, window_log: int = 0) -> bytes:
+    """Compress one section with the native engine; magic-stripped frame.
+
+    ``level`` follows the zstd scale (-131072..22; parity target
+    ennaf/src/ennaf.c:216-245); ``window_log`` mirrors ``--long N``
+    (compressor.c:7-21): > 0 widens the match window and enables the
+    long-distance table.
+    """
     import numpy as np
 
     from .. import native as _native
@@ -266,12 +276,10 @@ def compress_section_native(data) -> bytes:
     if not hasattr(lib, "_naf_zstd_ready"):
         import ctypes as ct
 
-        lib.naf_zstd_compress.restype = ct.c_uint64
-        lib.naf_zstd_compress.argtypes = [
-            ct.c_void_p, ct.c_uint64, ct.c_void_p, ct.c_uint64, ct.c_void_p]
-        lib.naf_zstd_scratch_bytes.restype = ct.c_uint64
-        lib._naf_zstd_scratch = np.empty(
-            int(lib.naf_zstd_scratch_bytes()), np.uint8)
+        lib.naf_zstd_compress_ex.restype = ct.c_uint64
+        lib.naf_zstd_compress_ex.argtypes = [
+            ct.c_void_p, ct.c_uint64, ct.c_void_p, ct.c_uint64,
+            ct.c_int32, ct.c_int32]
         lib._naf_zstd_ready = True
     mv = memoryview(data)
     src = np.frombuffer(mv, np.uint8) if mv.nbytes else None
@@ -279,10 +287,10 @@ def compress_section_native(data) -> bytes:
     dst = np.empty(cap, np.uint8)
     import ctypes as ct
 
-    w = lib.naf_zstd_compress(
+    w = lib.naf_zstd_compress_ex(
         src.ctypes.data_as(ct.c_void_p) if src is not None else None,
         mv.nbytes, dst.ctypes.data_as(ct.c_void_p), cap,
-        lib._naf_zstd_scratch.ctypes.data_as(ct.c_void_p))
+        int(level), int(window_log))
     if w == 0:
         raise RuntimeError("native engine buffer overflow")
     frame = dst[:w].tobytes()
@@ -291,36 +299,42 @@ def compress_section_native(data) -> bytes:
     return frame[4:]
 
 
-def compress_section_device(data) -> bytes:
+def compress_section_device(data, k: int = 0) -> bytes:
     """Device-scored match candidates + host bitstream packing.
 
-    The JAX kernel (ops.matchfind) computes per-position match candidates
-    in parallel (gather + hash + device sort); the native serializer
-    verifies and packs them into a standard zstd frame.  This is the
-    device/host split of SURVEY §7 step 6 running end to end.
+    The JAX kernel (ops.matchfind) computes the top-k match-candidate chain
+    per position in parallel (gather + hash + device sort); the native
+    serializer verifies, extends, scores (incl. repeat offsets) and packs
+    them into a standard zstd frame.  This is the device/host split of
+    SURVEY §7 step 6 running end to end; reachable as ``tnaf --engine
+    device``.
     """
     import ctypes as ct
 
     import numpy as np
 
     from .. import native as _native
-    from ..ops.matchfind import find_match_candidates
+    from ..ops.matchfind import TOP_K, find_match_candidates
 
+    k = k or TOP_K
     lib = _native._load()
     if lib is None:
         raise RuntimeError("native engine unavailable")
     if not hasattr(lib, "_naf_zstd_cand_ready"):
-        lib.naf_zstd_compress_cand.restype = ct.c_uint64
-        lib.naf_zstd_compress_cand.argtypes = [
-            ct.c_void_p, ct.c_uint64, ct.c_void_p, ct.c_void_p, ct.c_uint64]
+        lib.naf_zstd_compress_cand_k.restype = ct.c_uint64
+        lib.naf_zstd_compress_cand_k.argtypes = [
+            ct.c_void_p, ct.c_uint64, ct.c_void_p, ct.c_int32,
+            ct.c_void_p, ct.c_uint64]
         lib._naf_zstd_cand_ready = True
     arr = np.frombuffer(memoryview(data), np.uint8)
-    cand = find_match_candidates(arr)
+    cand = np.ascontiguousarray(
+        find_match_candidates(arr, k=k).reshape(arr.size, -1)
+        if arr.size else np.zeros((0, k), np.int32))
     cap = arr.size + arr.size // 4 + 4096
     dst = np.empty(cap, np.uint8)
-    w = lib.naf_zstd_compress_cand(
+    w = lib.naf_zstd_compress_cand_k(
         arr.ctypes.data_as(ct.c_void_p) if arr.size else None, arr.size,
-        cand.ctypes.data_as(ct.c_void_p) if cand.size else None,
+        cand.ctypes.data_as(ct.c_void_p) if cand.size else None, k,
         dst.ctypes.data_as(ct.c_void_p), cap)
     if w == 0:
         raise RuntimeError("device engine buffer overflow")

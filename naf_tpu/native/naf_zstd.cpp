@@ -63,9 +63,11 @@ static inline int highbit32(uint32_t v) { return 31 - __builtin_clz(v); }
 // counts above; procedure per the FSE/zstd specification)
 // ---------------------------------------------------------------------------
 
+static const int FSE_MAX_LOG = 9;     // dynamic tables up to 512 states
+
 struct FseEnc {
-  uint16_t next_state[64];          // tableSize <= 64 here
-  int32_t delta_nb_bits[64];        // per symbol
+  uint16_t next_state[1 << FSE_MAX_LOG];
+  int32_t delta_nb_bits[64];        // per symbol (alphabets <= 53)
   int32_t delta_find_state[64];
   int table_log;
 };
@@ -76,7 +78,7 @@ static void fse_build(const int16_t *norm, int n_sym, int table_log,
   const int mask = table_size - 1;
   const int step = (table_size >> 1) + (table_size >> 3) + 3;
 
-  uint8_t table_symbol[64];
+  uint8_t table_symbol[1 << FSE_MAX_LOG];
   int high_threshold = table_size - 1;
   int cumul[64 + 2];
   cumul[0] = 0;
@@ -588,78 +590,108 @@ static inline int ml_code(uint32_t ml, uint32_t *extra, int *bits) {
 }
 
 // ---------------------------------------------------------------------------
-// block compression: greedy hash match find + predefined-FSE sequences
+// repeat offsets (RFC 8878 §3.1.1.5): Offset_Value 1-3 name recent offsets,
+// with the shifted meaning when Literals_Length == 0.  The encoder tracks
+// the same state machine the decoder replays.
 // ---------------------------------------------------------------------------
 
-struct Seq { uint32_t lit_len, match_len, offset; };
+struct RepState { uint32_t r[3] = {1, 4, 8}; };
 
-static inline uint32_t read32(const uint8_t *p) {
-  uint32_t v; std::memcpy(&v, p, 4); return v;
+// actual distance named by offset_value `v` at literal length `ll`
+static inline uint32_t rep_distance(const RepState &rs, uint32_t v,
+                                    uint32_t ll) {
+  if (ll) return rs.r[v - 1];
+  if (v == 1) return rs.r[1];
+  if (v == 2) return rs.r[2];
+  return rs.r[0] - 1;
 }
 
-static const int HLOG = 17;
-static const uint32_t MAXDIST = (1u << 21) - 16;
+// encode distance `off` -> offset_value, updating the rep state exactly as
+// the decoder will
+static inline uint32_t offset_value(RepState &rs, uint32_t off, uint32_t ll) {
+  uint32_t r0 = rs.r[0], r1 = rs.r[1], r2 = rs.r[2];
+  if (ll) {
+    if (off == r0) return 1;
+    if (off == r1) { rs.r[0] = r1; rs.r[1] = r0; return 2; }
+    if (off == r2) { rs.r[0] = r2; rs.r[1] = r0; rs.r[2] = r1; return 3; }
+  } else {
+    if (off == r1) { rs.r[0] = r1; rs.r[1] = r0; return 1; }
+    if (off == r2) { rs.r[0] = r2; rs.r[1] = r0; rs.r[2] = r1; return 2; }
+    if (off == r0 - 1) { rs.r[0] = r0 - 1; rs.r[1] = r0; rs.r[2] = r1; return 3; }
+  }
+  rs.r[0] = off; rs.r[1] = r0; rs.r[2] = r1;
+  return off + 3;
+}
 
-struct MatchCtx {
-  int32_t *table;   // 1 << HLOG entries, value = src_pos + 1 (0 = empty)
+// ---------------------------------------------------------------------------
+// per-block dynamic FSE sequence tables (FSE_Compressed_Mode): histogram the
+// codes, normalize, and pick the cheaper of {predefined, RLE, dynamic} per
+// channel — the decisive ratio lever over predefined-only coding.
+// ---------------------------------------------------------------------------
+
+struct ChanPlan {
+  int mode;              // 0 predefined, 1 RLE, 2 FSE dynamic
+  const FseEnc *enc;     // mode 0/2
+  uint8_t rle_sym;
+  uint8_t ncount[128];
+  int ncount_n;
 };
 
-static inline uint32_t hash4(uint32_t v) {
-  return (v * 2654435761u) >> (32 - HLOG);
+static inline int ilog2(uint32_t v) { return v ? highbit32(v) : 0; }
+
+static void plan_channel(const uint32_t *count, int n_sym, uint32_t n_seqs,
+                         const int16_t *pre_norm, const FseEnc *pre,
+                         int pre_log, int max_log, FseEnc *dyn,
+                         ChanPlan *cp) {
+  int distinct = 0, only = 0;
+  for (int s = 0; s < n_sym; s++)
+    if (count[s]) { distinct++; only = s; }
+  if (distinct <= 1) {
+    cp->mode = 1;                      // RLE: 1-byte table, 0 bits/symbol
+    cp->rle_sym = (uint8_t)only;
+    cp->enc = nullptr;
+    cp->ncount_n = 0;
+    return;
+  }
+
+  // predefined cost (bits): norm <= 0 counts as full table_log bits
+  int64_t pre_bits = 0;
+  for (int s = 0; s < n_sym; s++)
+    if (count[s]) {
+      int nb = pre_norm[s] > 0 ? pre_log - ilog2((uint32_t)pre_norm[s])
+                               : pre_log;
+      pre_bits += (int64_t)count[s] * nb;
+    }
+
+  // dynamic table: accuracy log fitted to the sequence count
+  int tl = max_log;
+  while (tl > 5 && (1u << (tl - 2)) > n_seqs) tl--;
+  int16_t norm[64];
+  cp->mode = 0; cp->enc = pre; cp->ncount_n = 0;
+  if (fse_normalize(count, n_sym, (int)n_seqs, tl, norm) != 0) return;
+  uint8_t nc[128];
+  int nc_n = fse_write_ncount(norm, n_sym, tl, nc, sizeof(nc));
+  if (nc_n < 0) return;
+  int64_t dyn_bits = (int64_t)nc_n * 8;
+  for (int s = 0; s < n_sym; s++)
+    if (count[s]) {
+      int p = norm[s] > 0 ? norm[s] : 1;
+      dyn_bits += (int64_t)count[s] * (tl - ilog2((uint32_t)p));
+    }
+  if (dyn_bits + 32 < pre_bits) {
+    fse_build(norm, n_sym, tl, dyn);
+    cp->mode = 2;
+    cp->enc = dyn;
+    std::memcpy(cp->ncount, nc, nc_n);
+    cp->ncount_n = nc_n;
+  }
 }
 
-// collect greedy sequences for src[block_start, block_end) with history
-// from src[0, block_start)
-static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
-                               uint64_t block_end, uint64_t src_len,
-                               MatchCtx &ctx, Seq *seqs, uint32_t max_seqs,
-                               uint8_t *literals, uint32_t *lit_total,
-                               uint32_t *last_lits) {
-  uint64_t pos = block_start, anchor = block_start;
-  uint32_t n = 0, lit_n = 0;
-  const uint64_t limit = block_end >= 12 ? block_end - 12 : 0;
-  (void)src_len;
-  while (pos < limit && n < max_seqs) {
-    uint32_t h = hash4(read32(src + pos));
-    int64_t cand = (int64_t)ctx.table[h] - 1;
-    ctx.table[h] = (int32_t)(pos + 1);
-    if (cand >= 0 && pos - (uint64_t)cand <= MAXDIST &&
-        read32(src + cand) == read32(src + pos)) {
-      // extend
-      uint64_t m = 4;
-      const uint64_t room = block_end - pos;
-      while (m < room && src[cand + m] == src[pos + m]) m++;
-      // short matches on high-entropy data cost more in sequence bits than
-      // Huffman-coded literals; skip them (zstd's own lazy matchers make
-      // the same cost call)
-      if (m < 6) { pos++; continue; }
-      uint32_t ll = (uint32_t)(pos - anchor);
-      std::memcpy(literals + lit_n, src + anchor, ll);
-      lit_n += ll;
-      seqs[n].lit_len = ll;
-      seqs[n].match_len = (uint32_t)m;
-      seqs[n].offset = (uint32_t)(pos - (uint64_t)cand);
-      n++;
-      // sparse hash insertion inside the match keeps speed up
-      if (m > 2 && pos + m < limit) {
-        uint64_t ins = pos + (m >> 1);
-        ctx.table[hash4(read32(src + ins))] = (int32_t)(ins + 1);
-        ctx.table[hash4(read32(src + pos + m - 2))] =
-            (int32_t)(pos + m - 1);
-      }
-      pos += m;
-      anchor = pos;
-    } else {
-      pos++;
-    }
-  }
-  uint32_t tail = (uint32_t)(block_end - anchor);
-  std::memcpy(literals + lit_n, src + anchor, tail);
-  lit_n += tail;
-  *lit_total = lit_n;
-  *last_lits = tail;
-  return n;
-}
+// ---------------------------------------------------------------------------
+// block serialization
+// ---------------------------------------------------------------------------
+
+struct Seq { uint32_t lit_len, match_len, ofv; };   // ofv = offset_value
 
 // serialize one compressed block body; returns size or 0 if not profitable
 static uint64_t write_compressed_block(const Seq *seqs, uint32_t n_seqs,
@@ -696,7 +728,33 @@ static uint64_t write_compressed_block(const Seq *seqs, uint32_t n_seqs,
     return w;
   }
 
+  // histograms of the three code streams
+  uint32_t cll[36] = {0}, cml[53] = {0}, cof[32] = {0};
+  int max_ofc = 0;
+  for (uint32_t i = 0; i < n_seqs; i++) {
+    uint32_t x; int b;
+    cll[ll_code(seqs[i].lit_len, &x, &b)]++;
+    cml[ml_code(seqs[i].match_len, &x, &b)]++;
+    int oc = highbit32(seqs[i].ofv);
+    cof[oc]++;
+    if (oc > max_ofc) max_ofc = oc;
+  }
+
+  static thread_local FseEnc dll, dml, dof;
+  ChanPlan pll, pml, pof;
+  plan_channel(cll, 36, n_seqs, LL_NORM, &g_ll, LL_LOG, 9, &dll, &pll);
+  plan_channel(cml, 53, n_seqs, ML_NORM, &g_ml, ML_LOG, 9, &dml, &pml);
+  // the predefined OF table only covers codes <= 28
+  if (max_ofc > 28) {
+    plan_channel(cof, max_ofc + 1, n_seqs, OF_NORM, nullptr, OF_LOG, 8,
+                 &dof, &pof);
+    if (pof.mode == 0 && pof.enc == nullptr) return 0;  // can't represent
+  } else {
+    plan_channel(cof, 29, n_seqs, OF_NORM, &g_of, OF_LOG, 8, &dof, &pof);
+  }
+
   // sequences header
+  if (w + 3 + 3 * 128 + 16 > dst_cap) return 0;
   if (n_seqs < 128) {
     dst[w++] = (uint8_t)n_seqs;
   } else if (n_seqs < 0x7F00) {
@@ -707,26 +765,32 @@ static uint64_t write_compressed_block(const Seq *seqs, uint32_t n_seqs,
     dst[w++] = (uint8_t)(n_seqs - 0x7F00);
     dst[w++] = (uint8_t)((n_seqs - 0x7F00) >> 8);
   }
-  dst[w++] = 0x00;   // all three modes predefined
+  // modes byte: LL<<6 | OF<<4 | ML<<2 (0 predef, 1 RLE, 2 FSE)
+  dst[w++] = (uint8_t)((pll.mode << 6) | (pof.mode << 4) | (pml.mode << 2));
+  // table descriptions in LL, OF, ML order
+  if (pll.mode == 1) dst[w++] = pll.rle_sym;
+  else if (pll.mode == 2) { std::memcpy(dst + w, pll.ncount, pll.ncount_n); w += pll.ncount_n; }
+  if (pof.mode == 1) dst[w++] = pof.rle_sym;
+  else if (pof.mode == 2) { std::memcpy(dst + w, pof.ncount, pof.ncount_n); w += pof.ncount_n; }
+  if (pml.mode == 1) dst[w++] = pml.rle_sym;
+  else if (pml.mode == 2) { std::memcpy(dst + w, pml.ncount, pml.ncount_n); w += pml.ncount_n; }
 
   // the interleaved backward FSE bitstream (RFC 8878 §3.1.1.3.2.1.2;
-  // write order mirrors the specified decode order exactly)
-  if (w + 16 > dst_cap) return 0;
+  // write order mirrors the specified decode order exactly; RLE channels
+  // carry no state bits)
   BitW bw{dst + w};
 
-  // per-sequence codes
   const Seq &last = seqs[n_seqs - 1];
   uint32_t ll_x, ml_x; int ll_b, ml_b;
   int llc = ll_code(last.lit_len, &ll_x, &ll_b);
   int mlc = ml_code(last.match_len, &ml_x, &ml_b);
-  uint32_t ofv = last.offset + 3;
-  int ofc = highbit32(ofv);
-  uint32_t of_x = ofv - (1u << ofc);
+  int ofc = highbit32(last.ofv);
+  uint32_t of_x = last.ofv - (1u << ofc);
 
-  FseState sll{0, &g_ll}, sml{0, &g_ml}, sof{0, &g_of};
-  sml.init(mlc);
-  sof.init(ofc);
-  sll.init(llc);
+  FseState sll{0, pll.enc}, sml{0, pml.enc}, sof{0, pof.enc};
+  if (pml.mode != 1) sml.init(mlc);
+  if (pof.mode != 1) sof.init(ofc);
+  if (pll.mode != 1) sll.init(llc);
   bw.add(ll_x, ll_b);
   bw.add(ml_x, ml_b);
   bw.add(of_x, ofc);
@@ -735,24 +799,352 @@ static uint64_t write_compressed_block(const Seq *seqs, uint32_t n_seqs,
     const Seq &q = seqs[i];
     int llc2 = ll_code(q.lit_len, &ll_x, &ll_b);
     int mlc2 = ml_code(q.match_len, &ml_x, &ml_b);
-    uint32_t ofv2 = q.offset + 3;
-    int ofc2 = highbit32(ofv2);
-    uint32_t of_x2 = ofv2 - (1u << ofc2);
-    sof.encode(bw, ofc2);
-    sml.encode(bw, mlc2);
-    sll.encode(bw, llc2);
+    int ofc2 = highbit32(q.ofv);
+    uint32_t of_x2 = q.ofv - (1u << ofc2);
+    if (pof.mode != 1) sof.encode(bw, ofc2);
+    if (pml.mode != 1) sml.encode(bw, mlc2);
+    if (pll.mode != 1) sll.encode(bw, llc2);
     bw.add(ll_x, ll_b);
     bw.add(ml_x, ml_b);
     bw.add(of_x2, ofc2);
     if (w + bw.pos + 24 > dst_cap) return 0;
   }
-  sml.flush(bw);
-  sof.flush(bw);
-  sll.flush(bw);
+  if (pml.mode != 1) sml.flush(bw);
+  if (pof.mode != 1) sof.flush(bw);
+  if (pll.mode != 1) sll.flush(bw);
   uint64_t bits_len = bw.close();
   w += bits_len;
   if (w >= raw_size) return 0;       // not profitable
   return w;
+}
+
+// ---------------------------------------------------------------------------
+// match finders.  Two strategies share the emission/rep machinery:
+//   greedy  — single-probe hash4 table (levels <= 2 and negative levels,
+//             with skip acceleration on incompressible stretches);
+//   lazy    — hash chains with bounded depth and 1- or 2-step lazy
+//             evaluation (levels >= 3), the ratio workhorse.
+// An optional long-distance table (8-byte hashes, sparse insertion) serves
+// --long windows at any level.  Levels map to {window, chain log, depth,
+// lazy steps} like libzstd's cParams, but the table is our own.
+// ---------------------------------------------------------------------------
+
+static inline uint32_t read32(const uint8_t *p) {
+  uint32_t v; std::memcpy(&v, p, 4); return v;
+}
+static inline uint64_t read64(const uint8_t *p) {
+  uint64_t v; std::memcpy(&v, p, 8); return v;
+}
+
+struct LevelCfg {
+  int strat;       // 0 greedy, 1 lazy chains
+  int wlog;        // window log (offset cap)
+  int hlog;        // hash4 table log
+  int clog;        // chain ring log (strat 1)
+  int depth;       // chain walk bound
+  uint32_t mm;     // min match for new offsets
+  int lazy;        // lazy steps (0..2)
+  int accel;       // greedy skip acceleration (negative levels)
+  bool ldm;        // long-distance table on
+  bool full_rep;   // greedy: check all three repeat offsets
+};
+
+static LevelCfg cfg_for(int level, int wlog_override) {
+  LevelCfg c;
+  if (level < 1) {
+    long long a = -(long long)level;
+    c = {0, 21, 17, 0, 0, 6, 0, (int)(a > 60 ? 8 : 1 + a / 8), false, false};
+  } else if (level <= 1)  c = {0, 21, 17, 0, 0, 5, 0, 0, false, false};
+  else if (level <= 2)    c = {0, 21, 18, 0, 0, 5, 0, 0, false, true};
+  else if (level <= 4)    c = {1, 21, 17, 16, 8, 4, 1, 0, false};
+  else if (level <= 6)    c = {1, 22, 18, 17, 16, 4, 1, 0, false};
+  else if (level <= 9)    c = {1, 23, 19, 18, 48, 4, 1, 0, false};
+  else if (level <= 12)   c = {1, 24, 20, 19, 96, 4, 2, 0, false};
+  else if (level <= 15)   c = {1, 25, 21, 20, 256, 4, 2, 0, false};
+  else if (level <= 18)   c = {1, 26, 22, 21, 512, 3, 2, 0, false};
+  else                    c = {1, 27, 22, 22, 1024, 3, 2, 0, false};
+  if (wlog_override > 0) {
+    c.wlog = wlog_override < 10 ? 10 : (wlog_override > 30 ? 30 : wlog_override);
+    if (c.wlog >= 24) c.ldm = true;   // --long: long-distance matching
+  }
+  return c;
+}
+
+static const int LDM_LOG = 20;
+static const uint32_t LDM_MINMATCH = 32;
+
+struct Tables {
+  int32_t *hash;          // 1 << hlog, pos+1
+  int32_t *chain;         // 1 << clog ring, pos+1 (strat 1)
+  int32_t *ldm;           // 1 << LDM_LOG, pos+1 (ldm only)
+};
+
+static inline uint32_t hash4_log(uint32_t v, int hlog) {
+  return (v * 2654435761u) >> (32 - hlog);
+}
+static inline uint32_t hash8_ldm(uint64_t v) {
+  return (uint32_t)((v * 0x9E3779B185EBCA87ull) >> (64 - LDM_LOG));
+}
+
+// extend a candidate match [cand, pos); returns length (0 if no 4-byte seed)
+static inline uint64_t extend(const uint8_t *src, uint64_t cand, uint64_t pos,
+                              uint64_t end) {
+  if (read32(src + cand) != read32(src + pos)) return 0;
+  uint64_t m = 4;
+  const uint64_t room = end - pos;
+  while (m + 8 <= room) {
+    uint64_t a = read64(src + cand + m), b = read64(src + pos + m);
+    if (a != b) return m + (__builtin_ctzll(a ^ b) >> 3);
+    m += 8;
+  }
+  while (m < room && src[cand + m] == src[pos + m]) m++;
+  return m;
+}
+
+// longest rep-offset match at pos (distances from the CURRENT rep state,
+// considering both the ll>0 and ll==0 views); returns (len, distance)
+static inline uint64_t best_rep(const uint8_t *src, uint64_t pos,
+                                uint64_t end, const RepState &rs,
+                                uint32_t ll_nonzero, uint32_t *dist) {
+  uint64_t best = 0;
+  uint32_t cand_d[3];
+  if (ll_nonzero) {
+    cand_d[0] = rs.r[0]; cand_d[1] = rs.r[1]; cand_d[2] = rs.r[2];
+  } else {
+    cand_d[0] = rs.r[1]; cand_d[1] = rs.r[2]; cand_d[2] = rs.r[0] - 1;
+  }
+  for (int k = 0; k < 3; k++) {
+    uint32_t d = cand_d[k];
+    if (d == 0 || d > pos) continue;
+    if (read32(src + pos - d) != read32(src + pos)) continue;
+    uint64_t m = extend(src, pos - d, pos, end);
+    if (m > best) { best = m; *dist = d; }
+  }
+  return best;
+}
+
+// chain search: longest match, ties to smaller offset; returns length
+static inline uint64_t chain_search(const uint8_t *src, uint64_t pos,
+                                    uint64_t end, uint64_t lo_limit,
+                                    const LevelCfg &cfg, Tables &t,
+                                    uint32_t *off_out) {
+  const uint32_t cmask = (1u << cfg.clog) - 1;
+  const uint64_t window = 1ull << cfg.wlog;
+  uint64_t lo = pos > window ? pos - window : 0;
+  if (lo < lo_limit) lo = lo_limit;
+  uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
+  int64_t cand = (int64_t)t.hash[h] - 1;
+  // the caller inserts pos before searching; skip the self-entry
+  if (cand == (int64_t)pos)
+    cand = (int64_t)t.chain[pos & cmask] - 1;
+  uint64_t best = 0;
+  int depth = cfg.depth;
+  while (cand >= (int64_t)lo && depth-- > 0) {
+    if (cand >= (int64_t)pos) break;   // stale ring entry
+    // fast reject: compare the byte just past the current best
+    if (src[cand + best] == src[pos + best]) {
+      uint64_t m = extend(src, (uint64_t)cand, pos, end);
+      if (m > best) {
+        best = m;
+        *off_out = (uint32_t)(pos - (uint64_t)cand);
+        if (pos + m >= end) break;
+      }
+    }
+    int64_t nxt = (int64_t)t.chain[cand & cmask] - 1;
+    if (nxt >= cand) break;          // stale ring entry (wrapped)
+    cand = nxt;
+  }
+  return best;
+}
+
+static inline void chain_insert(const uint8_t *src, uint64_t pos,
+                                const LevelCfg &cfg, Tables &t) {
+  const uint32_t cmask = (1u << cfg.clog) - 1;
+  uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
+  t.chain[pos & cmask] = t.hash[h];
+  t.hash[h] = (int32_t)(pos + 1);
+}
+
+// long-distance probe/insert (8-byte hashes, sparse)
+uint64_t naf_ldm_probes = 0, naf_ldm_hits = 0, naf_ldm_cand = 0,
+         naf_ldm_ins = 0;   // debug counters
+
+static inline uint64_t ldm_search(const uint8_t *src, uint64_t pos,
+                                  uint64_t end, uint64_t lo_limit,
+                                  const LevelCfg &cfg, Tables &t,
+                                  uint32_t *off_out) {
+  if (!cfg.ldm || pos + 8 > end) return 0;
+  naf_ldm_probes++;
+  const uint64_t window = 1ull << cfg.wlog;
+  uint64_t lo = pos > window ? pos - window : 0;
+  if (lo < lo_limit) lo = lo_limit;
+  uint32_t h = hash8_ldm(read64(src + pos));
+  int64_t cand = (int64_t)t.ldm[h] - 1;
+  if (cand < (int64_t)lo || cand >= (int64_t)pos) return 0;
+  naf_ldm_cand++;
+  uint64_t m = extend(src, (uint64_t)cand, pos, end);
+  if (m < LDM_MINMATCH) return 0;
+  naf_ldm_hits++;
+  *off_out = (uint32_t)(pos - (uint64_t)cand);
+  return m;
+}
+
+static inline void ldm_insert(const uint8_t *src, uint64_t pos, uint64_t end,
+                              const LevelCfg &cfg, Tables &t) {
+  // sparse stride-16 insertion: long history survives in the 1M-slot table
+  // (dense insertion would evict it); any long repeat contains plenty of
+  // stride-aligned anchors, and one hit latches the whole match
+  if (!cfg.ldm || (pos & 15) != 0 || pos + 8 > end) return;
+  naf_ldm_ins++;
+  t.ldm[hash8_ldm(read64(src + pos))] = (int32_t)(pos + 1);
+}
+
+// match score: favors long matches and cheap (small/rep) offsets
+static inline int64_t score(uint64_t m, uint32_t ofv) {
+  return (int64_t)(m << 3) - highbit32(ofv | 1);
+}
+
+// collect sequences for src[block_start, block_end); history from
+// src[lo_limit, block_start).  Updates the rep state across blocks.
+static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
+                               uint64_t block_end, uint64_t lo_limit,
+                               const LevelCfg &cfg, Tables &t, RepState &rs,
+                               Seq *seqs, uint32_t max_seqs,
+                               uint8_t *literals, uint32_t *lit_total) {
+  uint64_t pos = block_start, anchor = block_start;
+  uint32_t n = 0, lit_n = 0;
+  const uint64_t limit = block_end >= 12 ? block_end - 12 : 0;
+  const uint64_t window = 1ull << cfg.wlog;
+
+  auto emit = [&](uint64_t at, uint64_t m, uint32_t off) {
+    uint32_t ll = (uint32_t)(at - anchor);
+    std::memcpy(literals + lit_n, src + anchor, ll);
+    lit_n += ll;
+    seqs[n].lit_len = ll;
+    seqs[n].match_len = (uint32_t)m;
+    seqs[n].ofv = offset_value(rs, off, ll);
+    n++;
+    anchor = at + m;
+  };
+
+  if (cfg.strat == 0) {
+    // greedy hash4 with rep checks
+    uint32_t skip = 0;
+    while (pos < limit && n < max_seqs) {
+      uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
+      int64_t cand = (int64_t)t.hash[h] - 1;
+      t.hash[h] = (int32_t)(pos + 1);
+
+      // level 1 checks only the primary repeat offset (speed); level 2 and
+      // the lazy strategy check all three
+      uint32_t rep_d;
+      uint64_t m_rep;
+      if (cfg.full_rep) {
+        rep_d = 0;
+        m_rep = best_rep(src, pos, block_end, rs,
+                         (uint32_t)(pos - anchor), &rep_d);
+      } else {
+        rep_d = pos - anchor ? rs.r[0] : rs.r[1];
+        m_rep = 0;
+        if (rep_d && rep_d <= pos &&
+            read32(src + pos - rep_d) == read32(src + pos))
+          m_rep = extend(src, pos - rep_d, pos, block_end);
+      }
+      uint64_t m_h = 0;
+      uint32_t off_h = 0;
+      if (cand >= (int64_t)lo_limit && pos - (uint64_t)cand <= window) {
+        m_h = extend(src, (uint64_t)cand, pos, block_end);
+        off_h = (uint32_t)(pos - (uint64_t)cand);
+      }
+      uint32_t off_l = 0;
+      // probe BEFORE inserting: an aligned position's insert would land in
+      // its twin's slot (same content, same hash) and self-evict it
+      uint64_t m_l = ldm_search(src, pos, block_end, lo_limit, cfg, t, &off_l);
+      ldm_insert(src, pos, block_end, cfg, t);
+      if (m_l > m_h + 4) { m_h = m_l; off_h = off_l; }
+
+      if (m_rep >= 4 && m_rep + 1 >= m_h) {
+        emit(pos, m_rep, rep_d);
+        pos = anchor;
+        skip = 0;
+      } else if (m_h >= cfg.mm) {
+        emit(pos, m_h, off_h);
+        if (m_h > 2 && pos + m_h < limit) {
+          uint64_t ins = pos + (m_h >> 1);
+          t.hash[hash4_log(read32(src + ins), cfg.hlog)] = (int32_t)(ins + 1);
+          t.hash[hash4_log(read32(src + pos + m_h - 2), cfg.hlog)] =
+              (int32_t)(pos + m_h - 1);
+        }
+        pos = anchor;
+        skip = 0;
+      } else {
+        pos += 1 + (cfg.accel ? ((uint32_t)(pos - anchor) >> 8) * cfg.accel
+                              : 0);
+        (void)skip;
+      }
+    }
+  } else {
+    // lazy chain matcher
+    while (pos < limit && n < max_seqs) {
+      chain_insert(src, pos, cfg, t);
+
+      uint32_t rep_d = 0, off = 0;
+      uint64_t m_rep = best_rep(src, pos, block_end, rs,
+                                (uint32_t)(pos - anchor), &rep_d);
+      uint64_t m = chain_search(src, pos, block_end, lo_limit, cfg, t, &off);
+      uint32_t off_l = 0;
+      // probe BEFORE inserting: an aligned position's insert would land in
+      // its twin's slot (same content, same hash) and self-evict it
+      uint64_t m_l = ldm_search(src, pos, block_end, lo_limit, cfg, t, &off_l);
+      ldm_insert(src, pos, block_end, cfg, t);
+      if (m_l > m + 4) { m = m_l; off = off_l; }
+
+      bool use_rep = m_rep >= 3 && score(m_rep, 1) >= score(m, off + 3);
+      if (use_rep) { m = m_rep; }
+      else if (m < cfg.mm) { pos++; continue; }
+      // offset sanity vs cost: tiny matches at huge distance lose
+      if (!use_rep && m * 8 < (uint64_t)highbit32(off + 3) + 14) {
+        pos++;
+        continue;
+      }
+
+      uint64_t at = pos;
+      for (int step = 0; step < cfg.lazy && at + 1 < limit; step++) {
+        uint64_t nx = at + 1;
+        chain_insert(src, nx, cfg, t);
+        uint32_t rep_d2 = 0, off2 = 0;
+        uint64_t m_rep2 = best_rep(src, nx, block_end, rs,
+                                   (uint32_t)(nx - anchor), &rep_d2);
+        uint64_t m2 = chain_search(src, nx, block_end, lo_limit, cfg, t,
+                                   &off2);
+        bool rep2 = m_rep2 >= 3 && score(m_rep2, 1) >= score(m2, off2 + 3);
+        uint64_t cand_m = rep2 ? m_rep2 : m2;
+        uint32_t cand_off = rep2 ? rep_d2 : off2;
+        int64_t cur = score(m, use_rep ? 1 : off + 3) ;
+        int64_t nxt = score(cand_m, rep2 ? 1 : off2 + 3) - 4; // switch bias
+        if (cand_m >= cfg.mm && nxt > cur) {
+          at = nx; m = cand_m; off = cand_off; use_rep = rep2;
+          if (use_rep) rep_d = rep_d2;
+        } else {
+          break;
+        }
+      }
+
+      emit(at, m, use_rep ? rep_d : off);
+      // insert positions inside the match (bounded work)
+      uint64_t stop = at + m < limit ? at + m : limit;
+      uint64_t ins = at + 1;
+      uint64_t stride = cfg.depth >= 96 ? 1 : 2;
+      for (; ins < stop; ins += stride) chain_insert(src, ins, cfg, t);
+      pos = anchor;
+    }
+  }
+
+  uint32_t tail = (uint32_t)(block_end - anchor);
+  std::memcpy(literals + lit_n, src + anchor, tail);
+  lit_n += tail;
+  *lit_total = lit_n;
+  return n;
 }
 
 // ---------------------------------------------------------------------------
@@ -761,64 +1153,105 @@ static uint64_t write_compressed_block(const Seq *seqs, uint32_t n_seqs,
 
 static const uint64_t BLOCK_MAX = 128 << 10;
 
-// dst capacity must be >= n + n/8 + 1024.  Returns frame length.
-uint64_t naf_zstd_compress(const uint8_t *src, uint64_t n,
-                           uint8_t *dst, uint64_t dst_cap,
-                           int32_t *scratch_table) {
-  // concurrent callers (blocked-section thread pool) each get their own
-  // table; the caller-supplied scratch is accepted for ABI compatibility
-  static thread_local int32_t tl_table[1 << HLOG];
-  (void)scratch_table;
-  scratch_table = tl_table;
-  fse_init_all();
+static uint64_t write_frame_header(uint8_t *dst, uint64_t n) {
   uint64_t w = 0;
-  // frame header: magic + single-segment descriptor + frame content size
   dst[w++] = 0x28; dst[w++] = 0xB5; dst[w++] = 0x2F; dst[w++] = 0xFD;
+  // single-segment frames: Window_Size = Frame_Content_Size, so any offset
+  // within the frame is legal (the reference decoder allows max window)
   if (n < 256) {
-    dst[w++] = 0x20;                          // FCS flag 0, single segment
+    dst[w++] = 0x20;
     dst[w++] = (uint8_t)n;
   } else if (n <= 65535 + 256) {
-    dst[w++] = 0x60;                          // FCS flag 1
+    dst[w++] = 0x60;
     uint64_t v = n - 256;
     dst[w++] = (uint8_t)v; dst[w++] = (uint8_t)(v >> 8);
-  } else {
-    dst[w++] = 0xA0;                          // FCS flag 2 (4 bytes)
+  } else if (n <= 0xFFFFFFFFull) {
+    dst[w++] = 0xA0;
     dst[w++] = (uint8_t)n; dst[w++] = (uint8_t)(n >> 8);
     dst[w++] = (uint8_t)(n >> 16); dst[w++] = (uint8_t)(n >> 24);
+  } else {
+    dst[w++] = 0xE0;
+    for (int i = 0; i < 8; i++) dst[w++] = (uint8_t)(n >> (8 * i));
   }
+  return w;
+}
 
-  MatchCtx ctx{scratch_table};
-  std::memset(ctx.table, 0, sizeof(int32_t) << HLOG);
+// level: zstd-style (-131072 .. 22); window_log: 0 = by level, else 10..30
+// (--long).  Returns frame length, 0 on overflow.
+uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
+                              uint8_t *dst, uint64_t dst_cap,
+                              int32_t level, int32_t window_log) {
+  fse_init_all();
+  LevelCfg cfg = cfg_for(level, window_log);
+  uint64_t w = write_frame_header(dst, n);
 
   if (n == 0) {
-    // one empty raw last-block
     dst[w++] = 0x01; dst[w++] = 0x00; dst[w++] = 0x00;
     return w;
   }
 
+  // tables (hash4 is thread-local; chains/ldm allocated when used)
+  static thread_local int32_t tl_hash[1 << 20];
+  if (cfg.hlog > 20) cfg.hlog = 20;
+  Tables t{tl_hash, nullptr, nullptr};
+  std::memset(t.hash, 0, sizeof(int32_t) << cfg.hlog);
+  int32_t *alloc_chain = nullptr, *alloc_ldm = nullptr;
+  if (cfg.strat == 1) {
+    uint64_t ring = 1ull << cfg.clog;
+    if (ring > n + 16) {               // don't over-allocate for small input
+      int cl = cfg.clog;
+      while (cl > 10 && (1ull << (cl - 1)) > n + 16) cl--;
+      cfg.clog = cl;
+      ring = 1ull << cl;
+    }
+    alloc_chain = new int32_t[ring]();
+    t.chain = alloc_chain;
+  }
+  if (cfg.ldm) {
+    alloc_ldm = new int32_t[1 << LDM_LOG]();
+    t.ldm = alloc_ldm;
+  }
+
   // per-block scratch (worst case per 128K block)
-  static thread_local Seq seqs[BLOCK_MAX / 4 + 16];
+  static thread_local Seq seqs[BLOCK_MAX / 3 + 16];
   static thread_local uint8_t literals[BLOCK_MAX + 16];
   static thread_local uint8_t body[BLOCK_MAX + (BLOCK_MAX >> 2) + 4096];
 
+  RepState rs;
   uint64_t pos = 0;
+  uint64_t lo_limit = 0;       // match-history floor (2 GB table reset)
   while (pos < n) {
+    if (pos - lo_limit >= (1ull << 31) - (BLOCK_MAX * 2)) {
+      // int32 position tables can't reach past 2 GB: reset history
+      std::memset(t.hash, 0, sizeof(int32_t) << cfg.hlog);
+      if (t.chain) std::memset(t.chain, 0, sizeof(int32_t) << cfg.clog);
+      if (t.ldm) std::memset(t.ldm, 0, sizeof(int32_t) << LDM_LOG);
+      lo_limit = pos;
+    }
     uint64_t bsz = n - pos < BLOCK_MAX ? n - pos : BLOCK_MAX;
     int last = (pos + bsz == n) ? 1 : 0;
-    uint32_t lit_n = 0, last_lits = 0;
-    uint32_t n_seqs = find_sequences(src, pos, pos + bsz, n, ctx, seqs,
-                                     (uint32_t)(BLOCK_MAX / 4), literals,
-                                     &lit_n, &last_lits);
+    uint32_t lit_n = 0;
+    RepState rs_block = rs;       // committed only if the block is kept
+    uint32_t n_seqs = find_sequences(src, pos, pos + bsz, lo_limit, cfg, t,
+                                     rs_block, seqs,
+                                     (uint32_t)(BLOCK_MAX / 3), literals,
+                                     &lit_n);
     uint64_t bodysz = write_compressed_block(seqs, n_seqs, literals, lit_n,
                                              bsz, body, sizeof(body));
-    if (w + 3 + (bodysz ? bodysz : bsz) > dst_cap) return 0;
+    if (w + 3 + (bodysz ? bodysz : bsz) > dst_cap) {
+      delete[] alloc_chain; delete[] alloc_ldm;
+      return 0;
+    }
     if (bodysz) {
+      rs = rs_block;
       uint32_t hdr = (uint32_t)last | (2u << 1) | ((uint32_t)bodysz << 3);
       dst[w++] = (uint8_t)hdr; dst[w++] = (uint8_t)(hdr >> 8);
       dst[w++] = (uint8_t)(hdr >> 16);
       std::memcpy(dst + w, body, bodysz);
       w += bodysz;
     } else {
+      // raw block: the decoder's rep state is NOT advanced by raw blocks,
+      // so ours must stay at the pre-block value too (rs unchanged)
       uint32_t hdr = (uint32_t)last | (0u << 1) | ((uint32_t)bsz << 3);
       dst[w++] = (uint8_t)hdr; dst[w++] = (uint8_t)(hdr >> 8);
       dst[w++] = (uint8_t)(hdr >> 16);
@@ -827,42 +1260,69 @@ uint64_t naf_zstd_compress(const uint8_t *src, uint64_t n,
     }
     pos += bsz;
   }
+  delete[] alloc_chain;
+  delete[] alloc_ldm;
   return w;
 }
 
-uint64_t naf_zstd_scratch_bytes(void) { return sizeof(int32_t) << HLOG; }
+// legacy entry (level 1); the caller-supplied scratch is accepted for ABI
+// compatibility
+uint64_t naf_zstd_compress(const uint8_t *src, uint64_t n,
+                           uint8_t *dst, uint64_t dst_cap,
+                           int32_t *scratch_table) {
+  (void)scratch_table;
+  return naf_zstd_compress_ex(src, n, dst, dst_cap, 1, 0);
+}
+
+uint64_t naf_zstd_scratch_bytes(void) { return sizeof(int32_t) << 17; }
 
 // ---------------------------------------------------------------------------
-// candidate-driven variant: the device kernel (ops/matchfind.py) scores a
-// match candidate per position; this serializer verifies, extends, and
+// candidate-driven variant: the device kernel (ops/matchfind.py) proposes
+// match candidates per position; this serializer verifies, extends, and
 // packs — the host side of the device/host split from SURVEY §7 step 6.
+// cand[p] holds up to K int32 candidate positions (closest-first, -1 = none)
+// when stride K > 1, or one per position when K == 1.
 // ---------------------------------------------------------------------------
 
 static uint32_t find_sequences_cand(const uint8_t *src, const int32_t *cand,
+                                    int32_t k_cand,
                                     uint64_t block_start, uint64_t block_end,
+                                    RepState &rs,
                                     Seq *seqs, uint32_t max_seqs,
-                                    uint8_t *literals, uint32_t *lit_total,
-                                    uint32_t *last_lits) {
+                                    uint8_t *literals, uint32_t *lit_total) {
   uint64_t pos = block_start, anchor = block_start;
   uint32_t n = 0, lit_n = 0;
   const uint64_t limit = block_end >= 12 ? block_end - 12 : 0;
   while (pos < limit && n < max_seqs) {
-    int64_t c = cand[pos];
-    if (c >= 0 && pos - (uint64_t)c <= MAXDIST &&
-        read32(src + c) == read32(src + pos)) {
-      uint64_t m = 4;
-      const uint64_t room = block_end - pos;
-      while (m < room && src[c + m] == src[pos + m]) m++;
-      if (m < 6) { pos++; continue; }
+    uint32_t rep_d = 0;
+    uint64_t m_rep = best_rep(src, pos, block_end, rs,
+                              (uint32_t)(pos - anchor), &rep_d);
+    uint64_t best = 0;
+    uint32_t off = 0;
+    for (int32_t k = 0; k < k_cand; k++) {
+      int64_t c = cand[pos * k_cand + k];
+      if (c < 0 || (uint64_t)c >= pos) continue;
+      uint64_t m = extend(src, (uint64_t)c, pos, block_end);
+      if (m > best) { best = m; off = (uint32_t)(pos - (uint64_t)c); }
+    }
+    if (m_rep >= 3 && m_rep + 1 >= best) {
       uint32_t ll = (uint32_t)(pos - anchor);
       std::memcpy(literals + lit_n, src + anchor, ll);
       lit_n += ll;
       seqs[n].lit_len = ll;
-      seqs[n].match_len = (uint32_t)m;
-      seqs[n].offset = (uint32_t)(pos - (uint64_t)c);
+      seqs[n].match_len = (uint32_t)m_rep;
+      seqs[n].ofv = offset_value(rs, rep_d, ll);
       n++;
-      pos += m;
-      anchor = pos;
+      pos += m_rep; anchor = pos;
+    } else if (best >= 5) {
+      uint32_t ll = (uint32_t)(pos - anchor);
+      std::memcpy(literals + lit_n, src + anchor, ll);
+      lit_n += ll;
+      seqs[n].lit_len = ll;
+      seqs[n].match_len = (uint32_t)best;
+      seqs[n].ofv = offset_value(rs, off, ll);
+      n++;
+      pos += best; anchor = pos;
     } else {
       pos++;
     }
@@ -871,46 +1331,37 @@ static uint32_t find_sequences_cand(const uint8_t *src, const int32_t *cand,
   std::memcpy(literals + lit_n, src + anchor, tail);
   lit_n += tail;
   *lit_total = lit_n;
-  *last_lits = tail;
   return n;
 }
 
-uint64_t naf_zstd_compress_cand(const uint8_t *src, uint64_t n,
-                                const int32_t *cand,
-                                uint8_t *dst, uint64_t dst_cap) {
+uint64_t naf_zstd_compress_cand_k(const uint8_t *src, uint64_t n,
+                                  const int32_t *cand, int32_t k_cand,
+                                  uint8_t *dst, uint64_t dst_cap) {
   fse_init_all();
-  uint64_t w = 0;
-  dst[w++] = 0x28; dst[w++] = 0xB5; dst[w++] = 0x2F; dst[w++] = 0xFD;
-  if (n < 256) {
-    dst[w++] = 0x20; dst[w++] = (uint8_t)n;
-  } else if (n <= 65535 + 256) {
-    dst[w++] = 0x60;
-    uint64_t v = n - 256;
-    dst[w++] = (uint8_t)v; dst[w++] = (uint8_t)(v >> 8);
-  } else {
-    dst[w++] = 0xA0;
-    dst[w++] = (uint8_t)n; dst[w++] = (uint8_t)(n >> 8);
-    dst[w++] = (uint8_t)(n >> 16); dst[w++] = (uint8_t)(n >> 24);
-  }
+  uint64_t w = write_frame_header(dst, n);
   if (n == 0) {
     dst[w++] = 0x01; dst[w++] = 0x00; dst[w++] = 0x00;
     return w;
   }
-  static thread_local Seq seqs[BLOCK_MAX / 4 + 16];
+  static thread_local Seq seqs[BLOCK_MAX / 3 + 16];
   static thread_local uint8_t literals[BLOCK_MAX + 16];
   static thread_local uint8_t body[BLOCK_MAX + (BLOCK_MAX >> 2) + 4096];
+  RepState rs;
   uint64_t pos = 0;
   while (pos < n) {
     uint64_t bsz = n - pos < BLOCK_MAX ? n - pos : BLOCK_MAX;
     int last = (pos + bsz == n) ? 1 : 0;
-    uint32_t lit_n = 0, last_lits = 0;
-    uint32_t n_seqs = find_sequences_cand(src, cand, pos, pos + bsz, seqs,
-                                          (uint32_t)(BLOCK_MAX / 4),
-                                          literals, &lit_n, &last_lits);
+    uint32_t lit_n = 0;
+    RepState rs_block = rs;
+    uint32_t n_seqs = find_sequences_cand(src, cand, k_cand, pos, pos + bsz,
+                                          rs_block, seqs,
+                                          (uint32_t)(BLOCK_MAX / 3),
+                                          literals, &lit_n);
     uint64_t bodysz = write_compressed_block(seqs, n_seqs, literals, lit_n,
                                              bsz, body, sizeof(body));
     if (w + 3 + (bodysz ? bodysz : bsz) > dst_cap) return 0;
     if (bodysz) {
+      rs = rs_block;
       uint32_t hdr = (uint32_t)last | (2u << 1) | ((uint32_t)bodysz << 3);
       dst[w++] = (uint8_t)hdr; dst[w++] = (uint8_t)(hdr >> 8);
       dst[w++] = (uint8_t)(hdr >> 16);
@@ -926,6 +1377,12 @@ uint64_t naf_zstd_compress_cand(const uint8_t *src, uint64_t n,
     pos += bsz;
   }
   return w;
+}
+
+uint64_t naf_zstd_compress_cand(const uint8_t *src, uint64_t n,
+                                const int32_t *cand,
+                                uint8_t *dst, uint64_t dst_cap) {
+  return naf_zstd_compress_cand_k(src, n, cand, 1, dst, dst_cap);
 }
 
 }  // extern "C"

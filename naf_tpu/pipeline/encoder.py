@@ -149,11 +149,13 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
 
     def compress_bytes(buf, window_log: int = 0) -> Section:
         mv = memoryview(buf)
-        if opts.engine == "native":
+        if opts.engine in ("native", "device"):
+            # the device engine covers the bulk SEQ/QUAL payloads; tiny
+            # metadata sections go through the native host serializer
             from ..codec import compress_section_native
 
             return Section(uncompressed_size=mv.nbytes,
-                           payload=compress_section_native(mv))
+                           payload=compress_section_native(mv, level=level))
         sc = SectionCompressor(level=level, window_log=window_log, threads=threads)
         sc.write(buf)
         return Section(uncompressed_size=sc.uncompressed_size, payload=sc.finish())
@@ -164,10 +166,16 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
                 buf, level=level, window_log=opts.long_window_log,
                 threads=threads, block_bytes=opts.block_bytes,
                 engine=opts.engine)
+        if opts.engine == "device":
+            from ..codec import compress_section_device
+
+            return compress_section_device(buf)
         if opts.engine == "native":
             from ..codec import compress_section_native
 
-            return compress_section_native(buf)
+            # --long widens the SEQ window only (compressor.c:7-21)
+            return compress_section_native(
+                buf, level=level, window_log=opts.long_window_log)
         sc = SectionCompressor(level=level, window_log=opts.long_window_log,
                                threads=threads)
         sc.write(buf)
@@ -208,6 +216,12 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
                 payload=compress_section_blocked(
                     res.qual.tobytes(), level=level, threads=threads,
                     block_bytes=opts.block_bytes, engine=opts.engine))
+        elif opts.engine == "device":
+            from ..codec import compress_section_device
+
+            jobs["quality"] = lambda: Section(
+                uncompressed_size=int(res.qual.size),
+                payload=compress_section_device(res.qual.tobytes()))
         else:
             jobs["quality"] = lambda: compress_bytes(res.qual.tobytes())
 
