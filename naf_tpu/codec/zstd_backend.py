@@ -180,14 +180,15 @@ def iter_decompress(payload: bytes, chunk_size: int = 1 << 20) -> Iterator[bytes
 # serializes decompression).  The reference decoder cannot read these
 # archives; the header's reserved bit 0x80 marks them (NAF spec §2.4).
 
-def compress_section_blocked(data, level: int = 1, window_log: int = 0,
-                             threads: int = 0,
-                             block_bytes: int = 4 << 20,
-                             engine: str = "zstd") -> bytes:
-    """Compress `data` as independently-framed blocks with an index."""
-    from concurrent.futures import ThreadPoolExecutor
+def compress_frames(data, level: int = 1, window_log: int = 0,
+                    threads: int = 0, block_bytes: int = 4 << 20,
+                    engine: str = "zstd") -> tuple[list[int], list[bytes]]:
+    """`data` -> (per-frame raw lengths, independent magic-stripped frames).
 
-    from ..format.vle import encode_vle
+    The building block shared by the single-host blocked section writer and
+    the multi-host extended path (each host frames only its own byte range).
+    """
+    from concurrent.futures import ThreadPoolExecutor
 
     mv = memoryview(data)
     n = mv.nbytes
@@ -208,12 +209,30 @@ def compress_section_blocked(data, level: int = 1, window_log: int = 0,
             frames = list(ex.map(one, blocks))
     else:
         frames = [one(b) for b in blocks]
-    out = [encode_vle(len(blocks))]
-    for b, f in zip(blocks, frames):
-        out.append(encode_vle(b.nbytes))
+    return [b.nbytes for b in blocks], frames
+
+
+def blocked_payload(raw_lens: list[int], frames: list[bytes]) -> bytes:
+    """Assemble the blocked-section envelope: VLE index + frames."""
+    from ..format.vle import encode_vle
+
+    out = [encode_vle(len(frames))]
+    for r, f in zip(raw_lens, frames):
+        out.append(encode_vle(r))
         out.append(encode_vle(len(f)))
     out.extend(frames)
     return b"".join(out)
+
+
+def compress_section_blocked(data, level: int = 1, window_log: int = 0,
+                             threads: int = 0,
+                             block_bytes: int = 4 << 20,
+                             engine: str = "zstd") -> bytes:
+    """Compress `data` as independently-framed blocks with an index."""
+    raw_lens, frames = compress_frames(
+        data, level=level, window_log=window_log, threads=threads,
+        block_bytes=block_bytes, engine=engine)
+    return blocked_payload(raw_lens, frames)
 
 
 def parse_blocked_index(payload: bytes):

@@ -390,6 +390,62 @@ def stitch_packed(packed: np.ndarray, counts: np.ndarray,
     return np.concatenate(pieces)
 
 
+def stitch_packed_range(rows: dict, counts: np.ndarray,
+                        first_codes: np.ndarray, k0: int, k1: int
+                        ) -> np.ndarray:
+    """``stitch_packed`` for blocks [k0, k1) only, using global carry state.
+
+    ``rows[d]`` is block d's even-aligned packed payload; ``counts`` and
+    ``first_codes`` are the GLOBAL per-block vectors (O(D) scalars every
+    host already holds).  Boundary nibble ownership: a byte straddling two
+    ranges is emitted by the EARLIER range (completed with the next range's
+    first code) and skipped by the later one, so concatenating every range's
+    output in block order reproduces ``stitch_packed`` byte-for-byte.  This
+    is what lets each host of a multi-host mesh compress its own packed
+    bytes locally (O(compressed) traffic — parallel/multihost.py).
+    """
+    D = counts.shape[0]
+    pieces: list[np.ndarray] = []
+    total = int(counts[:k0].sum())
+    pending_low: int | None = None
+    for d in range(k0, k1):
+        cnt = int(counts[d])
+        if cnt == 0:
+            continue
+        odd = (total % 2) == 1
+        if odd:
+            if pending_low is not None:
+                pieces.append(np.asarray(
+                    [pending_low | (int(first_codes[d]) << 4)],
+                    dtype=np.uint8))
+                pending_low = None
+            # else: first char of this range completes the previous
+            # range's last byte — emitted there, skipped here
+            packed_chars = cnt - 1
+        else:
+            packed_chars = cnt
+        nbytes = packed_chars // 2
+        pieces.append(np.ascontiguousarray(rows[d][:nbytes]))
+        if packed_chars % 2:
+            pending_low = int(rows[d][nbytes]) & 0x0F
+        total += cnt
+    if pending_low is not None:
+        nxt = None
+        for j in range(k1, D):
+            if int(counts[j]) > 0:
+                nxt = j
+                break
+        if nxt is None:
+            pieces.append(np.asarray([pending_low], dtype=np.uint8))
+        else:
+            pieces.append(np.asarray(
+                [pending_low | (int(first_codes[nxt]) << 4)],
+                dtype=np.uint8))
+    if not pieces:
+        return np.zeros(0, dtype=np.uint8)
+    return np.concatenate(pieces)
+
+
 def stitch_lengths(per_block: list[np.ndarray]) -> np.ndarray:
     """Per-block segment counts -> global per-record values.
 

@@ -128,8 +128,13 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
 
 def _stitch_and_build(D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes,
                       n_rec, n_runs, first_lower, longest, hists, em_np,
-                      fallback):
-    """Host carry stitching (O(blocks + records + runs)) + container."""
+                      fallback, prebuilt=None):
+    """Host carry stitching (O(blocks + records + runs)) + container.
+
+    ``prebuilt`` injects ready SEQ/QUAL sections (multi-host extended path:
+    payloads were compressed on their owning hosts; em_np then carries
+    zero-width packed/qual arrays).
+    """
     fastq = fmt == C.IN_FORMAT_FASTQ
     (packed, first_codes, cnt2, id_vals, com_vals, qual_vals,
      seq_lens, id_lens, com_lens, qual_lens, run_lens) = em_np
@@ -164,7 +169,10 @@ def _stitch_and_build(D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes,
 
     total_chars = int(counts.sum())
     res.seq = np.zeros(total_chars, np.uint8)    # only .size is used
-    res.packed = stitch_packed(packed, counts, first_codes)
+    if prebuilt is None:
+        res.packed = stitch_packed(packed, counts, first_codes)
+    else:
+        res.packed = np.zeros(0, np.uint8)       # payload arrives prebuilt
 
     store_mask = not opts.no_mask
     if store_mask:
@@ -177,9 +185,11 @@ def _stitch_and_build(D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes,
             runs = np.concatenate([[0], runs])   # leading masked run
         res.mask_units = runs_to_units(runs)
 
-    if fastq:
+    if fastq and prebuilt is None:
         res.qual = np.concatenate(
             [qual_vals[k, : int(qual_bytes[k])] for k in range(D)])
+    elif fastq:
+        res.qual = np.zeros(int(counts.sum()), np.uint8)   # size only
 
     res.unexpected_id = _merge_hist(hists[0][0], hists[1][0])
     res.unexpected_comment = _merge_hist(hists[2][0], hists[3][0])
@@ -195,7 +205,7 @@ def _stitch_and_build(D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes,
         unexpected_qual=res.unexpected_qual,
         in_format=fmt,
     )
-    return build_archive(res, opts, stats)
+    return build_archive(res, opts, stats, prebuilt=prebuilt)
 
 
 def device_to_host_bytes(D: int, caps: dict) -> int:

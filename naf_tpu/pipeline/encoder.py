@@ -131,12 +131,17 @@ def encode(data: bytes, opts: EncodeOptions) -> tuple[bytes, EncodeStats]:
 
 
 def build_archive(res: "P.ParseResult", opts: EncodeOptions,
-                  stats: EncodeStats) -> tuple[bytes, EncodeStats]:
+                  stats: EncodeStats, *,
+                  prebuilt: "Optional[dict]" = None) -> tuple[bytes, EncodeStats]:
     """Sections + container from a parse result (host or device produced).
 
     Shared tail of the host pipeline and the sharded device pipeline
     (naf_tpu/parallel/pipeline.py); both produce byte-identical archives for
     the same input because section payload construction is identical.
+
+    ``prebuilt`` maps section names to ready ``Section`` objects (the
+    multi-host extended path compresses SEQ/QUAL blocks on their owning
+    hosts and injects the assembled payloads here).
     """
     is_fastq = stats.in_format == C.IN_FORMAT_FASTQ
     text_like = opts.seq_type >= C.SEQ_TYPE_PROTEIN
@@ -224,6 +229,10 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
                 payload=compress_section_device(res.qual.tobytes()))
         else:
             jobs["quality"] = lambda: compress_bytes(res.qual.tobytes())
+
+    if prebuilt:
+        for name, sec in prebuilt.items():
+            jobs[name] = (lambda s=sec: s)
 
     sections: dict[str, Section] = {}
     big = sum(s for s in (res.seq.size, res.qual.size) if s) > (1 << 22)

@@ -70,7 +70,51 @@ fq_blob, _ = encode_multihost(fq_data, EncodeOptions(level=1))
 fq_host, _ = encode(fq_data, EncodeOptions(level=1))
 assert fq_blob == fq_host, "multihost FASTQ archive != host archive"
 
-print(f"proc{pid}: OK n_rec=16 fasta={len(blob)}B fastq={len(fq_blob)}B")
+# ---- O(compressed) extended path: per-host frame compression -------------
+import io
+from naf_tpu.parallel.multihost import encode_multihost_extended
+from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
+
+# compressible payload so gathered-vs-input sizes separate clearly; small
+# frames force multiple frames per host
+motif_a = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=512)
+motif = motif_a.copy()
+motif[100:300] += 32          # one soft-masked stretch (realistic runs)
+motif = motif.tobytes()
+big_rows = [b">big%d some comment\n" % i + motif * 24 + b"\n"
+            for i in range(12)]
+big = b"".join(big_rows)
+traffic = {}
+ext_blob, ext_stats = encode_multihost_extended(
+    big, EncodeOptions(level=1, block_bytes=1 << 14), traffic=traffic)
+host_blob2, _ = encode(big, EncodeOptions(level=1))
+dec_ext = Decoder(io.BytesIO(ext_blob), DecodeOptions()).fasta()
+dec_host = Decoder(io.BytesIO(host_blob2), DecodeOptions()).fasta()
+assert dec_ext == dec_host, "extended multihost decode != host decode"
+assert ext_stats.n_sequences == 12
+
+gathered = traffic["gathered_bytes"]
+comp = len(ext_blob)
+assert gathered < len(big) // 4, \
+    f"extended path gathered {gathered}B for {len(big)}B input"
+assert gathered < 20 * comp, (gathered, comp)
+
+# the plain multihost path on the same input gathers O(input) — prove the
+# extended path's traffic is the smaller by a wide margin
+assert gathered * 4 < len(big), (gathered, len(big))
+
+# FASTQ extended: quality stream also leaves compressed
+fq_traffic = {}
+fq_ext, _ = encode_multihost_extended(
+    fq_data, EncodeOptions(level=1, block_bytes=1 << 12),
+    traffic=fq_traffic)
+assert (Decoder(io.BytesIO(fq_ext), DecodeOptions()).fastq()
+        == Decoder(io.BytesIO(fq_host), DecodeOptions()).fastq())
+
+import hashlib
+digest = hashlib.md5(ext_blob + fq_ext).hexdigest()
+print(f"proc{pid}: OK n_rec=16 fasta={len(blob)}B fastq={len(fq_blob)}B "
+      f"ext_gathered={gathered}B input={len(big)}B EXTDIGEST={digest}")
 """
 
 
@@ -102,9 +146,56 @@ def test_two_process_mesh(tmp_path):
                 q.kill()
             pytest.fail("multihost worker timed out")
         outs.append((p.returncode, out, err))
+    digests = []
     for rc, out, err in outs:
         assert rc == 0, (out.decode()[-500:], err.decode()[-2000:])
         assert b"OK n_rec=16" in out, out
+        digests.append(out.split(b"EXTDIGEST=")[1].split()[0])
+    assert digests[0] == digests[1], "extended archive differs across hosts"
+
+
+def test_stitch_packed_range_matches_global():
+    """Concatenating per-range outputs == stitch_packed, for every split,
+    including odd char counts, empty blocks, and cross-range nibble bytes."""
+    from naf_tpu.parallel.block import stitch_packed, stitch_packed_range
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        D = int(rng.integers(1, 7))
+        counts = rng.integers(0, 9, size=D)
+        if trial % 5 == 0:
+            counts[rng.integers(0, D)] = 0
+        p_cap = 8
+        packed = np.zeros((D, p_cap), np.uint8)
+        first_codes = np.zeros(D, np.uint8)
+        total = 0
+        codes_all = []
+        for d in range(D):
+            cnt = int(counts[d])
+            codes = rng.integers(0, 16, size=cnt).astype(np.uint8)
+            codes_all.append(codes)
+            if cnt:
+                first_codes[d] = codes[0]
+            body = codes[1:] if total % 2 else codes
+            by = np.zeros(p_cap, np.uint8)
+            for i, c in enumerate(body):
+                if i % 2 == 0:
+                    by[i // 2] |= c
+                else:
+                    by[i // 2] |= c << 4
+            packed[d] = by
+            total += cnt
+        ref = stitch_packed(packed, counts, first_codes)
+        for _ in range(4):
+            n_cuts = int(rng.integers(0, D))
+            cuts = sorted({0, D, *rng.integers(0, D + 1, size=n_cuts)})
+            parts = [stitch_packed_range(
+                {d: packed[d] for d in range(a, b)},
+                counts, first_codes, a, b)
+                for a, b in zip(cuts[:-1], cuts[1:])]
+            got = (np.concatenate(parts) if parts
+                   else np.zeros(0, np.uint8))
+            assert np.array_equal(got, ref), (trial, cuts, counts)
 
 
 def test_gather_rows_orders_uneven_shards():
