@@ -75,6 +75,78 @@ def gen_fastq(n_reads: int, read_len: int = 100, seed: int = 1) -> bytes:
     return b"".join(out)
 
 
+def gen_masked_iupac_fasta(total_mb: int, seed: int = 2) -> bytes:
+    """BASELINE config 2: multi-FASTA with heavy soft-masking + IUPAC codes.
+
+    Varying record lengths, ~30% masked in long runs, ~1% IUPAC ambiguity
+    codes, occasional N runs — the masked/ambiguous regime where the MASK
+    section and 4-bit code diversity dominate the ratio.
+    """
+    rng = np.random.default_rng(seed)
+    total = total_mb << 20
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    iupac = np.frombuffer(b"RYSWKMBDHV", np.uint8)
+    out = []
+    made = 0
+    i = 0
+    while made < total:
+        ln = int(rng.integers(20_000, 800_000))
+        ln = min(ln, total - made) or 1
+        seq = rng.choice(bases, size=ln)
+        amb = rng.random(ln) < 0.01
+        seq[amb] = rng.choice(iupac, size=int(amb.sum()))
+        for s in rng.integers(0, max(1, ln - 64), size=max(1, ln // 30_000)):
+            seq[s:s + 64] = ord("N")
+        n_mask = max(1, ln // 4000)
+        for s in rng.integers(0, max(1, ln - 1200), size=n_mask):
+            seq[s:s + 1200] |= 32
+        pad = (-ln) % 80
+        seq = np.concatenate([seq, np.full(pad, ord("a"), np.uint8)])
+        body = seq.reshape(-1, 80)
+        wrapped = np.concatenate(
+            [body, np.full((body.shape[0], 1), ord("\n"), np.uint8)],
+            axis=1).reshape(-1)
+        out.append(b">scaf%d masked iupac\n" % i + wrapped.tobytes())
+        made += ln + pad
+        i += 1
+    return b"".join(out)
+
+
+def gen_fasta_single(total_mb: int, seed: int = 3) -> bytes:
+    """BASELINE config 4: ONE chr1-like record with long-range repeats.
+
+    Repetitive structure (segmental-duplication-style copies at multi-MB
+    distances) is what --long/LDM exists for.
+    """
+    rng = np.random.default_rng(seed)
+    total = total_mb << 20
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    unit = 1 << 20
+    chunks = []
+    made = 0
+    while made < total:
+        if chunks and rng.random() < 0.35:
+            src = chunks[int(rng.integers(0, len(chunks)))]
+            c = src.copy()
+            flips = rng.random(c.size) < 0.002      # diverged copy
+            c[flips] = rng.choice(bases, size=int(flips.sum()))
+        else:
+            c = rng.choice(bases, size=unit)
+        chunks.append(c)
+        made += c.size
+    seq = np.concatenate(chunks)[:total]
+    for s in rng.integers(0, max(1, total - 5000),
+                          size=max(1, total // 200_000)):
+        seq[s:s + 5000] |= 32                        # soft-masked repeats
+    pad = (-seq.size) % 80
+    seq = np.concatenate([seq, np.full(pad, ord("A"), np.uint8)])
+    body = seq.reshape(-1, 80)
+    wrapped = np.concatenate(
+        [body, np.full((body.shape[0], 1), ord("\n"), np.uint8)],
+        axis=1).reshape(-1)
+    return b">chr1_synthetic assembled\n" + wrapped.tobytes()
+
+
 def build_reference() -> bool:
     REF_BUILD.mkdir(exist_ok=True)
     for tool in ("ennaf", "unnaf"):
@@ -209,6 +281,98 @@ def scaling_mode() -> None:
         }))
 
 
+def bench_config2(env) -> None:
+    """BASELINE config 2: masked/IUPAC multi-FASTA ratio parity at -22.
+
+    Ratio is deterministic — one run each; correctness gated by the
+    reference decoding our archive.  Emits one stderr JSON row.
+    """
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    mb = int(os.environ.get("NAF_BENCH_C2_MB", "4"))
+    data = gen_masked_iupac_fasta(mb)
+    t0 = time.perf_counter()
+    blob, _ = encode(data, EncodeOptions(level=22, threads=os.cpu_count() or 0))
+    t_ours = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ref = subprocess.run([str(REF_BUILD / "ennaf"), "-22", "-c"],
+                         input=data, capture_output=True, env=env)
+    t_ref = time.perf_counter() - t0
+    assert ref.returncode == 0, ref.stderr[-300:]
+    q = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=blob,
+                       capture_output=True, env=env)
+    qr = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=ref.stdout,
+                        capture_output=True, env=env)
+    assert q.returncode == 0 and q.stdout == qr.stdout, \
+        "config2: decode mismatch vs reference at -22"
+    ours_ratio = len(data) / len(blob)
+    ref_ratio = len(data) / len(ref.stdout)
+    print(json.dumps({
+        "metric": "masked_iupac_ratio_level22",
+        "value": round(ours_ratio, 3), "unit": "x",
+        "vs_baseline": round(ours_ratio / ref_ratio, 4),
+        "our_bytes": len(blob), "ref_bytes": len(ref.stdout),
+        "input_mb": mb, "our_s": round(t_ours, 2),
+        "ref_s": round(t_ref, 2)}), file=sys.stderr)
+
+
+def bench_config4(env) -> None:
+    """BASELINE config 4: chr1-like single record, high level + --long.
+
+    Round-trip MB/s at level 19 with a 27-bit window vs the reference on
+    the same input (the README's high-level speed claim, reproduced in the
+    bench output).  Emits one stderr JSON row.
+    """
+    from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    mb = int(os.environ.get("NAF_BENCH_C4_MB", "32"))
+    level = int(os.environ.get("NAF_BENCH_C4_LEVEL", "19"))
+    wlog = 27
+    data = gen_fasta_single(mb)
+    dmb = len(data) / (1 << 20)
+    opts = EncodeOptions(level=level, long_window_log=wlog,
+                         threads=os.cpu_count() or 0)
+
+    def compress():
+        return encode(data, opts)[0]
+
+    def ref_compress():
+        return subprocess.run(
+            [str(REF_BUILD / "ennaf"), f"-{level}", "--long", str(wlog), "-c"],
+            input=data, capture_output=True, env=env).stdout
+
+    blob = compress()
+    ref_blob = ref_compress()
+    q = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=blob,
+                       capture_output=True, env=env)
+    assert q.returncode == 0, "config4: reference cannot decode our archive"
+
+    def decompress():
+        return Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+
+    def ref_decompress():
+        return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
+                              input=ref_blob, capture_output=True, env=env)
+
+    reps = int(os.environ.get("NAF_BENCH_C4_REPS", "2"))
+    (t_c, rc), _ = _best_interleaved([compress, ref_compress], reps=reps)
+    (t_d, rd), (out, qd) = _best_interleaved([decompress, ref_decompress],
+                                             reps=reps)
+    assert qd.returncode == 0 and q.stdout == out, "config4: decode mismatch"
+    ours = dmb / (t_c + t_d)
+    ref_v = dmb / (rc + rd)
+    print(json.dumps({
+        "metric": "highlevel_long_roundtrip_MBps",
+        "value": round(ours, 2), "unit": "MB/s",
+        "vs_baseline": round(ours / ref_v, 3),
+        "level": level, "window_log": wlog, "input_mb": round(dmb, 1),
+        "our_s": [round(t_c, 2), round(t_d, 2)],
+        "ref_s": [round(rc, 2), round(rd, 2)],
+        "our_bytes": len(blob), "ref_bytes": len(ref_blob)}),
+        file=sys.stderr)
+
+
 def main() -> None:
     if os.environ.get("NAF_BENCH_SCALING"):
         scaling_mode()
@@ -295,6 +459,10 @@ def main() -> None:
             vs_baseline=round((fq_mb / (tqc + tqd)) / (fq_mb / (rqc + rqd)), 3),
             our_s=[round(tqc, 3), round(tqd, 3)],
             ref_s=[round(rqc, 3), round(rqd, 3)])), file=sys.stderr)
+
+        if not os.environ.get("NAF_BENCH_QUICK"):
+            bench_config2(env)     # BASELINE config 2: -22 ratio parity
+            bench_config4(env)     # BASELINE config 4: high level + --long
     else:
         t_c, blob = _best(compress)
         t_d, out = _best(decompress)
