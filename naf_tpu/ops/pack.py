@@ -86,16 +86,17 @@ def pack_4bit_pallas(seq: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     """seq: u8[N] ASCII with N % 256 == 0 -> u8[N/2].
 
     Caller pads to a multiple of 256 (pad bytes pack to garbage nibbles that
-    the caller slices off).  The even/odd de-interleave runs in XLA (a cheap
-    relayout); the per-byte transform runs in the Pallas kernel.
+    the caller slices off).  The even/odd de-interleave is a LANE-strided
+    slice on a (rows, 256) view — measured ~20x faster on v5e than either a
+    1-D stride-2 slice or a (rows, 128, 2) bitcast view, both of which force
+    a minor-dim relayout; the per-byte transform runs in the Pallas kernel.
     """
     n = seq.shape[0]
     assert n % _COLS == 0, n
     rows = n // _COLS
-    # (rows, 128, 2): element (r, j, k) = byte r*256 + 2j + k
-    x3 = seq.reshape(rows, _LANES, 2)
-    even = x3[:, :, 0]
-    odd = x3[:, :, 1]
+    x2 = seq.reshape(rows, _COLS)        # free: row-major compatible
+    even = x2[:, 0::2]
+    odd = x2[:, 1::2]
     block_rows = min(rows, 2048)
     grid = (pl.cdiv(rows, block_rows),)
     spec = pl.BlockSpec((block_rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
