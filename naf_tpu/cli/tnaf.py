@@ -382,11 +382,23 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if use_device:
             # block-sharded device pipeline (jax imported only here,
-            # keeping the default CLI cold start jax-free)
-            from ..parallel.pipeline import encode_sharded
+            # keeping the default CLI cold start jax-free); large inputs
+            # and pipes stream chunk-by-chunk through the mesh at O(chunk)
+            # host memory (parallel/stream.py), small files go in-memory
+            if (opts.extended or opts.engine != "zstd"
+                    or (in_size is not None and in_size < stream_threshold)):
+                from ..parallel.pipeline import encode_sharded
 
-            blob, stats = encode_sharded(inf.read(), opts)
-            outf.write(blob)
+                blob, stats = encode_sharded(inf.read(), opts)
+                outf.write(blob)
+            else:
+                from ..parallel.stream import DeviceScanEngine
+
+                dev_chunk = int(os.environ.get(
+                    "NAF_TPU_DEVICE_CHUNK", str(64 << 20)))
+                stats = encode_stream(inf, outf, opts,
+                                      chunk_size=dev_chunk,
+                                      engine=DeviceScanEngine())
         elif (opts.extended or opts.engine != "zstd"
                 or (in_size is not None and in_size < stream_threshold)):
             from ..pipeline.encoder import encode as _encode

@@ -253,20 +253,26 @@ class Blocks:
     starts_in_seq: np.ndarray  # bool[D] block cut mid-record (FASTA SP)
 
 
-def make_blocks(data: np.ndarray, n_blocks: int, *, marker: int = _GT
-                ) -> Blocks:
+def make_blocks(data: np.ndarray, n_blocks: int, *, marker: int = _GT,
+                prev0: int | None = None, sis0: bool = False) -> Blocks:
     """Split bytes (already past the first marker) into line-aligned blocks.
 
     Cut candidates are line starts (byte after any EOL), so headers and
     lines never straddle blocks; a block whose first byte is not a record
     marker starts mid-record (sequence-parallel continuation).
+
+    ``prev0``/``sis0`` carry chunk state for the streaming device encoder
+    (parallel/stream.py): the byte before this chunk and whether the chunk
+    resumes mid-record.  Default = chunk 0 right after the global marker.
     """
     n = data.size
     if n == 0:
         blocks = np.full((n_blocks, 2), _LF, dtype=np.uint8)
         prev = np.full(n_blocks, _LF, dtype=np.uint8)
-        prev[0] = marker
-        return Blocks(blocks, prev, np.zeros(n_blocks, bool))
+        prev[0] = marker if prev0 is None else prev0
+        sis = np.zeros(n_blocks, bool)
+        sis[0] = bool(sis0)
+        return Blocks(blocks, prev, sis)
 
     is_eol = C.IS_EOL[:256][data]
     line_starts = np.flatnonzero(is_eol[:-1]) + 1     # n excluded
@@ -287,14 +293,18 @@ def make_blocks(data: np.ndarray, n_blocks: int, *, marker: int = _GT
     B += B % 2
     blocks = np.full((n_blocks, B), _LF, dtype=np.uint8)
     prev = np.full(n_blocks, _LF, dtype=np.uint8)
-    prev[0] = marker
+    prev[0] = marker if prev0 is None else prev0
     sis = np.zeros(n_blocks, bool)
+    sis[0] = bool(sis0) and data[0] != marker
     for k, (s, e) in enumerate(zip(cuts[:-1], cuts[1:])):
         blocks[k, : e - s] = data[s:e]
         if k > 0:
             if s > 0:
                 prev[k] = data[s - 1]
-            sis[k] = (e > s) and data[s] != marker
+            else:
+                prev[k] = prev[0]
+            sis[k] = ((e > s) and data[s] != marker
+                      and (s > 0 or sis[0]))
     return Blocks(blocks, prev, sis)
 
 

@@ -51,6 +51,21 @@ import os as _os
 DEFAULT_CHUNK = max(4, min(32, 2 * (_os.cpu_count() or 2))) << 20
 
 
+def _last_line_start(buf: np.ndarray) -> int:
+    """Index just after the last EOL byte, or 0 (backward windowed search)."""
+    n = buf.size
+    hi = n
+    step = 1 << 16
+    while hi > 0:
+        lo = max(0, hi - step)
+        eols = np.flatnonzero(C.IS_EOL[buf[lo:hi]])
+        if eols.size:
+            return lo + int(eols[-1]) + 1
+        hi = lo
+        step = min(step * 4, 8 << 20)
+    return 0
+
+
 def _last_record_start(buf: np.ndarray) -> int:
     """Index of the last '>' preceded by an EOL byte, or -1.
 
@@ -155,8 +170,16 @@ class _WriteBehind:
 
 def encode_stream(inf: BinaryIO, outf: BinaryIO,
                   opts: Optional[EncodeOptions] = None, *,
-                  chunk_size: int = DEFAULT_CHUNK) -> EncodeStats:
-    """Stream-encode FASTA/FASTQ from `inf` into a NAF archive on `outf`."""
+                  chunk_size: int = DEFAULT_CHUNK,
+                  engine=None) -> EncodeStats:
+    """Stream-encode FASTA/FASTQ from `inf` into a NAF archive on `outf`.
+
+    ``engine`` swaps the per-piece scanner: None means the native SIMD
+    scanner; an object with a ``native.scan``-compatible ``.scan`` (e.g.
+    parallel.stream.DeviceScanEngine) runs pieces on the device mesh.  The
+    archive bytes are identical either way — both engines speak the same
+    carry algebra.
+    """
     from ..utils.malloc import tune_for_large_buffers
 
     tune_for_large_buffers()
@@ -270,9 +293,10 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
         if fence is not None:
             fence.wait()
         scratch = scratches[it & 1]
+        scan_fn = native.scan if engine is None else engine.scan
         try:
           with trace_span("scan", bytes=len(piece)):
-            return native.scan(
+            return scan_fn(
                 piece, fastq=fastq, seq_type=opts.seq_type,
                 strict=opts.strict, well_formed=opts.well_formed,
                 do_mask=store_mask, do_upper=False, marker_pos=-1,
@@ -292,6 +316,7 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
         carry = head[marker + 1:]
         del head
         eof = False
+        strip_pending = False   # FASTQ: next record's '@' is still unread
         need = chunk_size   # grow paths raise this to accumulate a record
         while True:
             # top up to the target size before processing (avoids scanning
@@ -306,7 +331,25 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
             carry = b""
 
             if is_fastq:
-                # strip the leading EOLs + '@' of the next record
+                if strip_pending and buf:
+                    # the previous piece consumed its whole buffer, so the
+                    # next record's leading EOLs + '@' arrive in THIS read
+                    # and must be stripped here (pieces start after '@')
+                    ab = np.frombuffer(buf, np.uint8)
+                    nzb = np.flatnonzero(~C.IS_EOL[ab].astype(bool))
+                    if nzb.size == 0:
+                        if eof:
+                            break          # trailing EOLs only
+                        carry = buf
+                        need = len(buf) + chunk_size
+                        continue
+                    fb = int(nzb[0])
+                    if ab[fb] != _AT:
+                        raise P.InputError(
+                            "invalid FASTQ input: Can't find '@' after "
+                            f"sequence {n_records}")
+                    buf = buf[fb + 1:]
+                    strip_pending = False
                 if not buf and eof:
                     break
                 if eof:
@@ -325,6 +368,7 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
                 nz = np.flatnonzero(~C.IS_EOL[tail].astype(bool))
                 if nz.size == 0:
                     carry = b""
+                    strip_pending = True   # next record's '@' not read yet
                     continue
                 first = int(nz[0])
                 if tail[first] != _AT:
@@ -355,14 +399,22 @@ def encode_stream(inf: BinaryIO, outf: BinaryIO,
                 continue
             # giant record: process the whole buffer mid-record
             need = chunk_size
-            s = scan_piece(buf, fastq=False, cont_in=cont)
+            piece = buf
+            if engine is not None and getattr(engine, "line_aligned", False):
+                # device blocks resume at line starts; carry the partial
+                # tail line (a whole buffer with no EOL falls through and
+                # the engine delegates that piece to the native scanner)
+                q = _last_line_start(arr)
+                if q > 0:
+                    piece, carry = buf[:q], buf[q:]
+            s = scan_piece(piece, fastq=False, cont_in=cont)
             if s.end_state != 2:   # ended inside a header: unsupported
                 raise P.InputError(
                     "sequence header too long for streaming mode")
             feed_common(s, drop_last_length=True, cont_in=cont)
             open_len = held_length or 0
             open_line = s.end_line_len
-            prev_eol = C.IS_EOL[buf[-1]] if buf else False
+            prev_eol = C.IS_EOL[piece[-1]] if piece else False
             cont = True
 
       except BaseException:
