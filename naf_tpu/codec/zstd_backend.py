@@ -22,7 +22,18 @@ import os
 
 import zstandard as zstd
 
+from . import syszstd
 from ..format.constants import ZSTD_FRAME_MAGIC
+
+
+def _sys_zstd() -> bool:
+    """Prefer the SYSTEM libzstd for encoding: it is the codec the locally
+    built reference links, so ratio parity is exact at every level (the
+    zstandard wheel bundles a newer zstd whose high-level match finder
+    trades ~4% ratio on packed DNA at levels 17-19).  Per-process choice,
+    so cross-path byte-identity is unaffected."""
+    return (syszstd.load() is not None
+            and not os.environ.get("NAF_TPU_NO_SYSZSTD"))
 
 #: zstd window-log hard bounds (matches ZSTD_WINDOWLOG_MIN/MAX used by ennaf).
 WINDOWLOG_MIN = 10
@@ -67,11 +78,24 @@ class SectionCompressor:
         self._chunks: list[bytes] = []
         self._pending = 0           # == sum(len(c) for c in self._chunks)
         self._uncompressed = 0
-        cctx = _compressor(level, window_log, threads)
-        self._obj = cctx.compressobj()
+        self._level = level
+        self._window_log = window_log
+        self._threads = threads
+        self._obj = None            # created on the first _STAGE of input
         self._finished = False
         self._mt = threads != 0
         self._buf = bytearray()     # MT: sub-_STAGE staging remainder
+        # Payloads below one _STAGE never build a streaming context at all:
+        # raw pieces buffer here and finish() compresses them ONE-SHOT with
+        # a pledged source size, which lets zstd right-size its window and
+        # match-finder tables.  At level 22 this turns a ~0.3 s context
+        # build into microseconds for tiny sections and is ~1.7x faster on
+        # megabyte payloads, at the cost of a 1-8 byte content-size header.
+        # Deterministic across callers: the cutover is a pure function of
+        # (options, payload size), so in-memory / streaming / sharded
+        # encodes still emit identical frames.
+        self._raw: list | None = []
+        self._raw_n = 0
 
     @property
     def uncompressed_size(self) -> int:
@@ -87,6 +111,26 @@ class SectionCompressor:
         if mv.nbytes == 0:
             return
         self._uncompressed += mv.nbytes
+        if self._raw is not None:
+            if self._raw_n + mv.nbytes < self._STAGE:
+                # small pieces are copied (callers hand zero-copy scratch
+                # views that they reuse as soon as write() returns)
+                self._raw.append(bytes(mv))
+                self._raw_n += mv.nbytes
+                return
+            pieces, self._raw = self._raw, None
+            if _sys_zstd():
+                self._obj = syszstd.SysZstdCompressor(
+                    self._level, window_log=self._window_log,
+                    threads=self._threads)
+            else:
+                self._obj = _compressor(self._level, self._window_log,
+                                        self._threads).compressobj()
+            for p in pieces:
+                self._feed(memoryview(p))
+        self._feed(mv)
+
+    def _feed(self, mv: memoryview) -> None:
         if not self._mt:
             self._emit(self._obj.compress(mv))
             return
@@ -97,7 +141,7 @@ class SectionCompressor:
             mv = mv[take:]
             if len(self._buf) == stage:
                 self._emit(self._obj.compress(self._buf))
-                self._buf.clear()
+                self._buf = bytearray()
         off = 0
         n = mv.nbytes
         while n - off >= stage:                 # large writes feed zero-copy
@@ -106,13 +150,39 @@ class SectionCompressor:
         if off < n:
             self._buf += mv[off:]
 
+    def _finish_oneshot(self) -> bytes:
+        """Whole payload buffered: one-shot frame with pledged source size."""
+        payload = b"".join(self._raw)
+        self._raw = None
+        if self._window_log:
+            # honor --long but never size tables beyond the payload
+            wl = min(self._window_log,
+                     max(WINDOWLOG_MIN, max(len(payload), 1).bit_length()))
+        else:
+            wl = 0
+        if _sys_zstd():
+            return syszstd.compress_oneshot(payload, self._level,
+                                            window_log=wl)
+        if wl:
+            params = zstd.ZstdCompressionParameters.from_level(
+                self._level, window_log=wl, enable_ldm=True)
+            cctx = zstd.ZstdCompressor(compression_params=params)
+        else:
+            cctx = zstd.ZstdCompressor(level=self._level)
+        return cctx.compress(payload)
+
     def finish(self) -> bytes:
         """End the frame and return payload with the 4-byte magic stripped."""
         assert not self._finished
         self._finished = True
+        if self._raw is not None:
+            frame = self._finish_oneshot()
+            if len(frame) < 4 or frame[:4] != ZSTD_FRAME_MAGIC:
+                raise RuntimeError("compression failed")
+            return frame[4:]
         if self._buf:
             self._emit(self._obj.compress(self._buf))
-            self._buf.clear()
+            self._buf = bytearray()
         tail = self._obj.flush(zstd.COMPRESSOBJ_FLUSH_FINISH)
         if tail:
             self._chunks.append(tail)
@@ -438,9 +508,14 @@ class SpillingSectionCompressor(SectionCompressor):
         """bytes when everything stayed in RAM, else a SpilledPayload."""
         assert not self._finished
         self._finished = True
+        if self._raw is not None:           # sub-_STAGE payload: never spills
+            frame = self._finish_oneshot()
+            if len(frame) < 4 or frame[:4] != ZSTD_FRAME_MAGIC:
+                raise RuntimeError("compression failed")
+            return frame[4:]
         if self._buf:                       # drain MT staging remainder
             self._emit(self._obj.compress(self._buf))
-            self._buf.clear()
+            self._buf = bytearray()
         tail = self._obj.flush(zstd.COMPRESSOBJ_FLUSH_FINISH)
         if tail:
             self._chunks.append(tail)

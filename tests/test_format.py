@@ -71,3 +71,56 @@ def test_container_v2_seq_type():
     r = NafReader(io.BytesIO(blob))
     assert r.header.seq_type == SEQ_TYPE_PROTEIN
     assert r.header.format_version == 2
+
+
+# ---------------------------------------------------------------------------
+# system-libzstd encode backend (codec/syszstd.py)
+# ---------------------------------------------------------------------------
+
+def _have_syszstd():
+    from naf_tpu.codec import syszstd
+
+    return syszstd.load() is not None
+
+
+@pytest.mark.skipif(not _have_syszstd(), reason="no system libzstd")
+@pytest.mark.parametrize("level", [-131072, -5, 1, 9, 19, 22])
+def test_syszstd_levels_roundtrip(level):
+    """Every CLI-reachable level produces a frame zstandard decodes."""
+    from naf_tpu.codec import decompress_section
+
+    data = (b"ACGTacgtNRYKM" * 5000)[: 60_001]
+    payload = compress_section(data, level=level)
+    assert decompress_section(payload, len(data)) == data
+
+
+@pytest.mark.skipif(not _have_syszstd(), reason="no system libzstd")
+def test_syszstd_streaming_matches_oneshot_rule():
+    """Payload size alone decides the frame (in-memory == many tiny writes),
+    on both sides of the one-shot/streaming cutover."""
+    from naf_tpu.codec import SectionCompressor
+
+    rng = np.random.default_rng(3)
+    for n in (1 << 16, (4 << 20) + 4096):     # below / above the cutover
+        data = rng.integers(0, 16, n, dtype=np.uint8)
+        a = SectionCompressor(19, threads=2)
+        a.write(data)
+        one = a.finish()
+        b = SectionCompressor(19, threads=2)
+        for off in range(0, n, 65537):
+            b.write(data[off:off + 65537])
+        many = b.finish()
+        assert one == many
+
+
+@pytest.mark.skipif(not _have_syszstd(), reason="no system libzstd")
+def test_syszstd_ldm_window_roundtrip():
+    """--long path: LDM + explicit windowLog through the system library."""
+    from naf_tpu.codec import decompress_section
+
+    rng = np.random.default_rng(4)
+    unit = rng.integers(0, 256, 1 << 20, dtype=np.uint8).tobytes()
+    data = unit + b"\x00" * (1 << 20) + unit      # long-range repeat
+    payload = compress_section(data, level=19, window_log=24, threads=2)
+    assert decompress_section(payload, len(data)) == data
+    assert len(payload) < len(unit) * 1.2         # the repeat was found

@@ -258,8 +258,11 @@ def test_keep_temp_files(tmp_path):
 
     sc = SpillingSectionCompressor(1, temp_dir=str(tmp_path), name="x",
                                    section="seq", threshold=16, keep=True)
+    # payloads under one staging unit (4 MB) compress one-shot in RAM like
+    # the reference's lazy temp files ("small data never touches disk",
+    # compressor.c:51-61); incompressible data past it must spill
     data = np.random.default_rng(0).integers(
-        0, 256, 1 << 20, dtype=np.uint8).tobytes()   # incompressible: spills
+        0, 256, 6 << 20, dtype=np.uint8).tobytes()
     sc.write(data)
     payload = sc.finish()
     assert (tmp_path / "x.seq").exists()
