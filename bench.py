@@ -254,9 +254,39 @@ def bench_device_kernels() -> dict:
     tp = t_iter(pack_loop, x)
     packed = pack_4bit_pallas(x)
     tu = t_iter(unpack_loop, packed)
+
+    # the full per-byte classify pass (ops/scan.py) — the encode data plane
+    from naf_tpu.ops import scan as S
+
+    KS = 8
+
+    @jax.jit
+    def scan_loop(x0):
+        def body(i, carry):
+            acc, prev = carry
+            s = S.scan_fasta_block(x0 ^ acc, prev)
+            cnt = jnp.sum(s["stream_keep"].astype(jnp.int32))
+            return (cnt % 2).astype(jnp.uint8), s["stream_val"][0]
+        return jax.lax.fori_loop(
+            0, KS, body, (jnp.uint8(0), jnp.uint8(ord(">"))))
+
+    def t_scan(reps=3):
+        r = scan_loop(x)
+        np.asarray(r[0])
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = scan_loop(x)
+            np.asarray(r[0])
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best / KS
+
+    ts = t_scan()
     return {
         "device_pack_GBps": round(n / tp / 1e9, 2),
         "device_unpack_GBps": round(n / tu / 1e9, 2),
+        "device_scan_GBps": round(n / ts / 1e9, 2),
         "device": str(jax.devices()[0]),
     }
 
@@ -286,7 +316,9 @@ def scaling_mode() -> None:
     opts = EncodeOptions(level=1)
     host_blob, _ = encode(data, opts)
     base = None
-    for D in (1, 2, 4, 8):
+    sizes = tuple(int(s) for s in os.environ.get(
+        "NAF_BENCH_SCALING_SIZES", "1,2,4,8").split(","))
+    for D in sizes:
         mesh = block_mesh(D)
         blob, _ = encode_sharded(data, opts, mesh=mesh)   # warm-up/compile
         assert blob == host_blob, "sharded archive != host archive"
@@ -497,7 +529,41 @@ def main() -> None:
     }
     if not os.environ.get("NAF_BENCH_NO_DEVICE"):
         line.update(bench_device_kernels())
+    if not os.environ.get("NAF_BENCH_NO_SCALING"):
+        line.update(scaling_summary(env))
     print(json.dumps(line))
+
+
+def scaling_summary(env) -> dict:
+    """1- vs 8-device sharded-encode scaling on the virtual CPU mesh,
+    folded into the final JSON line (BASELINE's >=80% north star; this
+    2-core host measures pipeline balance, wall clock saturates at the
+    core count — per-device efficiency is the honest number)."""
+    sub = dict(env, NAF_BENCH_SCALING="1", NAF_BENCH_SCALING_SIZES="1,8",
+               NAF_BENCH_SCALING_MB=os.environ.get("NAF_BENCH_SCALING_MB",
+                                                   "16"))
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, env=sub, timeout=1200)
+        rows = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
+        by_d = {row["devices"]: row for row in rows
+                if row.get("metric") == "sharded_encode_MBps"}
+        if 1 in by_d and 8 in by_d:
+            return {
+                "sharded_encode_1dev_MBps": by_d[1]["value"],
+                "sharded_encode_8dev_MBps": by_d[8]["value"],
+                "scaling_vs_1dev_8": by_d[8]["scaling_vs_1dev"],
+                "scaling_note": ("virtual 8-device CPU mesh on a 2-core "
+                                 "host: XLA CPU already spreads one "
+                                 "device's work across both cores, so wall "
+                                 "clock saturates at D=1 and per-device "
+                                 "efficiency is not measurable here; the "
+                                 "metric pins correctness + overhead, not "
+                                 "chip scaling"),
+            }
+    except Exception:
+        pass
+    return {}
 
 
 if __name__ == "__main__":

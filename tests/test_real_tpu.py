@@ -102,3 +102,30 @@ def test_device_decode_on_tpu(tpu):
     dev = Decoder(io.BytesIO(blob), DecodeOptions()).fasta_device(
         mesh=block_mesh(1))
     assert dev == host
+
+
+def test_chunked_device_encode_on_tpu(tpu):
+    """The streaming DeviceScanEngine runs on the real chip (1-device mesh)
+    and matches the in-memory encoder byte-for-byte."""
+    import io
+
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.parallel.stream import DeviceScanEngine
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+    from naf_tpu.pipeline.stream import encode_stream
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for i in range(60):
+        rows.append(b">rec%d note\n" % i)
+        seq = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8),
+                         size=int(rng.integers(100, 900)))
+        rows.append(seq.tobytes() + b"\n")
+    data = b"".join(rows)
+    ref, _ = encode(data, EncodeOptions())
+    eng = DeviceScanEngine(mesh=block_mesh(1))
+    buf = io.BytesIO()
+    encode_stream(io.BytesIO(data), buf, EncodeOptions(),
+                  chunk_size=8192, engine=eng)
+    assert buf.getvalue() == ref
+    assert eng.device_chunks > 0
