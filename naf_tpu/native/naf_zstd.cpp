@@ -640,7 +640,8 @@ struct ChanPlan {
 static inline int ilog2(uint32_t v) { return v ? highbit32(v) : 0; }
 
 static void plan_channel(const uint32_t *count, int n_sym, uint32_t n_seqs,
-                         const int16_t *pre_norm, const FseEnc *pre,
+                         const int16_t *pre_norm, int pre_n,
+                         const FseEnc *pre,
                          int pre_log, int max_log, FseEnc *dyn,
                          ChanPlan *cp) {
   int distinct = 0, only = 0;
@@ -654,14 +655,20 @@ static void plan_channel(const uint32_t *count, int n_sym, uint32_t n_seqs,
     return;
   }
 
-  // predefined cost (bits): norm <= 0 counts as full table_log bits
+  // predefined cost (bits): norm <= 0 counts as full table_log bits.
+  // Symbols beyond the predefined table (possible on the OF channel with
+  // --long 29|30) make the predefined mode unusable: never read pre_norm
+  // out of bounds, and force the dynamic table to win.
   int64_t pre_bits = 0;
+  bool pre_ok = pre != nullptr;
   for (int s = 0; s < n_sym; s++)
     if (count[s]) {
+      if (s >= pre_n) { pre_ok = false; continue; }
       int nb = pre_norm[s] > 0 ? pre_log - ilog2((uint32_t)pre_norm[s])
                                : pre_log;
       pre_bits += (int64_t)count[s] * nb;
     }
+  if (!pre_ok) pre_bits = INT64_MAX / 2;
 
   // dynamic table: accuracy log fitted to the sequence count
   int tl = max_log;
@@ -742,15 +749,15 @@ static uint64_t write_compressed_block(const Seq *seqs, uint32_t n_seqs,
 
   static thread_local FseEnc dll, dml, dof;
   ChanPlan pll, pml, pof;
-  plan_channel(cll, 36, n_seqs, LL_NORM, &g_ll, LL_LOG, 9, &dll, &pll);
-  plan_channel(cml, 53, n_seqs, ML_NORM, &g_ml, ML_LOG, 9, &dml, &pml);
+  plan_channel(cll, 36, n_seqs, LL_NORM, 36, &g_ll, LL_LOG, 9, &dll, &pll);
+  plan_channel(cml, 53, n_seqs, ML_NORM, 53, &g_ml, ML_LOG, 9, &dml, &pml);
   // the predefined OF table only covers codes <= 28
   if (max_ofc > 28) {
-    plan_channel(cof, max_ofc + 1, n_seqs, OF_NORM, nullptr, OF_LOG, 8,
+    plan_channel(cof, max_ofc + 1, n_seqs, OF_NORM, 29, nullptr, OF_LOG, 8,
                  &dof, &pof);
     if (pof.mode == 0 && pof.enc == nullptr) return 0;  // can't represent
   } else {
-    plan_channel(cof, 29, n_seqs, OF_NORM, &g_of, OF_LOG, 8, &dof, &pof);
+    plan_channel(cof, 29, n_seqs, OF_NORM, 29, &g_of, OF_LOG, 8, &dof, &pof);
   }
 
   // sequences header
@@ -874,9 +881,15 @@ static const int LDM_LOG = 20;
 static const uint32_t LDM_MINMATCH = 32;
 
 struct Tables {
-  int32_t *hash;          // 1 << hlog, pos+1
-  int32_t *chain;         // 1 << clog ring, pos+1 (strat 1)
-  int32_t *ldm;           // 1 << LDM_LOG, pos+1 (ldm only)
+  int32_t *hash;          // 1 << hlog, pos-base+1
+  int32_t *chain;         // 1 << clog ring, pos-base+1 (strat 1)
+  int32_t *ldm;           // 1 << LDM_LOG, pos-base+1 (ldm only)
+  // Epoch origin for stored positions: tables hold pos-base+1 so entries
+  // stay positive past 2 GB of input.  Set to lo_limit at every history
+  // reset (tables are zeroed there, so all live entries share one epoch);
+  // an empty slot (0) decodes to base-1 < lo_limit and fails every lo
+  // bound check.
+  uint64_t base = 0;
 };
 
 static inline uint32_t hash4_log(uint32_t v, int hlog) {
@@ -933,10 +946,10 @@ static inline uint64_t chain_search(const uint8_t *src, uint64_t pos,
   uint64_t lo = pos > window ? pos - window : 0;
   if (lo < lo_limit) lo = lo_limit;
   uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
-  int64_t cand = (int64_t)t.hash[h] - 1;
+  int64_t cand = (int64_t)t.hash[h] - 1 + (int64_t)t.base;
   // the caller inserts pos before searching; skip the self-entry
   if (cand == (int64_t)pos)
-    cand = (int64_t)t.chain[pos & cmask] - 1;
+    cand = (int64_t)t.chain[pos & cmask] - 1 + (int64_t)t.base;
   uint64_t best = 0;
   int depth = cfg.depth;
   while (cand >= (int64_t)lo && depth-- > 0) {
@@ -950,7 +963,7 @@ static inline uint64_t chain_search(const uint8_t *src, uint64_t pos,
         if (pos + m >= end) break;
       }
     }
-    int64_t nxt = (int64_t)t.chain[cand & cmask] - 1;
+    int64_t nxt = (int64_t)t.chain[cand & cmask] - 1 + (int64_t)t.base;
     if (nxt >= cand) break;          // stale ring entry (wrapped)
     cand = nxt;
   }
@@ -962,7 +975,7 @@ static inline void chain_insert(const uint8_t *src, uint64_t pos,
   const uint32_t cmask = (1u << cfg.clog) - 1;
   uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
   t.chain[pos & cmask] = t.hash[h];
-  t.hash[h] = (int32_t)(pos + 1);
+  t.hash[h] = (int32_t)(pos - t.base + 1);
 }
 
 // long-distance probe/insert (8-byte hashes, sparse)
@@ -979,7 +992,7 @@ static inline uint64_t ldm_search(const uint8_t *src, uint64_t pos,
   uint64_t lo = pos > window ? pos - window : 0;
   if (lo < lo_limit) lo = lo_limit;
   uint32_t h = hash8_ldm(read64(src + pos));
-  int64_t cand = (int64_t)t.ldm[h] - 1;
+  int64_t cand = (int64_t)t.ldm[h] - 1 + (int64_t)t.base;
   if (cand < (int64_t)lo || cand >= (int64_t)pos) return 0;
   naf_ldm_cand++;
   uint64_t m = extend(src, (uint64_t)cand, pos, end);
@@ -996,7 +1009,7 @@ static inline void ldm_insert(const uint8_t *src, uint64_t pos, uint64_t end,
   // stride-aligned anchors, and one hit latches the whole match
   if (!cfg.ldm || (pos & 15) != 0 || pos + 8 > end) return;
   naf_ldm_ins++;
-  t.ldm[hash8_ldm(read64(src + pos))] = (int32_t)(pos + 1);
+  t.ldm[hash8_ldm(read64(src + pos))] = (int32_t)(pos - t.base + 1);
 }
 
 // match score: favors long matches and cheap (small/rep) offsets
@@ -1032,8 +1045,8 @@ static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
     uint32_t skip = 0;
     while (pos < limit && n < max_seqs) {
       uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
-      int64_t cand = (int64_t)t.hash[h] - 1;
-      t.hash[h] = (int32_t)(pos + 1);
+      int64_t cand = (int64_t)t.hash[h] - 1 + (int64_t)t.base;
+      t.hash[h] = (int32_t)(pos - t.base + 1);
 
       // level 1 checks only the primary repeat offset (speed); level 2 and
       // the lazy strategy check all three
@@ -1071,9 +1084,10 @@ static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
         emit(pos, m_h, off_h);
         if (m_h > 2 && pos + m_h < limit) {
           uint64_t ins = pos + (m_h >> 1);
-          t.hash[hash4_log(read32(src + ins), cfg.hlog)] = (int32_t)(ins + 1);
+          t.hash[hash4_log(read32(src + ins), cfg.hlog)] =
+              (int32_t)(ins - t.base + 1);
           t.hash[hash4_log(read32(src + pos + m_h - 2), cfg.hlog)] =
-              (int32_t)(pos + m_h - 1);
+              (int32_t)(pos + m_h - 2 - t.base + 1);
         }
         pos = anchor;
         skip = 0;
@@ -1227,6 +1241,7 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
       if (t.chain) std::memset(t.chain, 0, sizeof(int32_t) << cfg.clog);
       if (t.ldm) std::memset(t.ldm, 0, sizeof(int32_t) << LDM_LOG);
       lo_limit = pos;
+      t.base = pos;             // new epoch: stored entries stay positive
     }
     uint64_t bsz = n - pos < BLOCK_MAX ? n - pos : BLOCK_MAX;
     int last = (pos + bsz == n) ? 1 : 0;

@@ -43,6 +43,11 @@ from ..ops.render import body_length
 MODE_FASTA = 0
 MODE_FASTQ = 1
 
+
+class RenderOverflow(Exception):
+    """A single record's output/char/header span exceeds the int32-rebased
+    device batch window; the caller should use the host renderer instead."""
+
 #: output bytes rendered per device batch step (before the D-way split).
 OUT_BATCH = int(__import__("os").environ.get("NAF_TPU_DECODE_BATCH_MB", "256")) << 20
 
@@ -282,7 +287,21 @@ def render_sharded(plan: RenderPlan, seq_bytes: np.ndarray,
         return b""
     out_batch = out_batch or OUT_BATCH
     # per-device chunk per batch step; every index in a batch must fit i32
-    out_batch = min(out_batch, 1 << 30)
+    # AND stay below the pad_rec=1<<30 monotone sentinel.  A batch covers
+    # [p0, p1) plus the records straddling its edges, so the largest rebased
+    # prefix value is < out_batch + 2 * max_record_span: cap the batch and
+    # refuse records whose own span breaks the bound (multi-GB single
+    # records silently wrapped in int32 before; callers catch
+    # RenderOverflow and render on the host).
+    out_batch = min(out_batch, 1 << 28)
+    max_span = 0
+    for arr in (plan.O, plan.E, plan.H):
+        if arr.size:
+            d0 = np.diff(arr, prepend=np.int64(0))
+            max_span = max(max_span, int(d0.max(initial=0)))
+    if out_batch + 2 * max_span >= (1 << 30):
+        raise RenderOverflow(
+            f"record span {max_span} too large for device render batches")
     shard = block_sharding(mesh)
     repl = replicated(mesh)
 

@@ -683,8 +683,11 @@ class Decoder:
             ids_blob=ids.tobytes() if ids is not None else None,
             comments_blob=com.tobytes() if com is not None else None,
             name_sep=self.h.name_separator.encode(), mask_spans=spans)
-        return DV.render_sharded(plan, raw, None, mesh=self._mesh(mesh),
-                                 out_batch=out_batch)
+        try:
+            return DV.render_sharded(plan, raw, None, mesh=self._mesh(mesh),
+                                     out_batch=out_batch)
+        except DV.RenderOverflow:
+            return self.fasta(masking)   # multi-GB single record: host path
 
     def fastq_device(self, *, mesh=None, out_batch: int = 0) -> bytes:
         """FASTQ render over a device mesh; byte-identical to ``fastq()``.
@@ -712,8 +715,11 @@ class Decoder:
             ids_blob=ids.tobytes() if ids is not None else None,
             comments_blob=com.tobytes() if com is not None else None,
             name_sep=self.h.name_separator.encode(), mask_spans=None)
-        return DV.render_sharded(plan, raw, qual, mesh=self._mesh(mesh),
-                                 out_batch=out_batch)
+        try:
+            return DV.render_sharded(plan, raw, qual, mesh=self._mesh(mesh),
+                                     out_batch=out_batch)
+        except DV.RenderOverflow:
+            return self.fastq()          # multi-GB single record: host path
 
     @staticmethod
     def _mesh(mesh):

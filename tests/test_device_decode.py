@@ -177,3 +177,36 @@ def test_untnaf_device_cli(tmp_path, capsysbinary):
     rc = U.main(["--fasta", "--device", "-c", str(p)])
     assert rc == 0
     assert capsysbinary.readouterr().out == host
+
+
+def test_render_overflow_guard_giant_record():
+    """A record whose span exceeds the int32-rebased batch window must raise
+    RenderOverflow (callers then fall back to the host renderer) instead of
+    silently wrapping in int32 and emitting garbage."""
+    from naf_tpu.parallel import decode as DV
+
+    # metadata-only plan: one fake 3 GB record (no big allocations happen —
+    # the guard fires before any device buffers are built)
+    slens = np.asarray([100, 3 << 30, 50], np.int64)
+    plan = DV.build_plan(
+        mode=DV.MODE_FASTA, line_len=80, rna=False, packed=True, upper=False,
+        slens=slens, ids_blob=b"a\0b\0c\0", comments_blob=None,
+        name_sep=b" ", mask_spans=None)
+    with pytest.raises(DV.RenderOverflow):
+        DV.render_sharded(plan, np.zeros(8, np.uint8), None, mesh=_mesh())
+
+
+def test_fasta_device_giant_record_falls_back(monkeypatch):
+    """fasta_device returns host-identical bytes when render_sharded refuses
+    (fault-path equivalence without allocating gigabytes: force the raise)."""
+    from naf_tpu.parallel import decode as DV
+
+    rng = np.random.default_rng(11)
+    blob, _ = encode(_fasta(rng, n_rec=6), EncodeOptions(level=1))
+    host = _dec(blob).fasta()
+
+    def boom(*a, **k):
+        raise DV.RenderOverflow("forced")
+
+    monkeypatch.setattr(DV, "render_sharded", boom)
+    assert _dec(blob).fasta_device(mesh=_mesh()) == host
