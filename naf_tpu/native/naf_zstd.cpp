@@ -18,6 +18,7 @@
 // (FSE state machine, interleaved backward bitstream, code/baseline
 // tables); it shares no code with libzstd.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -868,8 +869,9 @@ static LevelCfg cfg_for(int level, int wlog_override) {
   else if (level <= 9)    c = {1, 23, 19, 18, 48, 4, 1, 0, false};
   else if (level <= 12)   c = {1, 24, 20, 19, 96, 4, 2, 0, false};
   else if (level <= 15)   c = {1, 25, 21, 20, 256, 4, 2, 0, false};
-  else if (level <= 18)   c = {1, 26, 22, 21, 512, 3, 2, 0, false};
-  else                    c = {1, 27, 22, 22, 1024, 3, 2, 0, false};
+  else if (level <= 17)   c = {2, 26, 20, 21, 512, 3, 0, 0, false};
+  else if (level <= 20)   c = {2, 27, 20, 22, 1024, 3, 0, 0, false};
+  else                    c = {2, 27, 20, 23, 2048, 3, 0, 0, false};
   if (wlog_override > 0) {
     c.wlog = wlog_override < 10 ? 10 : (wlog_override > 30 ? 30 : wlog_override);
     if (c.wlog >= 24) c.ldm = true;   // --long: long-distance matching
@@ -884,6 +886,9 @@ struct Tables {
   int32_t *hash;          // 1 << hlog, pos-base+1
   int32_t *chain;         // 1 << clog ring, pos-base+1 (strat 1)
   int32_t *ldm;           // 1 << LDM_LOG, pos-base+1 (ldm only)
+  int32_t *stat;          // 1 << STAT_LOG, pos-base+1 (strat 2 price pass)
+  int32_t *bt;            // 2 << clog ring, child links (strat 2 tree)
+  int32_t *h3;            // 1 << 16, pos-base+1 (strat 2, 3-byte seeds)
   // Epoch origin for stored positions: tables hold pos-base+1 so entries
   // stay positive past 2 GB of input.  Set to lo_limit at every history
   // reset (tables are zeroed there, so all live entries share one epoch);
@@ -895,6 +900,10 @@ struct Tables {
 static inline uint32_t hash4_log(uint32_t v, int hlog) {
   return (v * 2654435761u) >> (32 - hlog);
 }
+
+static inline uint32_t hash3_16(uint32_t v) {
+  return ((v & 0xFFFFFFu) * 506832829u) >> 16;
+}
 static inline uint32_t hash8_ldm(uint64_t v) {
   return (uint32_t)((v * 0x9E3779B185EBCA87ull) >> (64 - LDM_LOG));
 }
@@ -904,6 +913,21 @@ static inline uint64_t extend(const uint8_t *src, uint64_t cand, uint64_t pos,
                               uint64_t end) {
   if (read32(src + cand) != read32(src + pos)) return 0;
   uint64_t m = 4;
+  const uint64_t room = end - pos;
+  while (m + 8 <= room) {
+    uint64_t a = read64(src + cand + m), b = read64(src + pos + m);
+    if (a != b) return m + (__builtin_ctzll(a ^ b) >> 3);
+    m += 8;
+  }
+  while (m < room && src[cand + m] == src[pos + m]) m++;
+  return m;
+}
+
+// like extend but without the 4-byte seed gate: exact common length from 0
+// (3-byte matches are legal zstd and worth pricing at high levels)
+static inline uint64_t extend_raw(const uint8_t *src, uint64_t cand,
+                                  uint64_t pos, uint64_t end) {
+  uint64_t m = 0;
   const uint64_t room = end - pos;
   while (m + 8 <= room) {
     uint64_t a = read64(src + cand + m), b = read64(src + pos + m);
@@ -1162,10 +1186,522 @@ static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
 }
 
 // ---------------------------------------------------------------------------
-// public API: compress `src` into ONE complete zstd frame
+// optimal parser (strat 2, levels >= 16): two-pass price-model dynamic
+// program.  Pass 1 runs a cheap greedy matcher over the block (private hash
+// table so the real chain history is untouched) purely to histogram the
+// literal bytes and LL/ML/OF code streams; those histograms become bit
+// prices.  Pass 2 walks every block position, collects the Pareto frontier
+// of chain/LDM matches plus the three repeat offsets, and relaxes a
+// shortest-path DP over "estimated compressed bits", tracking the exact
+// rep-offset state per node so rep encodings price (and replay) correctly.
+// Parity target: the reference's high-compression claim at -16..-22
+// (/root/reference/Compress.md:23-34, CHANGELOG.md:41-42 "state of the art
+// compression strength on high compression levels").
 // ---------------------------------------------------------------------------
 
 static const uint64_t BLOCK_MAX = 128 << 10;
+static const int STAT_LOG = 17;
+
+struct OptCosts {
+  uint16_t lit[256];      // 1/8-bit units per literal byte
+  uint16_t llsym[36];     // LL code symbol cost (extra bits priced apart)
+  uint16_t mlsym[53];
+  uint16_t ofsym[32];
+};
+
+static uint16_t bit_cost8(uint64_t total, uint32_t c, int cap8) {
+  if (total == 0 || c == 0) return (uint16_t)cap8;
+  double bits = log2((double)total / (double)c);
+  int v = (int)(bits * 8.0 + 0.5);
+  if (v < 2) v = 2;
+  if (v > cap8) v = cap8;
+  return (uint16_t)v;
+}
+
+// price of the LL channel for a literal run of length l (symbol + extra)
+static inline uint32_t ll_price(const OptCosts &oc, uint32_t l) {
+  uint32_t x; int b;
+  int c = ll_code(l, &x, &b);
+  return oc.llsym[c] + 8u * (uint32_t)b;
+}
+
+static inline uint32_t ml_price(const OptCosts &oc, uint32_t m) {
+  uint32_t x; int b;
+  int c = ml_code(m, &x, &b);
+  return oc.mlsym[c] + 8u * (uint32_t)b;
+}
+
+static inline uint32_t of_price(const OptCosts &oc, uint32_t ofv) {
+  int c = highbit32(ofv);
+  return oc.ofsym[c] + 8u * (uint32_t)c;
+}
+
+struct MatchCand { uint32_t off, len; };
+static const int OPT_CACHE_K = 8;   // cached chain candidates per position
+
+// Pareto frontier of matches at pos: nearest-first chain walk keeps only
+// candidates strictly longer than everything nearer, so offsets ascend with
+// length (a farther offset never dominates at shorter lengths); an LDM
+// probe contributes the long-distance tail.
+static inline int chain_matches(const uint8_t *src, uint64_t pos,
+                                uint64_t end, uint64_t lo_limit,
+                                const LevelCfg &cfg, Tables &t,
+                                MatchCand *out, int max_out, uint64_t suff,
+                                uint64_t seed_len) {
+  const uint32_t cmask = (1u << cfg.clog) - 1;
+  const uint64_t window = 1ull << cfg.wlog;
+  uint64_t lo = pos > window ? pos - window : 0;
+  if (lo < lo_limit) lo = lo_limit;
+  uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
+  int64_t cand = (int64_t)t.hash[h] - 1 + (int64_t)t.base;
+  if (cand == (int64_t)pos)
+    cand = (int64_t)t.chain[pos & cmask] - 1 + (int64_t)t.base;
+  int n = 0;
+  // seed_len: a rep candidate of this length already exists and is always
+  // cheaper, so only strictly longer chain matches can improve the parse
+  uint64_t best = cfg.mm > 1 ? cfg.mm - 1 : 1;
+  if (seed_len > best) best = seed_len;
+  int depth = cfg.depth;
+  while (cand >= (int64_t)lo && depth-- > 0 && n < max_out) {
+    if (cand >= (int64_t)pos) break;
+    if (src[cand + best] == src[pos + best]) {
+      uint64_t m = extend(src, (uint64_t)cand, pos, end);
+      if (m > best) {
+        out[n].off = (uint32_t)(pos - (uint64_t)cand);
+        out[n].len = (uint32_t)m;
+        n++;
+        best = m;
+        // a sufficiently long match ends the walk (btopt sufficient_len
+        // analog: deeper entries rarely improve past this, and the walk
+        // is the dominant cost on match-dense streams)
+        if (m >= suff || pos + m >= end) break;
+      }
+    }
+    int64_t nxt = (int64_t)t.chain[cand & cmask] - 1 + (int64_t)t.base;
+    if (nxt >= cand) break;
+    cand = nxt;
+  }
+  uint32_t off_l = 0;
+  uint64_t m_l = ldm_search(src, pos, end, lo_limit, cfg, t, &off_l);
+  if (m_l > best && n < max_out) {
+    out[n].off = off_l;
+    out[n].len = (uint32_t)m_l;
+    n++;
+  }
+  return n;
+}
+
+// binary-tree matchfinder (strat 2): each hash bucket's positions form a
+// binary search tree ordered by suffix lexicographic order.  Inserting a
+// position walks down the tree splitting it into a < and a > subtree while
+// recording the best match at each step — the canonical LZMA/zstd
+// high-level matchfinder: per-step compares start at the common-prefix
+// floor, so dense short-match data (quality streams) costs O(1) amortized
+// per step instead of a full re-extend like a hash chain.
+static inline int bt_matches(const uint8_t *src, uint64_t pos, uint64_t end,
+                             uint64_t lo_limit, const LevelCfg &cfg,
+                             Tables &t, MatchCand *out, int max_out,
+                             uint64_t suff, uint64_t seed_len) {
+  const uint32_t cmask = (1u << cfg.clog) - 1;
+  // matches are NOT re-verified (the common-prefix floors prove them), so
+  // every reachable node must still own its child slots: cap the search
+  // window at ring-1 so no live node's slot can have been reused by a
+  // newer position (slots recycle every 1<<clog); longer-range matches are
+  // the (verified) LDM probe's job
+  uint64_t window = 1ull << cfg.wlog;
+  const uint64_t ring1 = (1ull << cfg.clog) - 1;
+  if (window > ring1) window = ring1;
+  uint64_t lo = pos > window ? pos - window : 0;
+  if (lo < lo_limit) lo = lo_limit;
+  uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
+  int64_t cur = (int64_t)t.hash[h] - 1 + (int64_t)t.base;
+  t.hash[h] = (int32_t)(pos - t.base + 1);
+  int32_t *p_smaller = &t.bt[2 * (pos & cmask)];
+  int32_t *p_greater = &t.bt[2 * (pos & cmask) + 1];
+  uint64_t len_s = 0, len_g = 0;       // common-prefix floors per side
+  uint64_t best = cfg.mm > 1 ? cfg.mm - 1 : 1;
+  if (seed_len > best) best = seed_len;
+  const uint64_t room = end - pos;
+  int n = 0;
+  int depth = cfg.depth;
+  for (;;) {
+    if (depth-- <= 0 || cur < (int64_t)lo || cur >= (int64_t)pos) {
+      *p_smaller = 0;
+      *p_greater = 0;                  // cut: subtree beyond reach is lost
+      break;
+    }
+    uint64_t m = len_s < len_g ? len_s : len_g;
+    const uint8_t *a = src + (uint64_t)cur;
+    const uint8_t *b = src + pos;
+    while (m < room && a[m] == b[m]) m++;
+    if (m > best && n < max_out) {
+      out[n].off = (uint32_t)(pos - (uint64_t)cur);
+      out[n].len = (uint32_t)m;
+      n++;
+      best = m;
+    }
+    int32_t *kids = &t.bt[2 * ((uint64_t)cur & cmask)];
+    if (m >= room || best >= suff) {
+      // tie up to the block bound (ordering undecidable) or good enough:
+      // stop here; cutting keeps the BST ordering invariant sound, and
+      // only the unexplored remainder of this bucket is forgotten
+      *p_smaller = 0;
+      *p_greater = 0;
+      break;
+    }
+    if (a[m] < b[m]) {
+      *p_smaller = (int32_t)((uint64_t)cur - t.base + 1);
+      p_smaller = &kids[1];            // larger side of cur stays below us
+      cur = (int64_t)kids[1] - 1 + (int64_t)t.base;
+      len_s = m;
+    } else {
+      *p_greater = (int32_t)((uint64_t)cur - t.base + 1);
+      p_greater = &kids[0];
+      cur = (int64_t)kids[0] - 1 + (int64_t)t.base;
+      len_g = m;
+    }
+  }
+  uint32_t off_l = 0;
+  uint64_t m_l = ldm_search(src, pos, end, lo_limit, cfg, t, &off_l);
+  if (m_l > best && n < max_out) {
+    out[n].off = off_l;
+    out[n].len = (uint32_t)m_l;
+    n++;
+  }
+  return n;
+}
+
+static const int32_t OPT_INF = INT32_MAX / 2;
+
+struct OptNodes {                      // SoA; ~4 MB thread_local
+  int32_t price[BLOCK_MAX + 1];
+  int32_t from[BLOCK_MAX + 1];        // predecessor block position
+  uint32_t mlen[BLOCK_MAX + 1];       // 0 = literal step
+  uint32_t moff[BLOCK_MAX + 1];       // raw distance when mlen > 0
+  uint16_t litlen[BLOCK_MAX + 1];     // literal run ending here (capped)
+  RepState rs[BLOCK_MAX + 1];         // rep state after arriving here
+};
+
+static uint32_t find_sequences_opt(const uint8_t *src, uint64_t block_start,
+                                   uint64_t block_end, uint64_t lo_limit,
+                                   const LevelCfg &cfg, Tables &t,
+                                   RepState &rs, Seq *seqs,
+                                   uint32_t max_seqs, uint8_t *literals,
+                                   uint32_t *lit_total) {
+  const uint32_t bsz = (uint32_t)(block_end - block_start);
+  const uint64_t limit = block_end >= 12 ? block_end - 12 : 0;
+  const uint32_t limit_rel =
+      limit > block_start ? (uint32_t)(limit - block_start) : 0;
+
+  // ---- pass 1: cheap greedy scan for price statistics ------------------
+  static thread_local Seq p1_seqs[BLOCK_MAX / 3 + 16];
+  static thread_local uint8_t p1_lits[BLOCK_MAX + 16];
+  OptCosts oc;
+  {
+    LevelCfg c1 = cfg;
+    c1.strat = 0; c1.depth = 0; c1.lazy = 0; c1.ldm = false;
+    c1.full_rep = true; c1.hlog = STAT_LOG;
+    Tables t1{t.stat, nullptr, nullptr, nullptr, nullptr, nullptr, t.base};
+    RepState rs1 = rs;                 // stats only; real state untouched
+    uint32_t p1_lit = 0;
+    uint32_t p1_n = find_sequences(src, block_start, block_end, lo_limit,
+                                   c1, t1, rs1, p1_seqs,
+                                   (uint32_t)(BLOCK_MAX / 3), p1_lits,
+                                   &p1_lit);
+    uint32_t clit[256] = {0};
+    for (uint32_t i = 0; i < p1_lit; i++) clit[p1_lits[i]]++;
+    uint32_t cll[36] = {0}, cml[53] = {0}, cof[32] = {0};
+    for (uint32_t i = 0; i < p1_n; i++) {
+      uint32_t x; int b;
+      cll[ll_code(p1_seqs[i].lit_len, &x, &b)]++;
+      cml[ml_code(p1_seqs[i].match_len, &x, &b)]++;
+      cof[highbit32(p1_seqs[i].ofv)]++;
+    }
+    for (int i = 0; i < 256; i++)
+      oc.lit[i] = bit_cost8(p1_lit, clit[i], 11 * 8);
+    // +1 smoothing: codes the greedy pass never used stay plausible
+    uint64_t sll = p1_n + 36, sml = p1_n + 53, sof = p1_n + 32;
+    for (int i = 0; i < 36; i++)
+      oc.llsym[i] = bit_cost8(sll, cll[i] + 1, 9 * 8);
+    for (int i = 0; i < 53; i++)
+      oc.mlsym[i] = bit_cost8(sml, cml[i] + 1, 9 * 8);
+    for (int i = 0; i < 32; i++)
+      oc.ofsym[i] = bit_cost8(sof, cof[i] + 1, 8 * 8);
+  }
+
+  // ---- pass 2: DP over positions ---------------------------------------
+  // Iteration 1 collects chain/LDM candidates (cached per position) and
+  // parses with the pass-1 prices; at deep levels a second DP re-runs on
+  // the cached candidates with prices re-estimated from iteration 1's own
+  // parse (btultra2-style refinement) — candidate search dominates cost,
+  // so the refinement pass is nearly free.
+  static thread_local OptNodes nd;
+  static thread_local uint32_t cc_off[BLOCK_MAX][OPT_CACHE_K];
+  static thread_local uint32_t cc_len[BLOCK_MAX][OPT_CACHE_K];
+  static thread_local uint8_t cc_n[BLOCK_MAX];
+  static thread_local uint32_t c3_off[BLOCK_MAX];   // hash3 candidate
+  static thread_local uint32_t c3_len[BLOCK_MAX];
+  static thread_local uint32_t bt_at[BLOCK_MAX / 3 + 16];
+  static thread_local uint32_t bt_len[BLOCK_MAX / 3 + 16];
+  static thread_local uint32_t bt_off[BLOCK_MAX / 3 + 16];
+
+  const uint64_t suff = cfg.depth >= 2048 ? 512
+                        : cfg.depth >= 1024 ? 128 : 64;
+  const int iters = cfg.depth >= 1024 ? 3 : 2;
+  uint32_t nbt = 0;
+
+  // best parse across refinement iterations, judged by the ACTUAL encoded
+  // block size (price models drift between iterations; trial-serializing
+  // is cheap next to match finding and makes extra iterations monotone)
+  static thread_local uint32_t bb_at[BLOCK_MAX / 3 + 16];
+  static thread_local uint32_t bb_len[BLOCK_MAX / 3 + 16];
+  static thread_local uint32_t bb_off[BLOCK_MAX / 3 + 16];
+  static thread_local uint8_t trial_body[BLOCK_MAX + (BLOCK_MAX >> 2) + 4096];
+  uint32_t best_nbt = 0;
+  uint64_t best_sz = UINT64_MAX;
+
+  for (int iter = 0; iter < iters; iter++) {
+    for (uint32_t i = 0; i <= bsz; i++) nd.price[i] = OPT_INF;
+    nd.price[0] = 0;
+    nd.from[0] = -1;
+    nd.mlen[0] = 0;
+    nd.litlen[0] = 0;
+    nd.rs[0] = rs;
+
+    MatchCand mc[24];
+    for (uint32_t p = 0; p < bsz; p++) {
+      if (nd.price[p] >= OPT_INF) continue;
+      const uint64_t pos = block_start + p;
+      const int32_t base_price = nd.price[p];
+      const uint32_t lp = nd.litlen[p];
+
+      // literal step (incremental LL channel delta keeps paths comparable)
+      {
+        uint32_t lp1 = lp < 65535 ? lp + 1 : 65535;
+        int32_t np = base_price + oc.lit[src[pos]]
+                   + (int32_t)ll_price(oc, lp1) - (int32_t)ll_price(oc, lp);
+        if (np < nd.price[p + 1]) {
+          nd.price[p + 1] = np;
+          nd.from[p + 1] = (int32_t)p;
+          nd.mlen[p + 1] = 0;
+          nd.litlen[p + 1] = (uint16_t)lp1;
+          nd.rs[p + 1] = nd.rs[p];
+        }
+      }
+
+      if (p >= limit_rel) continue;
+      if (iter == 0) ldm_insert(src, pos, block_end, cfg, t);
+
+      auto relax = [&](uint32_t off, uint32_t l_lo, uint32_t l_hi) {
+        // price a window of lengths; for wide ranges only the extremes
+        // matter (interior lengths are dominated by shorter-cheaper or
+        // longer-reaches-farther) — bounded work on runs/long matches
+        if (l_hi > bsz - p) l_hi = bsz - p;
+        if (l_hi < l_lo) return;
+        uint32_t lo_end = l_hi - l_lo >= 40 ? l_lo + 23 : l_hi;
+        for (uint32_t pass = 0; pass < 2; pass++) {
+          uint32_t a = pass == 0 ? l_lo : (lo_end >= l_hi - 15 ? l_hi + 1
+                                                               : l_hi - 15);
+          uint32_t b = pass == 0 ? lo_end : l_hi;
+          for (uint32_t l = a; l <= b; l++) {
+            RepState nrs = nd.rs[p];
+            uint32_t ofv = offset_value(nrs, off, lp);
+            int32_t np = base_price + (int32_t)ll_price(oc, lp)
+                       + (int32_t)ml_price(oc, l)
+                       + (int32_t)of_price(oc, ofv);
+            uint32_t q = p + l;
+            if (np < nd.price[q]) {
+              nd.price[q] = np;
+              nd.from[q] = (int32_t)p;
+              nd.mlen[q] = l;
+              nd.moff[q] = off;
+              nd.litlen[q] = 0;
+              nd.rs[q] = nrs;
+            }
+          }
+        }
+      };
+
+      // repeat-offset candidates (distance view depends on lp; always
+      // recomputed live — they are path-state-dependent and cheap)
+      uint64_t rep_best = 0;
+      {
+        const RepState &prs = nd.rs[p];
+        uint32_t cand_d[3];
+        if (lp) {
+          cand_d[0] = prs.r[0]; cand_d[1] = prs.r[1]; cand_d[2] = prs.r[2];
+        } else {
+          cand_d[0] = prs.r[1]; cand_d[1] = prs.r[2];
+          cand_d[2] = prs.r[0] - 1;
+        }
+        for (int k = 0; k < 3; k++) {
+          uint32_t d = cand_d[k];
+          if (d == 0 || d > pos - lo_limit) continue;
+          uint64_t m = extend_raw(src, pos - d, pos, block_end);
+          if (m >= 3) {              // 3-byte rep matches are legal zstd
+            relax(d, 3, (uint32_t)m);
+            if (m > rep_best) rep_best = m;
+          }
+        }
+      }
+
+      // 3-byte hash probe (verified via extend_raw): the short-match mass
+      // on quality-like streams that a 4-byte seed can never see
+      if (iter == 0) {
+        c3_len[p] = 0;
+        uint32_t h3i = hash3_16(read32(src + pos));
+        int64_t c3 = (int64_t)t.h3[h3i] - 1 + (int64_t)t.base;
+        t.h3[h3i] = (int32_t)(pos - t.base + 1);
+        uint64_t win3 = 1ull << cfg.wlog;
+        uint64_t lo3 = pos > win3 ? pos - win3 : 0;
+        if (lo3 < lo_limit) lo3 = lo_limit;
+        if (c3 >= (int64_t)lo3 && c3 < (int64_t)pos) {
+          uint64_t m3 = extend_raw(src, (uint64_t)c3, pos, block_end);
+          if (m3 >= 3) {
+            c3_off[p] = (uint32_t)(pos - (uint64_t)c3);
+            c3_len[p] = (uint32_t)m3;
+          }
+        }
+      }
+      if (c3_len[p] >= 3 && c3_len[p] > rep_best)
+        relax(c3_off[p], 3, c3_len[p]);
+
+      // chain + LDM candidates: ascending (offset, length) frontier; for
+      // candidate i only lengths above the previous frontier length are
+      // not dominated by a nearer offset
+      int nm;
+      if (iter == 0) {
+        nm = bt_matches(src, pos, block_end, lo_limit, cfg, t, mc, 24,
+                        suff, rep_best);
+        int keep = nm <= OPT_CACHE_K ? nm : OPT_CACHE_K;
+        cc_n[p] = (uint8_t)keep;
+        // cap: keep the nearest K-1 plus the longest (frontier tail)
+        for (int i2 = 0; i2 < keep; i2++) {
+          int s = (nm <= OPT_CACHE_K || i2 < keep - 1) ? i2 : nm - 1;
+          cc_off[p][i2] = mc[s].off;
+          cc_len[p][i2] = mc[s].len;
+        }
+      } else {
+        nm = cc_n[p];
+        for (int i2 = 0; i2 < nm; i2++) {
+          mc[i2].off = cc_off[p][i2];
+          mc[i2].len = cc_len[p][i2];
+        }
+      }
+      uint32_t prev_len = cfg.mm > 1 ? cfg.mm - 1 : 1;
+      for (int i2 = 0; i2 < nm; i2++) {
+        if (mc[i2].len <= prev_len) continue;
+        relax(mc[i2].off, prev_len + 1 < cfg.mm ? cfg.mm : prev_len + 1,
+              mc[i2].len);
+        prev_len = mc[i2].len;
+      }
+    }
+
+    // backtrack this iteration's parse
+    nbt = 0;
+    {
+      uint32_t q = bsz;
+      while (q > 0) {
+        if (nd.mlen[q] > 0) {
+          bt_at[nbt] = (uint32_t)nd.from[q];
+          bt_len[nbt] = nd.mlen[q];
+          bt_off[nbt] = nd.moff[q];
+          nbt++;
+          q = (uint32_t)nd.from[q];
+        } else {
+          q--;
+        }
+      }
+    }
+
+    // trial-serialize: actual block bytes under this parse
+    {
+      static thread_local Seq tr_seqs[BLOCK_MAX / 3 + 16];
+      static thread_local uint8_t tr_lits[BLOCK_MAX + 16];
+      RepState rs_t = rs;
+      uint64_t anchor_t = block_start;
+      uint32_t tn = 0, tl = 0;
+      for (uint32_t i = nbt; i-- > 0;) {
+        uint64_t at = block_start + bt_at[i];
+        uint32_t ll = (uint32_t)(at - anchor_t);
+        std::memcpy(tr_lits + tl, src + anchor_t, ll);
+        tl += ll;
+        tr_seqs[tn].lit_len = ll;
+        tr_seqs[tn].match_len = bt_len[i];
+        tr_seqs[tn].ofv = offset_value(rs_t, bt_off[i], ll);
+        tn++;
+        anchor_t = at + bt_len[i];
+      }
+      std::memcpy(tr_lits + tl, src + anchor_t,
+                  (size_t)(block_end - anchor_t));
+      tl += (uint32_t)(block_end - anchor_t);
+      uint64_t sz = write_compressed_block(tr_seqs, tn, tr_lits, tl, bsz,
+                                           trial_body, sizeof(trial_body));
+      uint64_t eff = sz ? sz : bsz;       // 0 => raw block wins
+      if (eff < best_sz) {
+        best_sz = eff;
+        best_nbt = nbt;
+        std::memcpy(bb_at, bt_at, nbt * sizeof(uint32_t));
+        std::memcpy(bb_len, bt_len, nbt * sizeof(uint32_t));
+        std::memcpy(bb_off, bt_off, nbt * sizeof(uint32_t));
+      }
+    }
+
+    if (iter + 1 < iters) {
+      // re-estimate prices from THIS parse's actual code streams
+      uint32_t clit[256] = {0}, cll[36] = {0}, cml[53] = {0}, cof[32] = {0};
+      uint64_t lit_total2 = 0;
+      RepState rs2 = rs;
+      uint64_t anchor2 = block_start;
+      for (uint32_t i = nbt; i-- > 0;) {
+        uint64_t at = block_start + bt_at[i];
+        uint32_t ll = (uint32_t)(at - anchor2);
+        for (uint32_t j = 0; j < ll; j++) clit[src[anchor2 + j]]++;
+        lit_total2 += ll;
+        uint32_t x; int b;
+        cll[ll_code(ll, &x, &b)]++;
+        cml[ml_code(bt_len[i], &x, &b)]++;
+        cof[highbit32(offset_value(rs2, bt_off[i], ll))]++;
+        anchor2 = at + bt_len[i];
+      }
+      for (uint64_t j = anchor2; j < block_end; j++) clit[src[j]]++;
+      lit_total2 += block_end - anchor2;
+      uint32_t nseq2 = nbt;
+      for (int i = 0; i < 256; i++)
+        oc.lit[i] = bit_cost8(lit_total2, clit[i], 11 * 8);
+      uint64_t sll = nseq2 + 36, sml = nseq2 + 53, sof = nseq2 + 32;
+      for (int i = 0; i < 36; i++)
+        oc.llsym[i] = bit_cost8(sll, cll[i] + 1, 9 * 8);
+      for (int i = 0; i < 53; i++)
+        oc.mlsym[i] = bit_cost8(sml, cml[i] + 1, 9 * 8);
+      for (int i = 0; i < 32; i++)
+        oc.ofsym[i] = bit_cost8(sof, cof[i] + 1, 8 * 8);
+    }
+  }
+
+  uint64_t anchor = block_start;
+  uint32_t n = 0, lit_n = 0;
+  for (uint32_t i = best_nbt; i-- > 0 && n < max_seqs;) {
+    uint64_t at = block_start + bb_at[i];
+    uint32_t ll = (uint32_t)(at - anchor);
+    std::memcpy(literals + lit_n, src + anchor, ll);
+    lit_n += ll;
+    seqs[n].lit_len = ll;
+    seqs[n].match_len = bb_len[i];
+    seqs[n].ofv = offset_value(rs, bb_off[i], ll);
+    n++;
+    anchor = at + bb_len[i];
+  }
+  uint32_t tail = (uint32_t)(block_end - anchor);
+  std::memcpy(literals + lit_n, src + anchor, tail);
+  lit_n += tail;
+  *lit_total = lit_n;
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// public API: compress `src` into ONE complete zstd frame
+// ---------------------------------------------------------------------------
 
 static uint64_t write_frame_header(uint8_t *dst, uint64_t n) {
   uint64_t w = 0;
@@ -1207,10 +1743,11 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
   // tables (hash4 is thread-local; chains/ldm allocated when used)
   static thread_local int32_t tl_hash[1 << 20];
   if (cfg.hlog > 20) cfg.hlog = 20;
-  Tables t{tl_hash, nullptr, nullptr};
+  Tables t{tl_hash, nullptr, nullptr, nullptr, nullptr, nullptr};
   std::memset(t.hash, 0, sizeof(int32_t) << cfg.hlog);
-  int32_t *alloc_chain = nullptr, *alloc_ldm = nullptr;
-  if (cfg.strat == 1) {
+  int32_t *alloc_chain = nullptr, *alloc_ldm = nullptr,
+          *alloc_stat = nullptr, *alloc_bt = nullptr;
+  if (cfg.strat >= 1) {
     uint64_t ring = 1ull << cfg.clog;
     if (ring > n + 16) {               // don't over-allocate for small input
       int cl = cfg.clog;
@@ -1218,8 +1755,16 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
       cfg.clog = cl;
       ring = 1ull << cl;
     }
-    alloc_chain = new int32_t[ring]();
-    t.chain = alloc_chain;
+    if (cfg.strat == 1) {
+      alloc_chain = new int32_t[ring]();
+      t.chain = alloc_chain;
+    } else {
+      alloc_bt = new int32_t[2 * ring]();
+      t.bt = alloc_bt;
+      alloc_stat = new int32_t[(1 << STAT_LOG) + (1 << 16)]();
+      t.stat = alloc_stat;
+      t.h3 = alloc_stat + (1 << STAT_LOG);
+    }
   }
   if (cfg.ldm) {
     alloc_ldm = new int32_t[1 << LDM_LOG]();
@@ -1240,6 +1785,9 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
       std::memset(t.hash, 0, sizeof(int32_t) << cfg.hlog);
       if (t.chain) std::memset(t.chain, 0, sizeof(int32_t) << cfg.clog);
       if (t.ldm) std::memset(t.ldm, 0, sizeof(int32_t) << LDM_LOG);
+      if (t.stat) std::memset(t.stat, 0, sizeof(int32_t) << STAT_LOG);
+      if (t.bt) std::memset(t.bt, 0, 2 * (sizeof(int32_t) << cfg.clog));
+      if (t.h3) std::memset(t.h3, 0, sizeof(int32_t) << 16);
       lo_limit = pos;
       t.base = pos;             // new epoch: stored entries stay positive
     }
@@ -1247,14 +1795,19 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
     int last = (pos + bsz == n) ? 1 : 0;
     uint32_t lit_n = 0;
     RepState rs_block = rs;       // committed only if the block is kept
-    uint32_t n_seqs = find_sequences(src, pos, pos + bsz, lo_limit, cfg, t,
-                                     rs_block, seqs,
-                                     (uint32_t)(BLOCK_MAX / 3), literals,
-                                     &lit_n);
+    uint32_t n_seqs =
+        cfg.strat == 2
+            ? find_sequences_opt(src, pos, pos + bsz, lo_limit, cfg, t,
+                                 rs_block, seqs, (uint32_t)(BLOCK_MAX / 3),
+                                 literals, &lit_n)
+            : find_sequences(src, pos, pos + bsz, lo_limit, cfg, t,
+                             rs_block, seqs, (uint32_t)(BLOCK_MAX / 3),
+                             literals, &lit_n);
     uint64_t bodysz = write_compressed_block(seqs, n_seqs, literals, lit_n,
                                              bsz, body, sizeof(body));
     if (w + 3 + (bodysz ? bodysz : bsz) > dst_cap) {
-      delete[] alloc_chain; delete[] alloc_ldm;
+      delete[] alloc_chain; delete[] alloc_ldm; delete[] alloc_stat;
+      delete[] alloc_bt;
       return 0;
     }
     if (bodysz) {
@@ -1277,6 +1830,8 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
   }
   delete[] alloc_chain;
   delete[] alloc_ldm;
+  delete[] alloc_stat;
+  delete[] alloc_bt;
   return w;
 }
 

@@ -101,7 +101,8 @@ def _seq_qual_fixtures():
     return packed, qual
 
 
-@pytest.mark.parametrize("level,bound", [(1, 1.30), (9, 1.25), (19, 1.45)])
+@pytest.mark.parametrize("level,bound", [(1, 1.30), (9, 1.25), (16, 1.15),
+                                         (19, 1.10), (22, 1.10)])
 def test_native_engine_levels_track_zstd(level, bound):
     """-# is honored: each level's ratio tracks library zstd at that level
     (VERDICT r1 item 5).  Higher levels must strictly beat level 1."""
