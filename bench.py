@@ -1,9 +1,17 @@
 #!/usr/bin/env python3
 """Benchmark: FASTA compress+decompress round-trip throughput vs reference.
 
-Prints ONE JSON line:
+Prints ONE final stdout JSON line (the headline — always the LAST line):
   {"metric": "fasta_roundtrip_MBps", "value": <ours>, "unit": "MB/s",
-   "vs_baseline": <ours / reference-binary>}
+   "vs_baseline": <ours / reference-binary>, ...device/scaling fields...}
+
+Every other metric row goes to stderr *incrementally, flushed as soon as
+computed*, so a truncated run still leaves a usable record.  The whole run
+respects a wall-clock budget (NAF_BENCH_BUDGET_S, default 430 s): sections
+are priority-ordered and skipped (with a stderr note) when the remaining
+budget can't cover their estimated cost, and a SIGALRM/SIGTERM handler
+prints the headline-so-far and exits 0, so the bench can never die row-less
+the way round 2's record did (BENCH_r02 rc=124).
 
 The baseline is the reference C implementation (ennaf|unnaf at the same
 compression level) built locally against system zstd and measured on the
@@ -15,6 +23,7 @@ from __future__ import annotations
 import io
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -26,6 +35,39 @@ REPO = Path(__file__).resolve().parent
 REF_BUILD = REPO / ".ref_build"
 SIZE_MB = int(os.environ.get("NAF_BENCH_MB", "64"))
 LEVEL = int(os.environ.get("NAF_BENCH_LEVEL", "1"))
+REPS = int(os.environ.get("NAF_BENCH_REPS", "15"))
+BUDGET = float(os.environ.get("NAF_BENCH_BUDGET_S", "430"))
+T0 = time.monotonic()
+
+HEADLINE: dict = {"metric": "fasta_roundtrip_MBps", "value": 0.0,
+                  "unit": "MB/s", "vs_baseline": 0.0}
+_finished = False
+
+
+def remaining() -> float:
+    return BUDGET - (time.monotonic() - T0)
+
+
+def emit(row: dict) -> None:
+    """One stderr JSON row, flushed immediately (survives truncation)."""
+    print(json.dumps(row), file=sys.stderr, flush=True)
+
+
+def finish() -> None:
+    """Print the headline as the LAST output line (exactly once)."""
+    global _finished
+    if _finished:
+        return
+    _finished = True
+    HEADLINE["elapsed_s"] = round(time.monotonic() - T0, 1)
+    sys.stderr.flush()
+    print(json.dumps(HEADLINE), flush=True)
+
+
+def _on_deadline(signum, frame):
+    emit({"note": "budget deadline hit", "signal": signum})
+    finish()
+    os._exit(0)
 
 
 def gen_fasta(total_mb: int, seed: int = 0) -> bytes:
@@ -163,9 +205,6 @@ def build_reference() -> bool:
     return True
 
 
-REPS = int(os.environ.get("NAF_BENCH_REPS", "15"))
-
-
 def _best(fn, reps=REPS):
     """Best-of-N wall time (rejects scheduler noise on shared hosts)."""
     best = None
@@ -197,6 +236,223 @@ def _best_interleaved(fns, reps=REPS):
     return bests, results
 
 
+def _adaptive_reps(pair_cost_s: float, share: float, lo=2, hi=REPS) -> int:
+    """How many interleaved reps fit in `share` of the remaining budget."""
+    if pair_cost_s <= 0:
+        return hi
+    return max(lo, min(hi, int(remaining() * share / pair_cost_s)))
+
+
+# ---------------------------------------------------------------------------
+# Section 1+2: core FASTA / FASTQ round trips (the headline)
+# ---------------------------------------------------------------------------
+
+def bench_core(env) -> None:
+    from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    data = gen_fasta(SIZE_MB)
+    mb = len(data) / (1 << 20)
+    opts = EncodeOptions(level=LEVEL, threads=os.cpu_count() or 0)
+
+    def compress():
+        return encode(data, opts)[0]
+
+    def decompress():
+        return Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+
+    t0 = time.perf_counter()
+    blob = compress()    # warm-up (page cache, lazy inits)
+    out = decompress()
+    warm_s = time.perf_counter() - t0
+
+    if not build_reference():
+        t_c, blob = _best(compress, reps=5)
+        t_d, out = _best(decompress, reps=5)
+        HEADLINE["value"] = round(mb / (t_c + t_d), 2)
+        emit({"note": "reference build unavailable; vs_baseline=0"})
+        return
+
+    # correctness gate: reference decodes our archive to our own output
+    q = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=blob,
+                       capture_output=True, env=env)
+    assert q.returncode == 0 and q.stdout == out, "round-trip mismatch vs reference"
+
+    def ref_compress():
+        return subprocess.run(
+            [str(REF_BUILD / "ennaf"), f"-{LEVEL}", "-c"],
+            input=data, capture_output=True, env=env).stdout
+
+    ref_archive = ref_compress()   # warm-up
+
+    def ref_decompress():
+        return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
+                              input=ref_archive, capture_output=True, env=env)
+
+    reps = _adaptive_reps(warm_s * 2.5, share=0.18)
+    (t_c, rc), _ = _best_interleaved([compress, ref_compress], reps=reps)
+    (t_d, rd), (out2, q) = _best_interleaved([decompress, ref_decompress],
+                                             reps=reps)
+    assert q.returncode == 0 and out2 == out
+    ours = mb / (t_c + t_d)
+    HEADLINE["value"] = round(ours, 2)
+    HEADLINE["vs_baseline"] = round(ours / (mb / (rc + rd)), 3)
+    emit(dict(metric="fasta_roundtrip_MBps", value=HEADLINE["value"],
+              vs_baseline=HEADLINE["vs_baseline"], reps=reps,
+              our_compress_s=round(t_c, 3), our_decompress_s=round(t_d, 3),
+              ref_compress_s=round(rc, 3), ref_decompress_s=round(rd, 3),
+              our_archive_bytes=len(blob), ref_archive_bytes=len(ref_archive)))
+
+    # secondary metric (BASELINE.md config 3): FASTQ round trip
+    fq = gen_fastq(int(os.environ.get("NAF_BENCH_FASTQ_READS", "250000")))
+    fq_mb = len(fq) / (1 << 20)
+
+    def fq_compress():
+        return encode(fq, opts)[0]
+
+    def fq_ref_compress():
+        return subprocess.run(
+            [str(REF_BUILD / "ennaf"), f"-{LEVEL}", "--fastq", "-c"],
+            input=fq, capture_output=True, env=env).stdout
+
+    t0 = time.perf_counter()
+    fq_blob = fq_compress()          # warm-ups
+    fq_ref_blob = fq_ref_compress()
+    fq_warm = time.perf_counter() - t0
+
+    def fq_decompress():
+        return Decoder(io.BytesIO(fq_blob), DecodeOptions()).fastq()
+
+    def fq_ref_decompress():
+        return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
+                              input=fq_ref_blob, capture_output=True, env=env)
+
+    reps = _adaptive_reps(fq_warm * 1.3, share=0.12)
+    (tqc, rqc), _ = _best_interleaved([fq_compress, fq_ref_compress],
+                                      reps=reps)
+    (tqd, rqd), (fq_out, q) = _best_interleaved(
+        [fq_decompress, fq_ref_decompress], reps=reps)
+    assert q.returncode == 0
+    qq = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=fq_blob,
+                        capture_output=True, env=env)
+    assert qq.returncode == 0 and qq.stdout == fq_out, "FASTQ mismatch"
+    fq_v = round(fq_mb / (tqc + tqd), 2)
+    fq_vs = round((fq_mb / (tqc + tqd)) / (fq_mb / (rqc + rqd)), 3)
+    HEADLINE["fastq_roundtrip_MBps"] = fq_v
+    HEADLINE["fastq_vs_baseline"] = fq_vs
+    emit(dict(metric="fastq_roundtrip_MBps", value=fq_v, vs_baseline=fq_vs,
+              reps=reps, our_s=[round(tqc, 3), round(tqd, 3)],
+              ref_s=[round(rqc, 3), round(rqd, 3)]))
+
+
+# ---------------------------------------------------------------------------
+# Section 3: BASELINE config 2 — masked/IUPAC ratio parity at -22
+# ---------------------------------------------------------------------------
+
+def bench_config2(env) -> None:
+    """Ratio parity at the max level; speed best-of-N interleaved so the
+    MB/s claim is defensible on this ±50% host."""
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    mb = int(os.environ.get("NAF_BENCH_C2_MB", "4"))
+    data = gen_masked_iupac_fasta(mb)
+    opts = EncodeOptions(level=22, threads=os.cpu_count() or 0)
+
+    def compress():
+        return encode(data, opts)[0]
+
+    def ref_compress():
+        return subprocess.run([str(REF_BUILD / "ennaf"), "-22", "-c"],
+                              input=data, capture_output=True,
+                              env=env).stdout
+
+    t0 = time.perf_counter()
+    blob = compress()
+    ref_blob = ref_compress()        # warm-up both sides
+    warm = time.perf_counter() - t0
+    q = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=blob,
+                       capture_output=True, env=env)
+    qr = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=ref_blob,
+                        capture_output=True, env=env)
+    assert q.returncode == 0 and q.stdout == qr.stdout, \
+        "config2: decode mismatch vs reference at -22"
+    reps = _adaptive_reps(warm, share=0.30, lo=1,
+                          hi=int(os.environ.get("NAF_BENCH_C2_REPS", "3")))
+    (t_ours, t_ref), _ = _best_interleaved([compress, ref_compress],
+                                           reps=reps)
+    ours_ratio = len(data) / len(blob)
+    ref_ratio = len(data) / len(ref_blob)
+    emit({"metric": "masked_iupac_ratio_level22",
+          "value": round(ours_ratio, 3), "unit": "x",
+          "vs_baseline": round(ours_ratio / ref_ratio, 4),
+          "our_bytes": len(blob), "ref_bytes": len(ref_blob),
+          "input_mb": mb, "reps": reps, "our_s": round(t_ours, 2),
+          "ref_s": round(t_ref, 2)})
+    HEADLINE["ratio_level22_vs_ref"] = round(ours_ratio / ref_ratio, 4)
+
+
+# ---------------------------------------------------------------------------
+# Section 4: BASELINE config 4 — chr1-like single record, high level + --long
+# ---------------------------------------------------------------------------
+
+def bench_config4(env) -> None:
+    from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    mb = int(os.environ.get("NAF_BENCH_C4_MB", "32"))
+    level = int(os.environ.get("NAF_BENCH_C4_LEVEL", "19"))
+    wlog = 27
+    data = gen_fasta_single(mb)
+    dmb = len(data) / (1 << 20)
+    opts = EncodeOptions(level=level, long_window_log=wlog,
+                         threads=os.cpu_count() or 0)
+
+    def compress():
+        return encode(data, opts)[0]
+
+    def ref_compress():
+        return subprocess.run(
+            [str(REF_BUILD / "ennaf"), f"-{level}", "--long", str(wlog), "-c"],
+            input=data, capture_output=True, env=env).stdout
+
+    t0 = time.perf_counter()
+    blob = compress()
+    ref_blob = ref_compress()
+    warm = time.perf_counter() - t0
+    q = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=blob,
+                       capture_output=True, env=env)
+    assert q.returncode == 0, "config4: reference cannot decode our archive"
+
+    def decompress():
+        return Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+
+    def ref_decompress():
+        return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
+                              input=ref_blob, capture_output=True, env=env)
+
+    reps = _adaptive_reps(warm, share=0.55, lo=1,
+                          hi=int(os.environ.get("NAF_BENCH_C4_REPS", "3")))
+    (t_c, rc), _ = _best_interleaved([compress, ref_compress], reps=reps)
+    (t_d, rd), (out, qd) = _best_interleaved([decompress, ref_decompress],
+                                             reps=max(reps, 3))
+    assert qd.returncode == 0 and q.stdout == out, "config4: decode mismatch"
+    ours = dmb / (t_c + t_d)
+    ref_v = dmb / (rc + rd)
+    emit({"metric": "highlevel_long_roundtrip_MBps",
+          "value": round(ours, 2), "unit": "MB/s",
+          "vs_baseline": round(ours / ref_v, 3),
+          "level": level, "window_log": wlog, "input_mb": round(dmb, 1),
+          "reps": reps,
+          "our_s": [round(t_c, 2), round(t_d, 2)],
+          "ref_s": [round(rc, 2), round(rd, 2)],
+          "our_bytes": len(blob), "ref_bytes": len(ref_blob)})
+    HEADLINE["highlevel_long_vs_ref"] = round(ours / ref_v, 3)
+
+
+# ---------------------------------------------------------------------------
+# Section 5: on-chip compiled Pallas kernels
+# ---------------------------------------------------------------------------
+
 def bench_device_kernels() -> dict:
     """On-chip compiled Pallas kernel throughput (empty when no TPU).
 
@@ -205,7 +461,8 @@ def bench_device_kernels() -> dict:
     axon tunnel block_until_ready returns before remote execution finishes
     and per-call dispatch costs ~17 ms, so naive best-of-N is wrong in BOTH
     directions; the in-jit loop amortizes one dispatch over K kernels and
-    the host fetch is a true barrier.
+    the host fetch is a true barrier.  Uses the persistent compile cache
+    (utils/jaxenv.py) so repeat runs skip the remote compile.
     """
     try:
         import jax
@@ -218,10 +475,11 @@ def bench_device_kernels() -> dict:
     from naf_tpu.ops.unpack import unpack_4bit_pallas_u16
 
     rng = np.random.default_rng(0)
-    n = 1 << 26                       # 64 MB on device
+    n = 1 << int(os.environ.get("NAF_BENCH_DEVICE_LOG2", "26"))
     seq = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8), size=n)
     x = jnp.asarray(seq)
     K = 32
+    out: dict = {"device": str(jax.devices()[0])}
 
     @jax.jit
     def pack_loop(x):
@@ -252,8 +510,17 @@ def bench_device_kernels() -> dict:
         return best / K
 
     tp = t_iter(pack_loop, x)
+    out["device_pack_GBps"] = round(n / tp / 1e9, 2)
+    emit({"metric": "device_pack_GBps", "value": out["device_pack_GBps"]})
+    if remaining() < 40:
+        return out
+
     packed = pack_4bit_pallas(x)
     tu = t_iter(unpack_loop, packed)
+    out["device_unpack_GBps"] = round(n / tu / 1e9, 2)
+    emit({"metric": "device_unpack_GBps", "value": out["device_unpack_GBps"]})
+    if remaining() < 40:
+        return out
 
     # the full per-byte classify pass (ops/scan.py) — the encode data plane
     from naf_tpu.ops import scan as S
@@ -283,13 +550,67 @@ def bench_device_kernels() -> dict:
         return best / KS
 
     ts = t_scan()
-    return {
-        "device_pack_GBps": round(n / tp / 1e9, 2),
-        "device_unpack_GBps": round(n / tu / 1e9, 2),
-        "device_scan_GBps": round(n / ts / 1e9, 2),
-        "device": str(jax.devices()[0]),
-    }
+    out["device_scan_GBps"] = round(n / ts / 1e9, 2)
+    emit({"metric": "device_scan_GBps", "value": out["device_scan_GBps"]})
+    return out
 
+
+# ---------------------------------------------------------------------------
+# Section 6: on-chip END-TO-END encode/decode (BASELINE's MB/s-per-chip metric)
+# ---------------------------------------------------------------------------
+
+def bench_device_e2e(env) -> dict:
+    """encode_sharded + Decoder.fasta_device on the real-TPU 1-device mesh.
+
+    End-to-end = device scan/emit passes + host stitching + zstd framing
+    (encode), and section decompress + device gather-render (decode) — the
+    full archive pipeline, not a microkernel.  Timing is a true barrier:
+    both return host bytes.
+    """
+    try:
+        import jax
+    except Exception:
+        return {}
+    if jax.default_backend() != "tpu":
+        return {}
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.parallel.pipeline import encode_sharded
+    from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    mb = int(os.environ.get("NAF_BENCH_DEVICE_E2E_MB", "32"))
+    data = gen_fasta(mb)                  # fixed seed/shape -> compile cache
+    dmb = len(data) / (1 << 20)
+    mesh = block_mesh(1)
+    opts = EncodeOptions(level=LEVEL, threads=os.cpu_count() or 0)
+
+    blob, _ = encode_sharded(data, opts, mesh=mesh)   # warm-up + compile
+    host_blob, _ = encode(data, opts)
+    assert blob == host_blob, "device archive != host archive"
+    out: dict = {}
+    t_e, _ = _best(lambda: encode_sharded(data, opts, mesh=mesh), reps=3)
+    out["device_encode_MBps"] = round(dmb / t_e, 2)
+    emit({"metric": "device_encode_MBps", "value": out["device_encode_MBps"],
+          "input_mb": mb, "note": "end-to-end sharded encode, 1 real chip"})
+    if remaining() < 40:
+        return out
+
+    def dec():
+        return Decoder(io.BytesIO(blob), DecodeOptions()).fasta_device(mesh=mesh)
+
+    rendered = dec()                      # warm-up + compile
+    assert rendered == Decoder(io.BytesIO(blob), DecodeOptions()).fasta(), \
+        "device render != host render"
+    t_d, _ = _best(dec, reps=3)
+    out["device_decode_MBps"] = round(dmb / t_d, 2)
+    emit({"metric": "device_decode_MBps", "value": out["device_decode_MBps"],
+          "input_mb": mb, "note": "end-to-end sharded decode, 1 real chip"})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Section 7: 1->8 virtual-device scaling (subprocess: needs CPU backend)
+# ---------------------------------------------------------------------------
 
 def scaling_mode() -> None:
     """1->N virtual-device scaling of the sharded encode (BASELINE north
@@ -311,7 +632,7 @@ def scaling_mode() -> None:
     from naf_tpu.parallel.pipeline import encode_sharded
     from naf_tpu.pipeline.encoder import EncodeOptions, encode
 
-    data = gen_fasta(int(os.environ.get("NAF_BENCH_SCALING_MB", "32")))
+    data = gen_fasta(int(os.environ.get("NAF_BENCH_SCALING_MB", "16")))
     mb = len(data) / (1 << 20)
     opts = EncodeOptions(level=1)
     host_blob, _ = encode(data, opts)
@@ -331,207 +652,7 @@ def scaling_mode() -> None:
             "value": round(mbps, 2), "unit": "MB/s",
             "scaling_vs_1dev": round(mbps / base / D, 3),
             "note": "virtual CPU mesh on 2 cores",
-        }))
-
-
-def bench_config2(env) -> None:
-    """BASELINE config 2: masked/IUPAC multi-FASTA ratio parity at -22.
-
-    Ratio is deterministic — one run each; correctness gated by the
-    reference decoding our archive.  Emits one stderr JSON row.
-    """
-    from naf_tpu.pipeline.encoder import EncodeOptions, encode
-
-    mb = int(os.environ.get("NAF_BENCH_C2_MB", "4"))
-    data = gen_masked_iupac_fasta(mb)
-    t0 = time.perf_counter()
-    blob, _ = encode(data, EncodeOptions(level=22, threads=os.cpu_count() or 0))
-    t_ours = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    ref = subprocess.run([str(REF_BUILD / "ennaf"), "-22", "-c"],
-                         input=data, capture_output=True, env=env)
-    t_ref = time.perf_counter() - t0
-    assert ref.returncode == 0, ref.stderr[-300:]
-    q = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=blob,
-                       capture_output=True, env=env)
-    qr = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=ref.stdout,
-                        capture_output=True, env=env)
-    assert q.returncode == 0 and q.stdout == qr.stdout, \
-        "config2: decode mismatch vs reference at -22"
-    ours_ratio = len(data) / len(blob)
-    ref_ratio = len(data) / len(ref.stdout)
-    print(json.dumps({
-        "metric": "masked_iupac_ratio_level22",
-        "value": round(ours_ratio, 3), "unit": "x",
-        "vs_baseline": round(ours_ratio / ref_ratio, 4),
-        "our_bytes": len(blob), "ref_bytes": len(ref.stdout),
-        "input_mb": mb, "our_s": round(t_ours, 2),
-        "ref_s": round(t_ref, 2)}), file=sys.stderr)
-
-
-def bench_config4(env) -> None:
-    """BASELINE config 4: chr1-like single record, high level + --long.
-
-    Round-trip MB/s at level 19 with a 27-bit window vs the reference on
-    the same input (the README's high-level speed claim, reproduced in the
-    bench output).  Emits one stderr JSON row.
-    """
-    from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
-    from naf_tpu.pipeline.encoder import EncodeOptions, encode
-
-    mb = int(os.environ.get("NAF_BENCH_C4_MB", "32"))
-    level = int(os.environ.get("NAF_BENCH_C4_LEVEL", "19"))
-    wlog = 27
-    data = gen_fasta_single(mb)
-    dmb = len(data) / (1 << 20)
-    opts = EncodeOptions(level=level, long_window_log=wlog,
-                         threads=os.cpu_count() or 0)
-
-    def compress():
-        return encode(data, opts)[0]
-
-    def ref_compress():
-        return subprocess.run(
-            [str(REF_BUILD / "ennaf"), f"-{level}", "--long", str(wlog), "-c"],
-            input=data, capture_output=True, env=env).stdout
-
-    blob = compress()
-    ref_blob = ref_compress()
-    q = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=blob,
-                       capture_output=True, env=env)
-    assert q.returncode == 0, "config4: reference cannot decode our archive"
-
-    def decompress():
-        return Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
-
-    def ref_decompress():
-        return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
-                              input=ref_blob, capture_output=True, env=env)
-
-    reps = int(os.environ.get("NAF_BENCH_C4_REPS", "2"))
-    (t_c, rc), _ = _best_interleaved([compress, ref_compress], reps=reps)
-    (t_d, rd), (out, qd) = _best_interleaved([decompress, ref_decompress],
-                                             reps=reps)
-    assert qd.returncode == 0 and q.stdout == out, "config4: decode mismatch"
-    ours = dmb / (t_c + t_d)
-    ref_v = dmb / (rc + rd)
-    print(json.dumps({
-        "metric": "highlevel_long_roundtrip_MBps",
-        "value": round(ours, 2), "unit": "MB/s",
-        "vs_baseline": round(ours / ref_v, 3),
-        "level": level, "window_log": wlog, "input_mb": round(dmb, 1),
-        "our_s": [round(t_c, 2), round(t_d, 2)],
-        "ref_s": [round(rc, 2), round(rd, 2)],
-        "our_bytes": len(blob), "ref_bytes": len(ref_blob)}),
-        file=sys.stderr)
-
-
-def main() -> None:
-    if os.environ.get("NAF_BENCH_SCALING"):
-        scaling_mode()
-        return
-    from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
-    from naf_tpu.pipeline.encoder import EncodeOptions
-
-    data = gen_fasta(SIZE_MB)
-    mb = len(data) / (1 << 20)
-    opts = EncodeOptions(level=LEVEL, threads=os.cpu_count() or 0)
-    env = dict(os.environ, TMPDIR="/tmp")
-
-    from naf_tpu.pipeline.encoder import encode
-
-    def compress():
-        return encode(data, opts)[0]
-
-    def decompress():
-        return Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
-
-    blob = compress()    # warm-up (page cache, lazy inits)
-    out = decompress()
-
-    vs = 0.0
-    if build_reference():
-        # correctness gate: reference decodes our archive to our own output
-        q = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=blob,
-                           capture_output=True, env=env)
-        assert q.returncode == 0 and q.stdout == out, "round-trip mismatch vs reference"
-
-        def ref_compress():
-            return subprocess.run(
-                [str(REF_BUILD / "ennaf"), f"-{LEVEL}", "-c"],
-                input=data, capture_output=True, env=env).stdout
-
-        ref_archive = ref_compress()   # warm-up
-
-        def ref_decompress():
-            return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
-                                  input=ref_archive, capture_output=True, env=env)
-
-        (t_c, rc), _ = _best_interleaved([compress, ref_compress])
-        (t_d, rd), (out2, q) = _best_interleaved([decompress, ref_decompress])
-        assert q.returncode == 0 and out2 == out
-        ours = mb / (t_c + t_d)
-        vs = ours / (mb / (rc + rd))
-        extra = dict(our_compress_s=round(t_c, 3), our_decompress_s=round(t_d, 3),
-                     ref_compress_s=round(rc, 3), ref_decompress_s=round(rd, 3),
-                     our_archive_bytes=len(blob), ref_archive_bytes=len(ref_archive))
-        print(json.dumps(extra), file=sys.stderr)
-
-        # secondary metric (BASELINE.md config 3): FASTQ round trip
-        fq = gen_fastq(int(os.environ.get("NAF_BENCH_FASTQ_READS", "250000")))
-        fq_mb = len(fq) / (1 << 20)
-
-        def fq_compress():
-            return encode(fq, opts)[0]
-
-        def fq_ref_compress():
-            return subprocess.run(
-                [str(REF_BUILD / "ennaf"), f"-{LEVEL}", "--fastq", "-c"],
-                input=fq, capture_output=True, env=env).stdout
-
-        fq_blob = fq_compress()          # warm-ups
-        fq_ref_blob = fq_ref_compress()
-
-        def fq_decompress():
-            return Decoder(io.BytesIO(fq_blob), DecodeOptions()).fastq()
-
-        def fq_ref_decompress():
-            return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
-                                  input=fq_ref_blob, capture_output=True, env=env)
-
-        (tqc, rqc), _ = _best_interleaved([fq_compress, fq_ref_compress])
-        (tqd, rqd), (fq_out, q) = _best_interleaved(
-            [fq_decompress, fq_ref_decompress])
-        assert q.returncode == 0
-        qq = subprocess.run([str(REF_BUILD / "unnaf"), "-c"], input=fq_blob,
-                            capture_output=True, env=env)
-        assert qq.returncode == 0 and qq.stdout == fq_out, "FASTQ mismatch"
-        print(json.dumps(dict(
-            metric="fastq_roundtrip_MBps",
-            value=round(fq_mb / (tqc + tqd), 2),
-            vs_baseline=round((fq_mb / (tqc + tqd)) / (fq_mb / (rqc + rqd)), 3),
-            our_s=[round(tqc, 3), round(tqd, 3)],
-            ref_s=[round(rqc, 3), round(rqd, 3)])), file=sys.stderr)
-
-        if not os.environ.get("NAF_BENCH_QUICK"):
-            bench_config2(env)     # BASELINE config 2: -22 ratio parity
-            bench_config4(env)     # BASELINE config 4: high level + --long
-    else:
-        t_c, blob = _best(compress)
-        t_d, out = _best(decompress)
-        ours = mb / (t_c + t_d)
-
-    line = {
-        "metric": "fasta_roundtrip_MBps",
-        "value": round(ours, 2),
-        "unit": "MB/s",
-        "vs_baseline": round(vs, 3),
-    }
-    if not os.environ.get("NAF_BENCH_NO_DEVICE"):
-        line.update(bench_device_kernels())
-    if not os.environ.get("NAF_BENCH_NO_SCALING"):
-        line.update(scaling_summary(env))
-    print(json.dumps(line))
+        }), flush=True)
 
 
 def scaling_summary(env) -> dict:
@@ -544,12 +665,13 @@ def scaling_summary(env) -> dict:
                                                    "16"))
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                           capture_output=True, env=sub, timeout=1200)
+                           capture_output=True, env=sub,
+                           timeout=max(30, remaining() - 15))
         rows = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
         by_d = {row["devices"]: row for row in rows
                 if row.get("metric") == "sharded_encode_MBps"}
         if 1 in by_d and 8 in by_d:
-            return {
+            out = {
                 "sharded_encode_1dev_MBps": by_d[1]["value"],
                 "sharded_encode_8dev_MBps": by_d[8]["value"],
                 "scaling_vs_1dev_8": by_d[8]["scaling_vs_1dev"],
@@ -561,9 +683,51 @@ def scaling_summary(env) -> dict:
                                  "metric pins correctness + overhead, not "
                                  "chip scaling"),
             }
-    except Exception:
-        pass
+            emit({"metric": "sharded_encode_scaling", **{
+                k: v for k, v in out.items() if not k.endswith("note")}})
+            return out
+    except Exception as e:
+        emit({"note": f"scaling summary skipped: {type(e).__name__}"})
     return {}
+
+
+# ---------------------------------------------------------------------------
+
+def _guard(name: str, est_s: float, fn, *args) -> dict:
+    """Run a section if the remaining budget covers its estimate; a failing
+    section emits an error row instead of killing the whole bench."""
+    if remaining() < est_s:
+        emit({"note": f"skipped {name}: {round(remaining())}s left < {est_s}s est"})
+        return {}
+    try:
+        return fn(*args) or {}
+    except Exception as e:
+        emit({"note": f"section {name} failed: {type(e).__name__}: {e}"})
+        return {}
+
+
+def main() -> None:
+    if os.environ.get("NAF_BENCH_SCALING"):
+        scaling_mode()
+        return
+
+    signal.signal(signal.SIGTERM, _on_deadline)
+    signal.signal(signal.SIGALRM, _on_deadline)
+    signal.alarm(int(BUDGET) + 25)   # hard insurance: headline always lands
+
+    env = dict(os.environ, TMPDIR="/tmp")
+
+    # priority order: headline first, cheapest-per-value next
+    _guard("core", 0, bench_core, env)          # always runs
+    if not os.environ.get("NAF_BENCH_QUICK"):
+        _guard("config2", 70, bench_config2, env)
+        _guard("config4", 90, bench_config4, env)
+    if not os.environ.get("NAF_BENCH_NO_DEVICE"):
+        HEADLINE.update(_guard("device_kernels", 60, bench_device_kernels))
+        HEADLINE.update(_guard("device_e2e", 60, bench_device_e2e, env))
+    if not os.environ.get("NAF_BENCH_NO_SCALING"):
+        HEADLINE.update(_guard("scaling", 55, scaling_summary, env))
+    finish()
 
 
 if __name__ == "__main__":
