@@ -56,11 +56,13 @@ Options for selecting output type:
   --sequences     - One sequence per line, no names
   --fasta         - FASTA-formatted sequences
   --fastq         - FASTQ-formatted sequences
-  --range A:B     - FASTA records [A, B) only (tnaf extension; random
-                    access on extended-format archives)
+  --range A:B     - FASTA/FASTQ records [A, B) only (tnaf extension;
+                    random access on extended-format archives)
 Other options:
   --device        - Render FASTA/FASTQ on the attached device mesh (tnaf
                     extension; sharded gather render, same bytes)
+  --engine NAME   - Entropy decoder: 'zstd' (library, default), 'native'
+                    (this package's from-scratch RFC 8878 decoder)
   -o FILE         - Decompress into FILE
   -c              - Write to standard output
   --line-length N - Use lines of width N for FASTA output
@@ -141,6 +143,15 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 if a == "--device":
                     use_device = True
+                    i += 1
+                    continue
+                if a == "--engine" and i < n - 1:
+                    i += 1
+                    if argv[i] not in ("zstd", "native"):
+                        _die(f'unknown engine "{argv[i]}"')
+                    from ..codec.zstd_backend import set_decode_engine
+
+                    set_decode_engine(argv[i])
                     i += 1
                     continue
                 if a in ("--binary-stdout", "--binary-stderr", "--binary"):
@@ -341,6 +352,8 @@ def _render(dec: Decoder, out_type: int) -> bytes:
     if out_type == SEQUENCES:
         return dec.sequences()
     if out_type == RANGE:
+        if h.has_quality:
+            return dec.fastq_range(*_RANGE_ARG)
         return dec.fasta_range(*_RANGE_ARG)
     if out_type in (FASTA, MASKED_FASTA):
         return dec.fasta()

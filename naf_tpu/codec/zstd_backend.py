@@ -16,7 +16,7 @@ Design notes for the TPU build:
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Optional
 
 import os
 
@@ -200,8 +200,57 @@ def compress_section(data, level: int = 1, window_log: int = 0, threads: int = 0
     return c.finish()
 
 
+_DECODE_ENGINE = "zstd"
+
+
+def set_decode_engine(name: str) -> None:
+    """Select the decode-side entropy engine: 'zstd' (library, default) or
+    'native' (the from-scratch RFC 8878 decoder in native/naf_zstd.cpp —
+    the decode half of SURVEY §2.3.1's only third-party dependency,
+    reference parity unnaf/src/input.c:260-292)."""
+    global _DECODE_ENGINE
+    if name not in ("zstd", "native"):
+        raise ValueError(f"unknown decode engine {name!r}")
+    _DECODE_ENGINE = name
+
+
+def decode_engine() -> str:
+    return _DECODE_ENGINE
+
+
+def decompress_section_native(payload: bytes, uncompressed_size: int) -> bytes:
+    """One-shot decode with the native from-scratch zstd decoder."""
+    import ctypes as ct
+
+    import numpy as np
+
+    from .. import native as _native
+
+    lib = _native._load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    if not hasattr(lib, "_naf_zstd_dec_ready"):
+        lib.naf_zstd_decompress.restype = ct.c_uint64
+        lib.naf_zstd_decompress.argtypes = [
+            ct.c_void_p, ct.c_uint64, ct.c_void_p, ct.c_uint64]
+        lib._naf_zstd_dec_ready = True
+    frame = ZSTD_FRAME_MAGIC + payload
+    src = np.frombuffer(frame, np.uint8)
+    out = np.empty(max(uncompressed_size, 1), np.uint8)
+    w = lib.naf_zstd_decompress(
+        src.ctypes.data_as(ct.c_void_p), src.size,
+        out.ctypes.data_as(ct.c_void_p), uncompressed_size)
+    if w == (1 << 64) - 1:
+        raise RuntimeError("native decode: corrupt zstd stream")
+    if w != uncompressed_size:
+        raise RuntimeError("section decompression size mismatch")
+    return out[:w].tobytes()
+
+
 def decompress_section(payload: bytes, uncompressed_size: int) -> bytes:
     """One-shot decode of a magic-stripped section payload."""
+    if _DECODE_ENGINE == "native":
+        return decompress_section_native(payload, uncompressed_size)
     dctx = zstd.ZstdDecompressor(max_window_size=1 << WINDOWLOG_MAX)
     out = dctx.decompress(
         ZSTD_FRAME_MAGIC + payload, max_output_size=max(uncompressed_size, 1)
@@ -216,14 +265,37 @@ class SectionDecompressor:
 
     `feed()` compressed chunks (the first must be prefixed implicitly with the
     zstd magic, handled here); iterate decompressed chunks.
+
+    With the native decode engine selected AND both totals supplied, input
+    is buffered and decoded one-shot when the last compressed byte arrives
+    (the native decoder has no incremental entry point yet); callers that
+    loop "feed until csize consumed" work unchanged, at the cost of section-
+    sized memory on this opt-in path.
     """
 
-    def __init__(self):
+    def __init__(self, total_in: Optional[int] = None,
+                 total_out: Optional[int] = None):
+        self._native = (_DECODE_ENGINE == "native" and total_in is not None
+                        and total_out is not None)
+        if self._native:
+            self._total_in = total_in
+            self._total_out = total_out
+            self._got = 0
+            self._parts: list = []
+            return
         dctx = zstd.ZstdDecompressor(max_window_size=1 << WINDOWLOG_MAX)
         self._obj = dctx.decompressobj()
         self._first = True
 
     def feed(self, chunk: bytes) -> bytes:
+        if self._native:
+            self._parts.append(chunk)
+            self._got += len(chunk)
+            if self._got >= self._total_in:
+                payload = b"".join(self._parts)
+                self._parts = []
+                return decompress_section_native(payload, self._total_out)
+            return b""
         if self._first:
             chunk = ZSTD_FRAME_MAGIC + chunk
             self._first = False

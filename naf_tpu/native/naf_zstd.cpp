@@ -1955,4 +1955,670 @@ uint64_t naf_zstd_compress_cand(const uint8_t *src, uint64_t n,
   return naf_zstd_compress_cand_k(src, n, cand, 1, dst, dst_cap);
 }
 
+// ===========================================================================
+// From-scratch zstd DECODER (RFC 8878) — the decode half of the native
+// entropy stack.  Reference parity target: the reference's only third-party
+// dependency covers both directions (unnaf/src/input.c:260-292 streaming
+// decompression); this completes the framework-owns-its-core story the
+// encoder above started.  Handles multi-frame streams, skippable frames,
+// raw/RLE/compressed blocks, 1- and 4-stream Huffman literals (direct and
+// FSE-compressed weights, treeless repeats), predefined/RLE/dynamic/repeat
+// sequence tables, repeat offsets, and cross-block history within a frame.
+// Fuzzed against library zstd in tests/test_native_engine.py.
+// ===========================================================================
+
+// ---- forward bit reader (FSE table descriptions, direct Huffman weights) --
+
+struct FwdBits {
+  const uint8_t *p;
+  uint64_t nbytes;
+  uint64_t pos = 0;                      // bit position
+
+  inline uint32_t peek(int nb) const {
+    uint64_t acc = 0;
+    uint64_t b0 = pos >> 3;
+    for (int k = 0; k < 6; k++)
+      if (b0 + k < nbytes) acc |= (uint64_t)p[b0 + k] << (8 * k);
+    return (uint32_t)((acc >> (pos & 7)) & (((uint64_t)1 << nb) - 1));
+  }
+  inline uint32_t read(int nb) {
+    uint32_t v = peek(nb);
+    pos += nb;
+    return v;
+  }
+};
+
+// ---- backward bit reader (Huffman streams, FSE streams, sequences) --------
+// zstd bitstreams are written LSB-first and read back from the END; the last
+// byte carries a 1-bit sentinel at its highest set position.  Reads past the
+// logical start yield zero bits (the FSE tail convention); `bits` going
+// negative past that marks corruption.
+
+struct BackBits {
+  const uint8_t *p;
+  uint64_t nbytes;
+  int64_t bits = -1;                     // payload bits remaining
+
+  bool init() {
+    if (nbytes == 0 || p[nbytes - 1] == 0) return false;   // no sentinel
+    bits = (int64_t)(nbytes - 1) * 8 + highbit32(p[nbytes - 1]);
+    return true;
+  }
+  inline uint32_t peek_at(int64_t at, int nb) const {
+    if (nb == 0) return 0;
+    uint64_t acc = 0;
+    int64_t b0 = at >> 3;                // arithmetic shift: floor for <0
+    for (int k = 0; k < 6; k++) {
+      int64_t bi = b0 + k;
+      if (bi >= 0 && (uint64_t)bi < nbytes) acc |= (uint64_t)p[bi] << (8 * k);
+    }
+    int sh = (int)(at - (b0 << 3));      // 0..7
+    return (uint32_t)((acc >> sh) & (((uint64_t)1 << nb) - 1));
+  }
+  inline uint32_t read(int nb) {         // consume nb bits from the top
+    bits -= nb;
+    return peek_at(bits, nb);
+  }
+  inline uint32_t peek(int nb) const { return peek_at(bits - nb, nb); }
+};
+
+// ---- FSE decode tables ----------------------------------------------------
+
+struct FseDecEntry { uint16_t base; uint8_t sym; uint8_t nb; };
+
+struct FseDec {
+  FseDecEntry t[1 << FSE_MAX_LOG];
+  int log = 0;
+};
+
+static bool fse_dec_build(const int16_t *norm, int n_sym, int tlog,
+                          FseDec &d) {
+  if (tlog > FSE_MAX_LOG || n_sym > 256) return false;
+  int size = 1 << tlog;
+  d.log = tlog;
+  int high = size - 1;
+  uint16_t sym_next[256];
+  for (int s = 0; s < n_sym; s++) {
+    if (norm[s] == -1) {
+      if (high < 0) return false;
+      d.t[high--].sym = (uint8_t)s;
+      sym_next[s] = 1;
+    } else {
+      sym_next[s] = (uint16_t)norm[s];
+    }
+  }
+  int step = (size >> 1) + (size >> 3) + 3, mask = size - 1, pos = 0;
+  for (int s = 0; s < n_sym; s++)
+    for (int i = 0; i < norm[s]; i++) {
+      d.t[pos].sym = (uint8_t)s;
+      do { pos = (pos + step) & mask; } while (pos > high);
+    }
+  if (pos != 0) return false;            // table description corrupt
+  for (int i = 0; i < size; i++) {
+    uint8_t s = d.t[i].sym;
+    uint16_t c = sym_next[s]++;
+    int nb = tlog - (c ? highbit32(c) : 0);
+    d.t[i].nb = (uint8_t)nb;
+    d.t[i].base = (uint16_t)(((uint32_t)c << nb) - size);
+  }
+  return true;
+}
+
+// NCount (FSE table description) reader -> normalized counts.  Returns bytes
+// consumed from `p`, or -1 on corruption.  RFC 8878 §4.1.1.
+static int64_t read_ncount(const uint8_t *p, uint64_t n, int16_t *norm,
+                           int *n_sym_out, int *tlog_out, int max_log,
+                           int max_sym) {
+  if (n < 1) return -1;
+  FwdBits fb{p, n};
+  int acclog = (int)fb.read(4) + 5;
+  if (acclog > max_log) return -1;
+  int size = 1 << acclog;
+  int remaining = size + 1;
+  int threshold = size;
+  int nbbits = acclog + 1;
+  int sym = 0;
+  bool prev0 = false;
+  while (remaining > 1 && sym <= max_sym) {
+    if (prev0) {
+      int rep;
+      do {
+        rep = (int)fb.read(2);
+        for (int i = 0; i < rep && sym <= max_sym; i++) norm[sym++] = 0;
+      } while (rep == 3 && sym <= max_sym);
+      prev0 = false;
+      continue;
+    }
+    int max = 2 * threshold - 1 - remaining;
+    int val = (int)fb.peek(nbbits);
+    int count;
+    if ((val & (threshold - 1)) < max) {
+      count = val & (threshold - 1);
+      fb.pos += nbbits - 1;
+    } else {
+      count = val & (2 * threshold - 1);
+      if (count >= threshold) count -= max;
+      fb.pos += nbbits;
+    }
+    count--;                             // stored value is count+1; -1 = "<1"
+    remaining -= count < 0 ? -count : count;
+    norm[sym++] = (int16_t)count;
+    prev0 = (count == 0);
+    while (remaining < threshold) { nbbits--; threshold >>= 1; }
+  }
+  if (remaining != 1 || fb.pos > n * 8) return -1;
+  for (int s = sym; s <= max_sym; s++) norm[s] = 0;
+  *n_sym_out = sym;
+  *tlog_out = acclog;
+  return (int64_t)((fb.pos + 7) >> 3);
+}
+
+// ---- Huffman decode table -------------------------------------------------
+
+struct HufDec {
+  uint8_t sym[1 << HUF_MAX_BITS];
+  uint8_t nb[1 << HUF_MAX_BITS];
+  int log = 0;
+  bool valid = false;
+};
+
+// Build the single-level decode table from explicit weights (last weight
+// implicit per spec).  `w` holds n explicit weights.
+static bool huf_dec_build(const uint8_t *w, int n, HufDec &d) {
+  if (n < 1 || n > 255) return false;
+  uint32_t total = 0;
+  int count[HUF_MAX_BITS + 2] = {0};
+  for (int i = 0; i < n; i++) {
+    if (w[i] > HUF_MAX_BITS) return false;
+    if (w[i]) total += 1u << (w[i] - 1);
+    count[w[i]]++;
+  }
+  if (total == 0) return false;
+  int maxbits = highbit32(total) + 1;
+  if (maxbits > HUF_MAX_BITS) return false;
+  uint32_t rest = (1u << maxbits) - total;
+  if (rest == 0 || (rest & (rest - 1))) return false;   // must be a power of 2
+  int last_w = highbit32(rest) + 1;
+  uint8_t wlast = (uint8_t)last_w;
+  count[wlast]++;
+  int n_sym = n + 1;
+
+  // start offset per weight: weight w occupies 1 << (w-1) entries per symbol
+  uint32_t start[HUF_MAX_BITS + 2];
+  uint32_t cum = 0;
+  for (int v = 1; v <= maxbits; v++) {
+    start[v] = cum;
+    cum += (uint32_t)count[v] << (v - 1);
+  }
+  if (cum != (1u << maxbits)) return false;
+  for (int s = 0; s < n_sym; s++) {
+    uint8_t ws = (s < n) ? w[s] : wlast;
+    if (ws == 0) continue;
+    uint32_t len = 1u << (ws - 1);
+    uint8_t nb = (uint8_t)(maxbits + 1 - ws);
+    for (uint32_t i = 0; i < len; i++) {
+      d.sym[start[ws] + i] = (uint8_t)s;
+      d.nb[start[ws] + i] = nb;
+    }
+    start[ws] += len;
+  }
+  d.log = maxbits;
+  d.valid = true;
+  return true;
+}
+
+// Huffman tree description -> weights -> table.  Returns bytes consumed or -1.
+static int64_t huf_read_table(const uint8_t *p, uint64_t n, HufDec &d) {
+  if (n < 1) return -1;
+  uint8_t hb = p[0];
+  uint8_t w[256];
+  int nw;
+  int64_t consumed;
+  if (hb >= 128) {                       // direct 4-bit weights
+    nw = hb - 127;
+    uint64_t bytes = ((uint64_t)nw + 1) / 2;
+    if (1 + bytes > n) return -1;
+    for (int i = 0; i < nw; i++) {
+      uint8_t b = p[1 + i / 2];
+      w[i] = (i & 1) ? (b & 0xF) : (b >> 4);
+    }
+    consumed = 1 + (int64_t)bytes;
+  } else {                               // FSE-compressed weights
+    uint64_t csize = hb;
+    if (1 + csize > n) return -1;
+    int16_t norm[256];
+    int nsym, tlog;
+    int64_t hdr = read_ncount(p + 1, csize, norm, &nsym, &tlog, 6, 255);
+    if (hdr < 0 || (uint64_t)hdr > csize) return -1;
+    FseDec fd;
+    if (!fse_dec_build(norm, nsym, tlog, fd)) return -1;
+    BackBits bb{p + 1 + hdr, csize - (uint64_t)hdr};
+    if (!bb.init()) return -1;
+    uint32_t s1 = bb.read(fd.log), s2 = bb.read(fd.log);
+    if (bb.bits < 0) return -1;
+    nw = 0;
+    // two interleaved states; when an update drains the stream the OTHER
+    // state emits one final symbol (canonical FSE 2-state termination)
+    while (nw < 254) {
+      w[nw++] = fd.t[s1].sym;
+      s1 = fd.t[s1].base + bb.read(fd.t[s1].nb);
+      if (bb.bits < 0) { w[nw++] = fd.t[s2].sym; break; }
+      w[nw++] = fd.t[s2].sym;
+      s2 = fd.t[s2].base + bb.read(fd.t[s2].nb);
+      if (bb.bits < 0) { w[nw++] = fd.t[s1].sym; break; }
+    }
+    if (nw >= 254 && bb.bits >= 0) return -1;   // weights overrun
+    consumed = 1 + (int64_t)csize;
+  }
+  if (!huf_dec_build(w, nw, d)) return -1;
+  return consumed;
+}
+
+// Decode one Huffman bitstream into exactly `count` bytes.
+static bool huf_stream_decode(const uint8_t *p, uint64_t n, const HufDec &d,
+                              uint8_t *out, uint32_t count) {
+  BackBits bb{p, n};
+  if (!bb.init()) return false;
+  for (uint32_t i = 0; i < count; i++) {
+    uint32_t idx = bb.peek(d.log);
+    out[i] = d.sym[idx];
+    bb.bits -= d.nb[idx];
+  }
+  return bb.bits >= 0;
+}
+
+// ---- literals section -----------------------------------------------------
+
+static const uint32_t LITS_MAX = 1u << 17;   // 128 KB block maximum
+
+// Decode the literals section at `p` (within a compressed block of size n).
+// Fills `lits`/`lit_n`; updates the frame Huffman table.  Returns bytes
+// consumed or -1.
+static int64_t decode_literals(const uint8_t *p, uint64_t n, uint8_t *lits,
+                               uint32_t *lit_n, HufDec &huf) {
+  if (n < 1) return -1;
+  uint8_t b0 = p[0];
+  int type = b0 & 3;
+  int sf = (b0 >> 2) & 3;
+  if (type <= 1) {                       // Raw / RLE
+    uint32_t rsize;
+    int64_t hdr;
+    if (sf == 0 || sf == 2) { rsize = b0 >> 3; hdr = 1; }
+    else if (sf == 1) {
+      if (n < 2) return -1;
+      rsize = (b0 >> 4) | ((uint32_t)p[1] << 4);
+      hdr = 2;
+    } else {
+      if (n < 3) return -1;
+      rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | ((uint32_t)p[2] << 12);
+      hdr = 3;
+    }
+    if (rsize > LITS_MAX) return -1;
+    if (type == 0) {
+      if ((uint64_t)hdr + rsize > n) return -1;
+      std::memcpy(lits, p + hdr, rsize);
+      *lit_n = rsize;
+      return hdr + rsize;
+    }
+    if ((uint64_t)hdr + 1 > n) return -1;
+    std::memset(lits, p[hdr], rsize);
+    *lit_n = rsize;
+    return hdr + 1;
+  }
+
+  // Compressed (2) / Treeless (3)
+  uint32_t rsize, csize;
+  int64_t hdr;
+  int streams = 4;
+  if (sf == 0 || sf == 1) {
+    if (n < 3) return -1;
+    rsize = (b0 >> 4) | (((uint32_t)p[1] & 0x3F) << 4);
+    csize = ((uint32_t)p[1] >> 6) | ((uint32_t)p[2] << 2);
+    hdr = 3;
+    if (sf == 0) streams = 1;
+  } else if (sf == 2) {
+    if (n < 4) return -1;
+    rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | (((uint32_t)p[2] & 3) << 12);
+    csize = ((uint32_t)p[2] >> 2) | ((uint32_t)p[3] << 6);
+    hdr = 4;
+  } else {
+    if (n < 5) return -1;
+    rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | (((uint32_t)p[2] & 0x3F) << 12);
+    csize = ((uint32_t)p[2] >> 6) | ((uint32_t)p[3] << 2)
+            | ((uint32_t)p[4] << 10);
+    hdr = 5;
+  }
+  if (rsize > LITS_MAX || (uint64_t)hdr + csize > n) return -1;
+  const uint8_t *q = p + hdr;
+  uint64_t qn = csize;
+  if (type == 2) {                       // new Huffman table
+    int64_t tree = huf_read_table(q, qn, huf);
+    if (tree < 0 || (uint64_t)tree > qn) return -1;
+    q += tree;
+    qn -= tree;
+  } else if (!huf.valid) {
+    return -1;                           // treeless with no prior table
+  }
+  if (streams == 1) {
+    if (!huf_stream_decode(q, qn, huf, lits, rsize)) return -1;
+  } else {
+    if (qn < 6) return -1;
+    uint32_t s1 = q[0] | ((uint32_t)q[1] << 8);
+    uint32_t s2 = q[2] | ((uint32_t)q[3] << 8);
+    uint32_t s3 = q[4] | ((uint32_t)q[5] << 8);
+    uint64_t rest = qn - 6;
+    if ((uint64_t)s1 + s2 + s3 > rest) return -1;
+    uint32_t r123 = (rsize + 3) / 4;
+    if (3 * r123 > rsize) return -1;     // stream 4 must be non-negative
+    const uint8_t *q1 = q + 6, *q2 = q1 + s1, *q3 = q2 + s2, *q4 = q3 + s3;
+    uint64_t s4 = rest - s1 - s2 - s3;
+    if (!huf_stream_decode(q1, s1, huf, lits, r123)) return -1;
+    if (!huf_stream_decode(q2, s2, huf, lits + r123, r123)) return -1;
+    if (!huf_stream_decode(q3, s3, huf, lits + 2 * r123, r123)) return -1;
+    if (!huf_stream_decode(q4, s4, huf, lits + 3 * r123, rsize - 3 * r123))
+      return -1;
+  }
+  *lit_n = rsize;
+  return hdr + csize;
+}
+
+// ---- sequences ------------------------------------------------------------
+
+// full decode-side code tables (RFC 8878 §3.1.1.3.2.1.1)
+static const uint32_t DLL_BASE[36] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536};
+static const uint8_t DLL_BITS[36] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const uint32_t DML_BASE[53] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+    19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34,
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539};
+static const uint8_t DML_BITS[53] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+
+struct DecFrameCtx {
+  HufDec huf;
+  FseDec ll, of, ml;
+  bool have_ll = false, have_of = false, have_ml = false;
+  uint32_t rep[3] = {1, 4, 8};
+};
+
+static FseDec g_pre_ll, g_pre_of, g_pre_ml;
+static bool g_pre_ready = false;
+
+static bool pre_tables_init() {
+  if (g_pre_ready) return true;
+  if (!fse_dec_build(LL_NORM, 36, LL_LOG, g_pre_ll)) return false;
+  if (!fse_dec_build(OF_NORM, 29, OF_LOG, g_pre_of)) return false;
+  if (!fse_dec_build(ML_NORM, 53, ML_LOG, g_pre_ml)) return false;
+  g_pre_ready = true;
+  return true;
+}
+
+// Set up one sequence channel's decode table per its 2-bit mode.  Returns
+// bytes consumed from `p` or -1.
+static int64_t setup_channel(int mode, const uint8_t *p, uint64_t n,
+                             FseDec &d, bool &have, const FseDec &pre,
+                             int max_log, int max_sym) {
+  switch (mode) {
+    case 0:                              // predefined
+      d = pre;
+      have = true;
+      return 0;
+    case 1: {                            // RLE: one byte = the only symbol
+      if (n < 1 || p[0] > max_sym) return -1;
+      d.log = 0;
+      d.t[0].sym = p[0];
+      d.t[0].nb = 0;
+      d.t[0].base = 0;
+      have = true;
+      return 1;
+    }
+    case 2: {                            // FSE-compressed description
+      int16_t norm[256];
+      int nsym, tlog;
+      int64_t hdr = read_ncount(p, n, norm, &nsym, &tlog, max_log, max_sym);
+      if (hdr < 0) return -1;
+      if (!fse_dec_build(norm, nsym, tlog, d)) return -1;
+      have = true;
+      return hdr;
+    }
+    default:                             // repeat previous table
+      return have ? 0 : -1;
+  }
+}
+
+// Decode one compressed block's content into dst at `pos`.  `frame_base` is
+// the frame's first output offset (matches may not reach before it).
+// Returns bytes written or -1.
+static int64_t decode_block(const uint8_t *p, uint64_t n, uint8_t *dst,
+                            uint64_t pos, uint64_t cap, uint64_t frame_base,
+                            DecFrameCtx &fc) {
+  static thread_local uint8_t lits[LITS_MAX + 64];
+  uint32_t lit_n = 0;
+  int64_t used = decode_literals(p, n, lits, &lit_n, fc.huf);
+  if (used < 0) return -1;
+  p += used;
+  n -= used;
+
+  if (n < 1) return -1;
+  uint32_t nseq;
+  if (p[0] < 128) {
+    nseq = p[0];
+    p += 1; n -= 1;
+  } else if (p[0] < 255) {
+    if (n < 2) return -1;
+    nseq = (((uint32_t)p[0] - 128) << 8) + p[1];
+    p += 2; n -= 2;
+  } else {
+    if (n < 3) return -1;
+    nseq = p[1] + ((uint32_t)p[2] << 8) + 0x7F00;
+    p += 3; n -= 3;
+  }
+
+  uint64_t out = pos;
+  if (nseq == 0) {                       // literals only
+    if (out + lit_n > cap) return -1;
+    std::memcpy(dst + out, lits, lit_n);
+    return (int64_t)lit_n;
+  }
+
+  if (n < 1 || !pre_tables_init()) return -1;
+  uint8_t modes = p[0];
+  if (modes & 3) return -1;              // reserved bits must be zero
+  p += 1; n -= 1;
+  int64_t c;
+  c = setup_channel((modes >> 6) & 3, p, n, fc.ll, fc.have_ll, g_pre_ll,
+                    9, 35);
+  if (c < 0) return -1;
+  p += c; n -= c;
+  c = setup_channel((modes >> 4) & 3, p, n, fc.of, fc.have_of, g_pre_of,
+                    8, 31);
+  if (c < 0) return -1;
+  p += c; n -= c;
+  c = setup_channel((modes >> 2) & 3, p, n, fc.ml, fc.have_ml, g_pre_ml,
+                    9, 52);
+  if (c < 0) return -1;
+  p += c; n -= c;
+
+  BackBits bb{p, n};
+  if (!bb.init()) return -1;
+  uint32_t s_ll = bb.read(fc.ll.log);
+  uint32_t s_of = bb.read(fc.of.log);
+  uint32_t s_ml = bb.read(fc.ml.log);
+  if (bb.bits < 0) return -1;
+
+  uint32_t lit_pos = 0;
+  for (uint32_t i = 0; i < nseq; i++) {
+    uint8_t ofc = fc.of.t[s_of].sym;
+    uint8_t mlc = fc.ml.t[s_ml].sym;
+    uint8_t llc = fc.ll.t[s_ll].sym;
+    if (ofc > 31 || mlc > 52 || llc > 35) return -1;
+    // extra-bit read order: OF, ML, LL (RFC 8878 §3.1.1.4)
+    uint64_t ofv = ((uint64_t)1 << ofc) + bb.read(ofc);
+    uint32_t ml = DML_BASE[mlc] + bb.read(DML_BITS[mlc]);
+    uint32_t ll = DLL_BASE[llc] + bb.read(DLL_BITS[llc]);
+    if (bb.bits < 0) return -1;
+
+    uint64_t offset;
+    if (ofv > 3) {
+      offset = ofv - 3;
+      fc.rep[2] = fc.rep[1];
+      fc.rep[1] = fc.rep[0];
+      fc.rep[0] = (uint32_t)offset;
+    } else {
+      uint32_t idx = (uint32_t)ofv - 1 + (ll == 0 ? 1 : 0);   // 0..3
+      if (idx == 0) {
+        offset = fc.rep[0];
+      } else {
+        offset = (idx == 3) ? (uint64_t)fc.rep[0] - 1 : fc.rep[idx];
+        if (offset == 0) return -1;
+        if (idx == 1) {
+          fc.rep[1] = fc.rep[0];
+        } else {
+          fc.rep[2] = fc.rep[1];
+          fc.rep[1] = fc.rep[0];
+        }
+        fc.rep[0] = (uint32_t)offset;
+      }
+    }
+
+    if (i + 1 < nseq) {                  // state update order: LL, ML, OF
+      s_ll = fc.ll.t[s_ll].base + bb.read(fc.ll.t[s_ll].nb);
+      s_ml = fc.ml.t[s_ml].base + bb.read(fc.ml.t[s_ml].nb);
+      s_of = fc.of.t[s_of].base + bb.read(fc.of.t[s_of].nb);
+    }
+
+    // execute: literals then match copy (overlap-aware)
+    if (lit_pos + ll > lit_n || out + ll + ml > cap) return -1;
+    std::memcpy(dst + out, lits + lit_pos, ll);
+    lit_pos += ll;
+    out += ll;
+    if (ml) {
+      if (offset > out - frame_base) return -1;
+      const uint8_t *msrc = dst + out - offset;
+      uint8_t *mdst = dst + out;
+      uint64_t rem = ml;
+      if (offset >= 8) {
+        while (rem >= 8) {
+          std::memcpy(mdst, msrc, 8);
+          mdst += 8; msrc += 8; rem -= 8;
+        }
+      }
+      while (rem--) *mdst++ = *msrc++;
+      out += ml;
+    }
+  }
+  if (bb.bits < 0) return -1;
+  uint32_t tail = lit_n - lit_pos;
+  if (out + tail > cap) return -1;
+  std::memcpy(dst + out, lits + lit_pos, tail);
+  out += tail;
+  return (int64_t)(out - pos);
+}
+
+// ---- frame / stream decode ------------------------------------------------
+
+static const uint64_t DEC_ERR = ~(uint64_t)0;
+
+// Decode a complete stream of zstd frames (incl. skippable frames) into dst.
+// Returns total bytes written, or UINT64_MAX on any parse error / overflow.
+uint64_t naf_zstd_decompress(const uint8_t *src, uint64_t n,
+                             uint8_t *dst, uint64_t cap) {
+  uint64_t pos = 0, out = 0;
+  while (pos < n) {
+    if (n - pos < 4) return DEC_ERR;
+    uint32_t magic = read32(src + pos);
+    if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {   // skippable frame
+      if (n - pos < 8) return DEC_ERR;
+      uint32_t sk = read32(src + pos + 4);
+      if (n - pos < 8ull + sk) return DEC_ERR;
+      pos += 8ull + sk;
+      continue;
+    }
+    if (magic != 0xFD2FB528u) return DEC_ERR;
+    pos += 4;
+
+    if (pos >= n) return DEC_ERR;
+    uint8_t fhd = src[pos++];
+    int fcs_flag = fhd >> 6;
+    bool single = (fhd >> 5) & 1;
+    if (fhd & 0x08) return DEC_ERR;      // reserved bit
+    bool checksum = (fhd >> 2) & 1;
+    int did_flag = fhd & 3;
+
+    uint64_t window = 0;
+    if (!single) {
+      if (pos >= n) return DEC_ERR;
+      uint8_t wd = src[pos++];
+      uint64_t base = 1ull << (10 + (wd >> 3));
+      window = base + (base >> 3) * (wd & 7);
+    }
+    static const int DID_BYTES[4] = {0, 1, 2, 4};
+    for (int i = 0; i < DID_BYTES[did_flag]; i++) {
+      if (pos >= n) return DEC_ERR;
+      if (src[pos++] != 0) return DEC_ERR;   // dictionaries unsupported
+    }
+    uint64_t fcs = 0;
+    bool have_fcs = false;
+    int fcs_bytes = (fcs_flag == 0) ? (single ? 1 : 0) : (1 << fcs_flag);
+    if (fcs_bytes) {
+      if (n - pos < (uint64_t)fcs_bytes) return DEC_ERR;
+      for (int i = 0; i < fcs_bytes; i++)
+        fcs |= (uint64_t)src[pos + i] << (8 * i);
+      if (fcs_bytes == 2) fcs += 256;
+      pos += fcs_bytes;
+      have_fcs = true;
+    }
+    if (single) window = fcs;
+
+    DecFrameCtx fc;
+    uint64_t frame_base = out;
+    uint64_t block_max = window && window < (128ull << 10) ? window
+                                                           : (128ull << 10);
+    bool last = false;
+    while (!last) {
+      if (n - pos < 3) return DEC_ERR;
+      uint32_t bh = src[pos] | ((uint32_t)src[pos + 1] << 8)
+                  | ((uint32_t)src[pos + 2] << 16);
+      pos += 3;
+      last = bh & 1;
+      int btype = (bh >> 1) & 3;
+      uint64_t bsize = bh >> 3;
+      if (btype == 0) {                  // raw
+        if (n - pos < bsize || out + bsize > cap) return DEC_ERR;
+        std::memcpy(dst + out, src + pos, bsize);
+        out += bsize;
+        pos += bsize;
+      } else if (btype == 1) {           // RLE
+        if (pos >= n || out + bsize > cap) return DEC_ERR;
+        std::memset(dst + out, src[pos], bsize);
+        out += bsize;
+        pos += 1;
+      } else if (btype == 2) {           // compressed
+        if (bsize > block_max + 32 || n - pos < bsize) return DEC_ERR;
+        int64_t w = decode_block(src + pos, bsize, dst, out, cap,
+                                 frame_base, fc);
+        if (w < 0 || (uint64_t)w > block_max) return DEC_ERR;
+        out += w;
+        pos += bsize;
+      } else {
+        return DEC_ERR;
+      }
+    }
+    if (checksum) {
+      if (n - pos < 4) return DEC_ERR;
+      pos += 4;                          // xxhash64 low bits: skipped
+    }
+    if (have_fcs && out - frame_base != fcs) return DEC_ERR;
+  }
+  return out;
+}
+
 }  // extern "C"

@@ -125,7 +125,8 @@ class _Prefetcher:
     high-water mark bounds memory.
     """
 
-    def __init__(self, f: BinaryIO, csize: int, high_water: int):
+    def __init__(self, f: BinaryIO, csize: int, high_water: int,
+                 total_out: Optional[int] = None):
         import threading
 
         from ..codec import SectionDecompressor
@@ -140,7 +141,7 @@ class _Prefetcher:
         self._high = max(high_water, 8 << 20)
 
         def run():
-            d = SectionDecompressor()
+            d = SectionDecompressor(csize, total_out)
             left = csize
             try:
                 while left > 0:
@@ -488,39 +489,7 @@ class Decoder:
         c1 = int(rec_ends[r1 - 1])
         b0, b1 = c0 // 2, (c1 + 1) // 2
 
-        if self.h.extended:
-            from ..codec import decompress_section, parse_blocked_index
-
-            payload = self.r.f.read(csize)
-            entries, off = parse_blocked_index(payload)
-            # walk the index; decompress only blocks covering [b0, b1)
-            pieces = []
-            pos = 0
-            for raw_len, comp_len in entries:
-                if pos + raw_len > b0 and pos < b1:
-                    blk = decompress_section(payload[off:off + comp_len],
-                                             raw_len)
-                    lo = max(b0 - pos, 0)
-                    hi = min(b1 - pos, raw_len)
-                    pieces.append(blk[lo:hi])
-                off += comp_len
-                pos += raw_len
-                if pos >= b1:
-                    break
-            seq_slice = np.frombuffer(b"".join(pieces), np.uint8)
-        else:
-            from ..codec import SectionDecompressor
-
-            d = SectionDecompressor()
-            left = csize
-            out = bytearray()
-            while len(out) < b1 and left > 0:
-                chunk = self.r.f.read(min(left, 4 << 20))
-                if not chunk:
-                    raise NafFormatError("incomplete or truncated input")
-                left -= len(chunk)
-                out.extend(d.feed(chunk))
-            seq_slice = np.frombuffer(bytes(out[b0:b1]), np.uint8)
+        seq_slice = self._section_byte_slice(csize, (total + 1) // 2, b0, b1)
 
         return native.render(
             native.MODE_FASTA,
@@ -533,6 +502,96 @@ class Decoder:
             comments_blob=self._blob_slice(com, nul_com, r0, r1),
             qual=None, name_sep=ord(self.h.name_separator),
             line_len=line_len,
+            out_capacity=(c1 - c0) * 2 + 8 * (r1 - r0)
+            + (len(ids) if ids is not None else 0)
+            + (len(com) if com is not None else 0) + (1 << 16))
+
+    def _section_byte_slice(self, csize: int, total_out: int, s0: int,
+                            s1: int, drain: bool = False) -> np.ndarray:
+        """Decompressed bytes [s0, s1) of the section at the current file
+        position.  Extended archives touch only the blocks overlapping the
+        range (random access via the block index); plain archives
+        decompress the prefix.  ``drain`` consumes the rest of the
+        section's compressed bytes (pipe-friendly skip to the next
+        section)."""
+        if self.h.extended:
+            from ..codec import decompress_section, parse_blocked_index
+
+            payload = self.r.f.read(csize)
+            entries, off = parse_blocked_index(payload)
+            # walk the index; decompress only blocks covering [s0, s1)
+            pieces = []
+            pos = 0
+            for raw_len, comp_len in entries:
+                if pos + raw_len > s0 and pos < s1:
+                    blk = decompress_section(payload[off:off + comp_len],
+                                             raw_len)
+                    pieces.append(blk[max(s0 - pos, 0):min(s1 - pos, raw_len)])
+                off += comp_len
+                pos += raw_len
+                if pos >= s1:
+                    break
+            return np.frombuffer(b"".join(pieces), np.uint8)
+        from ..codec import SectionDecompressor
+
+        d = SectionDecompressor(csize, total_out)
+        left = csize
+        out = bytearray()
+        while len(out) < s1 and left > 0:
+            chunk = self.r.f.read(min(left, 4 << 20))
+            if not chunk:
+                raise NafFormatError("incomplete or truncated input")
+            left -= len(chunk)
+            out.extend(d.feed(chunk))
+        if drain:
+            while left > 0:
+                chunk = self.r.f.read(min(left, 4 << 20))
+                if not chunk:
+                    raise NafFormatError("incomplete or truncated input")
+                left -= len(chunk)
+        return np.frombuffer(bytes(out[s0:s1]), np.uint8)
+
+    def fastq_range(self, r0: int, r1: int) -> bytes:
+        """Decode FASTQ records [r0, r1) only (tnaf extension).
+
+        Mirrors ``fasta_range`` with the paired QUAL section sliced over
+        the same char range; on extended archives both SEQ and QUAL touch
+        only the blocks overlapping the range.  Output equals the
+        corresponding slice of ``fastq()`` (reference record loop:
+        unnaf/src/output-fastq.c:100-149 — mask never applied,
+        unnaf.c:443)."""
+        if not self.h.has_sequence:
+            return b""
+        if not self.h.has_quality:
+            raise DecodeError("FASTQ output requested, but input has no qualities")
+        n = self.r.n_sequences
+        r0 = max(0, r0)
+        r1 = min(n, r1)
+        if r1 <= r0:
+            return b""
+        ids, com, merged, _, nul_ids, nul_com = self._batch_metadata(False)
+        total, csize = self.r.section_sizes("sequence")
+        slens = merged.astype(np.int64)
+        rec_ends = np.cumsum(slens)
+        if int(slens.sum()) != total or not self.is_nucleotide:
+            raise DecodeError("range decode requires a regular nucleotide archive")
+        c0 = int(rec_ends[r0 - 1]) if r0 > 0 else 0
+        c1 = int(rec_ends[r1 - 1])
+        seq_slice = self._section_byte_slice(csize, (total + 1) // 2,
+                                             c0 // 2, (c1 + 1) // 2,
+                                             drain=True)
+        qtotal, qcsize = self.r.section_sizes("quality")
+        qual_slice = self._section_byte_slice(qcsize, qtotal, c0, c1)
+        return native.render(
+            native.MODE_FASTQ,
+            seq_data=seq_slice, total_chars=c1 - c0, is_packed=True,
+            is_rna=self.h.seq_type == C.SEQ_TYPE_RNA, do_upper=False,
+            nibble_off=c0 & 1, mask_units=None,
+            lengths=merged[r0:r1],
+            ids_blob=self._blob_slice(ids, nul_ids, r0, r1),
+            comments_blob=self._blob_slice(com, nul_com, r0, r1),
+            qual=qual_slice, name_sep=ord(self.h.name_separator),
+            line_len=0,
             out_capacity=(c1 - c0) * 2 + 8 * (r1 - r0)
             + (len(ids) if ids is not None else 0)
             + (len(com) if com is not None else 0) + (1 << 16))
@@ -818,7 +877,8 @@ class Decoder:
             return
 
         rec_ends = np.cumsum(slens)
-        pf = _Prefetcher(self.r.f, csize, high_water=4 * (batch_chars // 2))
+        pf = _Prefetcher(self.r.f, csize, high_water=4 * (batch_chars // 2),
+                         total_out=(total + 1) // 2)
         r0 = 0
         nuc = True
         while r0 < n:
@@ -880,8 +940,8 @@ class Decoder:
         from ..codec import SectionDecompressor
 
         rec_ends = np.cumsum(slens)
-        ds = SectionDecompressor()
-        dq = SectionDecompressor()
+        ds = SectionDecompressor(csize, (total + 1) // 2)
+        dq = SectionDecompressor(qcsize, qtotal)
         swin = _ChunkWindow()
         qwin = _ChunkWindow()
         s_off = 0          # compressed seq consumed

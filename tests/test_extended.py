@@ -108,3 +108,37 @@ def test_fasta_range_cli():
                           input=p.stdout, capture_output=True).stdout
     recs = [b">" + r for r in full.split(b">")[1:]]
     assert q.stdout == b"".join(recs[2:5])
+
+
+def test_fastq_range():
+    data = _fastq(28, n_rec=300)
+    for extended in (False, True):
+        blob, _ = encode(data, EncodeOptions(extended=extended,
+                                             block_bytes=1 << 12))
+        full = Decoder(io.BytesIO(blob), DecodeOptions()).fastq()
+        lines = full.split(b"\n")[:-1]
+        recs = [b"\n".join(lines[i:i + 4]) + b"\n"
+                for i in range(0, len(lines), 4)]
+        for r0, r1 in ((0, 5), (7, 40), (290, 300), (0, 300), (9, 9)):
+            got = Decoder(io.BytesIO(blob),
+                          DecodeOptions()).fastq_range(r0, r1)
+            assert got == b"".join(recs[r0:r1]), (extended, r0, r1)
+
+
+def test_fastq_range_cli():
+    data = _fastq(29, n_rec=60)
+    p = subprocess.run([sys.executable, "-m", "naf_tpu.cli.tnaf", "--fastq",
+                        "--extended", "--block-size", "1", "-c"],
+                       input=data, capture_output=True)
+    assert p.returncode == 0, p.stderr
+    q = subprocess.run([sys.executable, "-m", "naf_tpu.cli.untnaf",
+                        "--range", "10:25", "-c"], input=p.stdout,
+                       capture_output=True)
+    assert q.returncode == 0, q.stderr
+    full = subprocess.run([sys.executable, "-m", "naf_tpu.cli.untnaf",
+                           "--fastq", "-c"], input=p.stdout,
+                          capture_output=True).stdout
+    lines = full.split(b"\n")[:-1]
+    recs = [b"\n".join(lines[i:i + 4]) + b"\n"
+            for i in range(0, len(lines), 4)]
+    assert q.stdout == b"".join(recs[10:25])

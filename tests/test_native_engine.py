@@ -211,3 +211,142 @@ def test_extended_plus_native_engine():
     plain, _ = encode(data, EncodeOptions())
     assert (Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
             == Decoder(io.BytesIO(plain), DecodeOptions()).fasta())
+
+
+# ---------------------------------------------------------------------------
+# From-scratch zstd DECODER (naf_zstd.cpp decode half; reference parity
+# unnaf/src/input.c:260-292 — the decode direction of the only third-party
+# dependency).  Fuzzed against library zstd output, wired as
+# `untnaf --engine native`.
+# ---------------------------------------------------------------------------
+
+from naf_tpu.codec import (decompress_section_native,  # noqa: E402
+                           set_decode_engine)
+
+
+def _lib_frame(data, **kw):
+    import zstandard as zstd
+
+    return zstd.ZstdCompressor(**kw).compress(data)[4:]   # magic-stripped
+
+
+def test_native_decoder_vs_library_levels():
+    rng = np.random.default_rng(90)
+    for level in (-5, 1, 3, 9, 19, 22):
+        for kind in range(5):
+            if kind == 0:
+                data = rng.integers(0, 256, 60000, dtype=np.uint8).tobytes()
+            elif kind == 1:
+                data = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8),
+                                  size=200000).tobytes()
+            elif kind == 2:
+                data = rng.integers(0, 256, 997, dtype=np.uint8).tobytes() * 97
+            elif kind == 3:
+                data = b"\0" * 150000
+            else:
+                data = rng.integers(0, 256, int(rng.integers(0, 40)),
+                                    dtype=np.uint8).tobytes()
+            payload = _lib_frame(data, level=level)
+            assert decompress_section_native(payload, len(data)) == data
+
+
+def test_native_decoder_streamed_and_checksummed_frames():
+    """Windowed multi-block frames, checksum flag, no-content-size frames,
+    and multi-frame concatenation (the MT compressor regime)."""
+    import zstandard as zstd
+
+    rng = np.random.default_rng(91)
+    data = rng.choice(np.frombuffer(b"ACGTacgt\n>x", np.uint8),
+                      size=1_500_000).tobytes()
+    for kw in (dict(level=5), dict(level=19, write_checksum=True),
+               dict(level=3, write_content_size=False)):
+        c = zstd.ZstdCompressor(**kw)
+        buf = io.BytesIO()
+        with c.stream_writer(buf, closefd=False) as w:
+            for off in range(0, len(data), 1 << 17):
+                w.write(data[off:off + (1 << 17)])
+        frame = buf.getvalue()[4:]
+        assert decompress_section_native(frame, len(data)) == data
+    two = (zstd.ZstdCompressor(level=2).compress(data[:700_000])
+           + zstd.ZstdCompressor(level=8).compress(data[700_000:]))
+    assert decompress_section_native(two[4:], len(data)) == data
+
+
+def test_native_decoder_decodes_own_engine():
+    rng = np.random.default_rng(92)
+    data = (rng.integers(0, 256, 5000, dtype=np.uint8).tobytes() * 60
+            + rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                         size=400000).tobytes())
+    for level in (-50, 1, 9, 16, 19, 22):
+        for wlog in (0, 25):
+            payload = compress_section_native(data, level=level,
+                                              window_log=wlog)
+            assert decompress_section_native(payload, len(data)) == data
+
+
+def test_native_decoder_fuzz_corruption():
+    """Truncated / bit-flipped frames must error or mis-size, never crash."""
+    rng = np.random.default_rng(93)
+    data = rng.integers(0, 200, 120000, dtype=np.uint8).tobytes()
+    base = _lib_frame(data, level=9)
+    for trial in range(200):
+        b = bytearray(base)
+        if trial % 3 == 0:
+            b = b[:int(rng.integers(1, len(b)))]
+        else:
+            b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        try:
+            out = decompress_section_native(bytes(b), len(data))
+            assert len(out) == len(data)   # rare survivable flips only
+        except RuntimeError:
+            pass
+
+
+def test_untnaf_engine_native_cli(tmp_path):
+    """untnaf --engine native output is byte-identical to the library
+    engine's, FASTA and FASTQ, plain and extended archives."""
+    from naf_tpu.cli import untnaf as U
+
+    for data, opts in [
+        (_fasta(94, n_rec=25, max_len=9000), EncodeOptions()),
+        (_fastq(95, n_rec=400), EncodeOptions()),
+        (_fasta(96, n_rec=25, max_len=9000),
+         EncodeOptions(extended=True, block_bytes=1 << 13)),
+    ]:
+        blob, _ = encode(data, opts)
+        arc = tmp_path / "a.naf"
+        arc.write_bytes(blob)
+        out1 = tmp_path / "o1"
+        out2 = tmp_path / "o2"
+        fq = ["--fastq"] if data[:1] == b"@" else []
+        assert U.main([*fq, str(arc), "-o", str(out1)]) == 0
+        arc2 = tmp_path / "b.naf"
+        arc2.write_bytes(blob)
+        assert U.main(["--engine", "native", *fq,
+                       str(arc2), "-o", str(out2)]) == 0
+        set_decode_engine("zstd")      # CLI flag mutates module state
+        assert out1.read_bytes() == out2.read_bytes()
+
+
+def test_streaming_paths_with_native_engine():
+    """The buffered native SectionDecompressor keeps the streaming decode
+    paths byte-identical (fasta + fastq stream writers)."""
+    set_decode_engine("native")
+    try:
+        fa = _fasta(97, n_rec=40, max_len=12000)
+        blob, _ = encode(fa, EncodeOptions())
+        d = Decoder(io.BytesIO(blob), DecodeOptions())
+        buf = io.BytesIO()
+        d.stream_fasta(buf)
+        want = Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+        assert buf.getvalue() == want
+
+        fq = _fastq(98, n_rec=700)
+        qblob, _ = encode(fq, EncodeOptions())
+        dq = Decoder(io.BytesIO(qblob), DecodeOptions())
+        qbuf = io.BytesIO()
+        dq.stream_fastq(qbuf)
+        assert qbuf.getvalue() == Decoder(io.BytesIO(qblob),
+                                          DecodeOptions()).fastq()
+    finally:
+        set_decode_engine("zstd")
