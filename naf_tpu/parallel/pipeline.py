@@ -95,30 +95,43 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
     else:
         blocks = make_blocks(body, D)
 
-    sharding = block_sharding(mesh)
-    blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
-    prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
-    sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
+    try:
+        sharding = block_sharding(mesh)
+        blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
+        prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
+        sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
 
-    st = stats_blocks_sharded(blocks_d, prev_d, sis_d,
-                              seq_type=opts.seq_type, fastq=fastq, mesh=mesh)
-    (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
-     first_lower, longest) = [np.asarray(o) for o in st[:9]]
-    hists = [np.asarray(o) for o in st[9:]]
+        st = stats_blocks_sharded(blocks_d, prev_d, sis_d,
+                                  seq_type=opts.seq_type, fastq=fastq,
+                                  mesh=mesh)
+        (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
+         first_lower, longest) = [np.asarray(o) for o in st[:9]]
+        hists = [np.asarray(o) for o in st[9:]]
 
-    p_cap = _bucket(int((counts + 1).max(initial=2) // 2) + 1)
-    id_cap = _bucket(max(int(id_bytes.max(initial=1)), 1))
-    com_cap = _bucket(max(int(com_bytes.max(initial=1)), 1))
-    r_cap = _bucket(int(n_rec.max(initial=0)) + 1)
-    m_cap = _bucket(max(int(n_runs.max(initial=2)), 2))
-    q_cap = _bucket(max(int(qual_bytes.max(initial=1)), 1)) if fastq else 16
+        p_cap = _bucket(int((counts + 1).max(initial=2) // 2) + 1)
+        id_cap = _bucket(max(int(id_bytes.max(initial=1)), 1))
+        com_cap = _bucket(max(int(com_bytes.max(initial=1)), 1))
+        r_cap = _bucket(int(n_rec.max(initial=0)) + 1)
+        m_cap = _bucket(max(int(n_runs.max(initial=2)), 2))
+        q_cap = (_bucket(max(int(qual_bytes.max(initial=1)), 1))
+                 if fastq else 16)
 
-    em = emit_blocks_sharded(
-        blocks_d, prev_d, sis_d, st[1],
-        seq_type=opts.seq_type, fastq=fastq, mesh=mesh,
-        p_cap=p_cap, id_cap=id_cap, com_cap=com_cap, r_cap=r_cap,
-        m_cap=m_cap, q_cap=q_cap)
-    em_np = [np.asarray(o) for o in em]
+        em = emit_blocks_sharded(
+            blocks_d, prev_d, sis_d, st[1],
+            seq_type=opts.seq_type, fastq=fastq, mesh=mesh,
+            p_cap=p_cap, id_cap=id_cap, com_cap=com_cap, r_cap=r_cap,
+            m_cap=m_cap, q_cap=q_cap)
+        em_np = [np.asarray(o) for o in em]
+    except Exception as e:
+        # failure detection (SURVEY §5): a device fault mid-encode requeues
+        # the work to the host pipeline instead of aborting — the archive is
+        # byte-identical either way, so retry is free correctness-wise
+        import warnings
+
+        warnings.warn(
+            f"naf_tpu: device encode failed ({type(e).__name__}: {e}); "
+            "falling back to the host pipeline")
+        return host_encode(data, opts)
 
     return _stitch_and_build(
         D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes, n_rec,

@@ -149,6 +149,7 @@ class DeviceScanEngine:
         self._caps: dict = {}             # sticky emit capacities
         self.device_chunks = 0            # observability: chunks on device
         self.native_chunks = 0            # ... and delegated to native
+        self.fault_chunks = 0             # ... requeued after device faults
 
     # -- public: the native.scan-compatible entry point ---------------------
 
@@ -177,16 +178,29 @@ class DeviceScanEngine:
             return delegate()           # mid-line resume (giant single line)
 
         body = np.frombuffer(data, np.uint8)[marker_pos + 1:]
-        if fastq:
-            out = self._scan_fastq(
-                body, allow_partial=bool(flags & native.F_ALLOW_PARTIAL),
-                seq_type=seq_type, do_mask=do_mask, mask_on=mask_on,
-                mask_run=mask_run, pack_carry=pack_carry)
-        else:
-            out = self._scan_fasta(
-                body, cont=cont, seq_type=seq_type, do_mask=do_mask,
-                len_carry=len_carry, mask_on=mask_on, mask_run=mask_run,
-                pack_carry=pack_carry)
+        try:
+            if fastq:
+                out = self._scan_fastq(
+                    body, allow_partial=bool(flags & native.F_ALLOW_PARTIAL),
+                    seq_type=seq_type, do_mask=do_mask, mask_on=mask_on,
+                    mask_run=mask_run, pack_carry=pack_carry)
+            else:
+                out = self._scan_fasta(
+                    body, cont=cont, seq_type=seq_type, do_mask=do_mask,
+                    len_carry=len_carry, mask_on=mask_on, mask_run=mask_run,
+                    pack_carry=pack_carry)
+        except Exception as e:
+            # per-block retry (SURVEY §5 failure detection): a device fault
+            # on this chunk requeues it to the host scanner — the carry
+            # algebra is shared, so the archive stays byte-identical and
+            # later chunks can return to the device
+            import warnings
+
+            warnings.warn(
+                f"naf_tpu: device scan failed ({type(e).__name__}: {e}); "
+                "chunk requeued to host scanner")
+            self.fault_chunks += 1
+            return delegate()
         if out is None:
             return delegate()
         self.device_chunks += 1

@@ -184,3 +184,66 @@ class TestCli:
         assert rc == 0
         ref, _ = encode(data, EncodeOptions())
         assert out.read_bytes() == ref
+
+
+class TestPerBlockRetry:
+    """SURVEY §5 failure detection: an injected device fault requeues the
+    chunk to the host scanner — byte-identical archive + warning, no abort."""
+
+    def test_fault_every_chunk(self, engine_cls, monkeypatch):
+        import naf_tpu.parallel.stream as PS
+
+        rng = np.random.default_rng(60)
+        data = rand_fasta(rng, 40)
+        ref, _ = encode(data, EncodeOptions())
+
+        def boom(*a, **k):
+            raise RuntimeError("injected device fault")
+
+        monkeypatch.setattr(PS, "stats_blocks_sharded", boom)
+        eng = engine_cls()
+        with pytest.warns(UserWarning, match="requeued to host scanner"):
+            got = stream_bytes(data, chunk_size=300, engine=eng)
+        assert got == ref
+        assert eng.fault_chunks > 0 and eng.device_chunks == 0
+
+    def test_fault_once_then_recover(self, engine_cls, monkeypatch):
+        """Only the faulting chunk is requeued; later chunks return to the
+        device."""
+        import naf_tpu.parallel.stream as PS
+
+        rng = np.random.default_rng(61)
+        data = rand_fasta(rng, 60)
+        ref, _ = encode(data, EncodeOptions())
+        real = PS.stats_blocks_sharded
+        calls = {"n": 0}
+
+        def flaky(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("injected transient fault")
+            return real(*a, **k)
+
+        monkeypatch.setattr(PS, "stats_blocks_sharded", flaky)
+        eng = engine_cls()
+        with pytest.warns(UserWarning, match="requeued to host scanner"):
+            got = stream_bytes(data, chunk_size=400, engine=eng)
+        assert got == ref
+        assert eng.fault_chunks == 1
+        assert eng.device_chunks > 0      # recovered after the fault
+
+    def test_encode_sharded_fault_falls_back(self, monkeypatch):
+        import naf_tpu.parallel.pipeline as PP
+        from naf_tpu.parallel.pipeline import encode_sharded
+
+        rng = np.random.default_rng(62)
+        data = rand_fasta(rng, 25)
+        ref, _ = encode(data, EncodeOptions())
+
+        def boom(*a, **k):
+            raise RuntimeError("injected device fault")
+
+        monkeypatch.setattr(PP, "stats_blocks_sharded", boom)
+        with pytest.warns(UserWarning, match="falling back to the host"):
+            blob, _ = encode_sharded(data, EncodeOptions())
+        assert blob == ref

@@ -22,11 +22,12 @@ WORKER = r"""
 import os, sys
 import jax
 
+NPROC = int(sys.argv[3])
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 2)
 jax.distributed.initialize(
     coordinator_address=sys.argv[1],
-    num_processes=2,
+    num_processes=NPROC,
     process_id=int(sys.argv[2]),
 )
 
@@ -37,7 +38,7 @@ from naf_tpu.pipeline.encoder import EncodeOptions, encode
 
 pid = int(sys.argv[2])
 devices = jax.devices()
-assert len(devices) == 4, devices
+assert len(devices) == 2 * NPROC, devices
 
 # identical input everywhere; each process feeds its local block shards.
 # Record sizes vary wildly so block cuts are uneven, and one giant record
@@ -120,7 +121,13 @@ print(f"proc{pid}: OK n_rec=16 fasta={len(blob)}B fastq={len(fq_blob)}B "
 
 @pytest.mark.skipif(os.environ.get("NAF_TPU_SKIP_MULTIHOST") == "1",
                     reason="multihost test disabled")
-def test_two_process_mesh(tmp_path):
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multi_process_mesh(tmp_path, nproc):
+    """2- and 4-process virtual pods (2 devices each -> global mesh of 4/8).
+
+    P=4 exercises rank>1 stitching: multi-shard `_gather_rows` reassembly
+    and uneven block splits across 8 devices (SURVEY §2.4 / BASELINE
+    config 5)."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -132,15 +139,15 @@ def test_two_process_mesh(tmp_path):
     env.pop("XLA_FLAGS", None)
     env["PYTHONPATH"] = str(REPO)
     procs = [
-        subprocess.Popen([sys.executable, str(w), coord, str(i)],
+        subprocess.Popen([sys.executable, str(w), coord, str(i), str(nproc)],
                          env=env, cwd=REPO, stdout=subprocess.PIPE,
                          stderr=subprocess.PIPE)
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = []
     for p in procs:
         try:
-            out, err = p.communicate(timeout=300)
+            out, err = p.communicate(timeout=420)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -151,7 +158,7 @@ def test_two_process_mesh(tmp_path):
         assert rc == 0, (out.decode()[-500:], err.decode()[-2000:])
         assert b"OK n_rec=16" in out, out
         digests.append(out.split(b"EXTDIGEST=")[1].split()[0])
-    assert digests[0] == digests[1], "extended archive differs across hosts"
+    assert len(set(digests)) == 1, "extended archive differs across hosts"
 
 
 def test_stitch_packed_range_matches_global():
