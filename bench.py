@@ -511,6 +511,7 @@ def bench_device_kernels() -> dict:
 
     tp = t_iter(pack_loop, x)
     out["device_pack_GBps"] = round(n / tp / 1e9, 2)
+    HEADLINE.update(out)
     emit({"metric": "device_pack_GBps", "value": out["device_pack_GBps"]})
     if remaining() < 40:
         return out
@@ -518,6 +519,7 @@ def bench_device_kernels() -> dict:
     packed = pack_4bit_pallas(x)
     tu = t_iter(unpack_loop, packed)
     out["device_unpack_GBps"] = round(n / tu / 1e9, 2)
+    HEADLINE.update(out)
     emit({"metric": "device_unpack_GBps", "value": out["device_unpack_GBps"]})
     if remaining() < 40:
         return out
@@ -551,6 +553,7 @@ def bench_device_kernels() -> dict:
 
     ts = t_scan()
     out["device_scan_GBps"] = round(n / ts / 1e9, 2)
+    HEADLINE.update(out)
     emit({"metric": "device_scan_GBps", "value": out["device_scan_GBps"]})
     return out
 
@@ -590,6 +593,7 @@ def bench_device_e2e(env) -> dict:
     out: dict = {}
     t_e, _ = _best(lambda: encode_sharded(data, opts, mesh=mesh), reps=3)
     out["device_encode_MBps"] = round(dmb / t_e, 2)
+    HEADLINE.update(out)
     emit({"metric": "device_encode_MBps", "value": out["device_encode_MBps"],
           "input_mb": mb, "note": "end-to-end sharded encode, 1 real chip"})
     if remaining() < 40:
@@ -603,6 +607,7 @@ def bench_device_e2e(env) -> dict:
         "device render != host render"
     t_d, _ = _best(dec, reps=3)
     out["device_decode_MBps"] = round(dmb / t_d, 2)
+    HEADLINE.update(out)
     emit({"metric": "device_decode_MBps", "value": out["device_decode_MBps"],
           "input_mb": mb, "note": "end-to-end sharded decode, 1 real chip"})
     return out

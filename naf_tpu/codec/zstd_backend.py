@@ -337,7 +337,8 @@ def compress_frames(data, level: int = 1, window_log: int = 0,
     blocks = [mv[i:i + block_bytes] for i in range(0, n, block_bytes)] or [mv[:0]]
     if engine == "device":
         def one(b):
-            return compress_section_device(b)
+            return compress_section_device(b, level=level,
+                                           window_log=window_log)
     elif engine == "native":
         def one(b):
             return compress_section_native(b, level=level,
@@ -460,7 +461,20 @@ def compress_section_native(data, level: int = 1, window_log: int = 0) -> bytes:
     return frame[4:]
 
 
-def compress_section_device(data, k: int = 0) -> bytes:
+def _device_chain_depth(level: int) -> int:
+    """`-#` -> candidate chain depth proposed per position (the device
+    analog of cfg_for's chain-log ladder, naf_zstd.cpp:852)."""
+    if level <= 2:
+        return 2
+    if level <= 12:
+        return 4
+    if level <= 18:
+        return 8
+    return 16
+
+
+def compress_section_device(data, level: int = 1, window_log: int = 0,
+                            k: int = 0) -> bytes:
     """Device-scored match candidates + host bitstream packing.
 
     The JAX kernel (ops.matchfind) computes the top-k match-candidate chain
@@ -469,36 +483,65 @@ def compress_section_device(data, k: int = 0) -> bytes:
     them into a standard zstd frame.  This is the device/host split of
     SURVEY §7 step 6 running end to end; reachable as ``tnaf --engine
     device``.
+
+    Memory is bounded: candidates are generated per 4 MB span over a
+    sliding history window (O(span + history) device bytes regardless of
+    section size) and serialized incrementally into one frame
+    (``naf_zstd_compress_cand_stream``).  ``level`` selects the chain depth
+    (parity: ennaf -#); ``window_log`` widens the history AND adds a
+    long-distance anchor pass (parity: ennaf --long,
+    ennaf/src/compressor.c:7-21).
     """
     import ctypes as ct
 
     import numpy as np
 
     from .. import native as _native
-    from ..ops.matchfind import TOP_K, find_match_candidates
+    from ..ops.matchfind import (
+        SPAN, find_ldm_candidates, find_match_candidates_windowed)
 
-    k = k or TOP_K
+    k = k or _device_chain_depth(level)
     lib = _native._load()
     if lib is None:
         raise RuntimeError("native engine unavailable")
-    if not hasattr(lib, "_naf_zstd_cand_ready"):
-        lib.naf_zstd_compress_cand_k.restype = ct.c_uint64
-        lib.naf_zstd_compress_cand_k.argtypes = [
-            ct.c_void_p, ct.c_uint64, ct.c_void_p, ct.c_int32,
+    if not hasattr(lib, "_naf_zstd_cand_stream_ready"):
+        lib.naf_zstd_compress_cand_stream.restype = ct.c_uint64
+        lib.naf_zstd_compress_cand_stream.argtypes = [
+            ct.c_void_p, ct.c_uint64, ct.c_uint64, ct.c_uint64,
+            ct.c_void_p, ct.c_int32, ct.c_void_p,
             ct.c_void_p, ct.c_uint64]
-        lib._naf_zstd_cand_ready = True
+        lib._naf_zstd_cand_stream_ready = True
     arr = np.frombuffer(memoryview(data), np.uint8)
-    cand = np.ascontiguousarray(
-        find_match_candidates(arr, k=k).reshape(arr.size, -1)
-        if arr.size else np.zeros((0, k), np.int32))
-    cap = arr.size + arr.size // 4 + 4096
+    n = arr.size
+    cap = n + n // 4 + 4096
     dst = np.empty(cap, np.uint8)
-    w = lib.naf_zstd_compress_cand_k(
-        arr.ctypes.data_as(ct.c_void_p) if arr.size else None, arr.size,
-        cand.ctypes.data_as(ct.c_void_p) if cand.size else None, k,
-        dst.ctypes.data_as(ct.c_void_p), cap)
-    if w == 0:
-        raise RuntimeError("device engine buffer overflow")
+    rep = np.array([1, 4, 8], np.uint32)
+    hist = SPAN
+    if window_log:
+        hist = max(hist, min(1 << window_log, 64 << 20))
+    w = 0
+    if n == 0:
+        w = lib.naf_zstd_compress_cand_stream(
+            None, 0, 0, 0, None, k, rep.ctypes.data_as(ct.c_void_p),
+            dst.ctypes.data_as(ct.c_void_p), cap)
+        if w == 0:
+            raise RuntimeError("device engine buffer overflow")
+    for lo in range(0, n, SPAN):
+        hi = min(lo + SPAN, n)
+        cand = find_match_candidates_windowed(arr, k, lo, hi, hist=hist)
+        if window_log:
+            ldm = find_ldm_candidates(
+                arr, lo, hi, hist=min(1 << window_log, 128 << 20))
+            cand = np.concatenate([cand, ldm[:, None]], axis=1)
+        cand = np.ascontiguousarray(cand)
+        wrote = lib.naf_zstd_compress_cand_stream(
+            arr.ctypes.data_as(ct.c_void_p), n, lo, hi,
+            cand.ctypes.data_as(ct.c_void_p), cand.shape[1],
+            rep.ctypes.data_as(ct.c_void_p),
+            ct.c_void_p(dst.ctypes.data + w), cap - w)
+        if wrote == 0:
+            raise RuntimeError("device engine buffer overflow")
+        w += wrote
     frame = dst[:w].tobytes()
     if frame[:4] != ZSTD_FRAME_MAGIC:
         raise RuntimeError("device engine produced an invalid frame")

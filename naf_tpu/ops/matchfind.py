@@ -63,3 +63,85 @@ def find_match_candidates(data: np.ndarray, k: int = 1) -> np.ndarray:
         return out[:, 0] if k == 1 else out
     out = np.asarray(_candidates(data, k))
     return out[:, 0] if k == 1 else out
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory span pipeline (`tnaf --engine device -# [--long N]`):
+# candidates are generated per SPAN over a sliding history window, so device
+# memory is O(span + history) regardless of section size — the serializer
+# (naf_zstd_compress_cand_stream) consumes each span's rows incrementally.
+# ---------------------------------------------------------------------------
+
+#: serialized span; must be a multiple of the zstd 128 KB block size
+SPAN = 4 << 20
+
+
+def _pow2(n: int, lo: int = 1 << 16) -> int:
+    m = lo
+    while m < n:
+        m *= 2
+    return m
+
+
+def find_match_candidates_windowed(data: np.ndarray, k: int, lo: int,
+                                   hi: int, hist: int = SPAN) -> np.ndarray:
+    """ABSOLUTE int32[hi-lo, k] candidates for positions [lo, hi), matched
+    within ``data[max(0, lo-hist):hi]`` (bounded device window).
+
+    The window is zero-padded up to a power-of-two bucket so jit
+    recompilations stay bounded; pad positions sit after every real row in
+    the stable argsort, so they can never be proposed as (earlier)
+    candidates for real positions.
+    """
+    wlo = max(0, lo - hist)
+    win = np.ascontiguousarray(data[wlo:hi], dtype=np.uint8)
+    if win.size < 16:
+        return np.full((hi - lo, k), -1, np.int32)
+    cap = _pow2(win.size)
+    if win.size < cap:
+        win = np.concatenate([win, np.zeros(cap - win.size, np.uint8)])
+    rel = np.asarray(_candidates(win, k))[lo - wlo:hi - wlo].astype(np.int64)
+    return np.where(rel >= 0, rel + wlo, -1).astype(np.int32)
+
+
+@lazy_jit
+def _ldm_anchor_candidates(data):
+    """Closest earlier anchor (stride 8) sharing the same 8-byte window
+    hash — the long-distance-matching candidate pass for ``--long``."""
+    d = data.astype(jnp.uint32).reshape(-1, 8)
+    w0 = d[:, 0] | d[:, 1] << 8 | d[:, 2] << 16 | d[:, 3] << 24
+    w1 = d[:, 4] | d[:, 5] << 8 | d[:, 6] << 16 | d[:, 7] << 24
+    keys = (w0 * jnp.uint32(2654435761)) ^ (w1 * jnp.uint32(2246822519))
+    order = jnp.argsort(keys, stable=True)
+    sk = jnp.take(keys, order)
+    same = jnp.concatenate([jnp.zeros(1, bool), sk[1:] == sk[:-1]])
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            order[:-1].astype(jnp.int32)])
+    cand_sorted = jnp.where(same, prev, jnp.int32(-1))
+    return jnp.zeros(keys.shape[0], jnp.int32).at[order].set(cand_sorted)
+
+
+def find_ldm_candidates(data: np.ndarray, lo: int, hi: int,
+                        hist: int = 64 << 20) -> np.ndarray:
+    """ABSOLUTE int32[hi-lo] long-range candidate per position for
+    [lo, hi): each 8-byte-aligned anchor proposes its closest equal-hash
+    predecessor; intermediate positions inherit anchor + offset (the host
+    serializer byte-verifies every proposal, so near-misses cost nothing).
+    """
+    wlo = max(0, lo - hist) & ~7
+    win = np.ascontiguousarray(data[wlo:hi], dtype=np.uint8)
+    if win.size < 64:
+        return np.full(hi - lo, -1, np.int32)
+    cap = _pow2(win.size)
+    if win.size < cap:
+        win = np.concatenate([win, np.zeros(cap - win.size, np.uint8)])
+    anchors = np.asarray(_ldm_anchor_candidates(win))
+    m0 = (lo - wlo) // 8
+    m1 = (hi - wlo + 7) // 8
+    arel = anchors[m0:m1].astype(np.int64)
+    abs_anchor = np.where(arel >= 0, arel * 8 + wlo, -1)
+    base = np.repeat(abs_anchor, 8)
+    offs = np.tile(np.arange(8, dtype=np.int64), m1 - m0)
+    col = np.where(base >= 0, base + offs, -1)
+    start = lo - (wlo + m0 * 8)
+    return col[start:start + (hi - lo)].astype(np.int32)

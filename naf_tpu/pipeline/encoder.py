@@ -174,7 +174,9 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
         if opts.engine == "device":
             from ..codec import compress_section_device
 
-            return compress_section_device(buf)
+            # --long widens the SEQ window only (compressor.c:7-21)
+            return compress_section_device(
+                buf, level=level, window_log=opts.long_window_log)
         if opts.engine == "native":
             from ..codec import compress_section_native
 
@@ -226,7 +228,8 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
 
             jobs["quality"] = lambda: Section(
                 uncompressed_size=int(res.qual.size),
-                payload=compress_section_device(res.qual.tobytes()))
+                payload=compress_section_device(res.qual.tobytes(),
+                                                level=level))
         else:
             jobs["quality"] = lambda: compress_bytes(res.qual.tobytes())
 

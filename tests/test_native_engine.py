@@ -350,3 +350,92 @@ def test_streaming_paths_with_native_engine():
                                           DecodeOptions()).fastq()
     finally:
         set_decode_engine("zstd")
+
+
+def test_device_engine_multi_span_stream():
+    """Sections larger than one 4 MB span serialize through the chunked
+    streaming path: rep state carries across spans, one valid frame out."""
+    rng = np.random.default_rng(70)
+    base = rng.integers(0, 256, 9000, dtype=np.uint8).tobytes()
+    data = (base * 600 + rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                    size=5_000_000).tobytes())
+    assert len(data) > (8 << 20)        # >= 3 spans
+    from naf_tpu.codec import compress_section_device
+
+    payload = compress_section_device(data, level=9)
+    assert decompress_section(payload, len(data)) == data
+    assert len(payload) < len(data) // 2
+
+
+def test_device_engine_levels_and_long():
+    """-# and --long change the output: level raises chain depth, --long
+    adds the LDM anchor pass; -19 --long beats -1 on long-range repeats,
+    and tracks the host native engine at equal level."""
+    rng = np.random.default_rng(71)
+    # segmental-duplication-style input: multi-MB-distance repeats
+    unit = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=1 << 20)
+    chunks = [unit]
+    for _ in range(9):
+        if rng.random() < 0.5:
+            c = chunks[int(rng.integers(0, len(chunks)))].copy()
+            flips = rng.random(c.size) < 0.001
+            c[flips] = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                  size=int(flips.sum()))
+        else:
+            c = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=1 << 20)
+        chunks.append(c)
+    data = np.concatenate(chunks).tobytes()
+    from naf_tpu.codec import compress_section_device
+
+    p1 = compress_section_device(data, level=1)
+    p19 = compress_section_device(data, level=19, window_log=25)
+    assert decompress_section(p1, len(data)) == data
+    assert decompress_section(p19, len(data)) == data
+    assert len(p19) < len(p1), (len(p19), len(p1))
+    host19 = compress_section_native(data, level=19, window_log=25)
+    assert len(p19) < len(host19) * 1.35, (len(p19), len(host19))
+
+
+def test_device_engine_long_reaches_past_span_history():
+    """--long widens the span history window: a 1 MB repeat at 9 MB
+    distance is invisible to the default 4 MB candidate window and
+    captured with window_log 25 (parity: ennaf --long,
+    ennaf/src/compressor.c:7-21)."""
+    from naf_tpu.codec import compress_section_device
+
+    rng = np.random.default_rng(73)
+    motif = rng.integers(0, 16, 1 << 20, dtype=np.uint8)   # packed alphabet
+    filler = rng.integers(0, 16, 8 << 20, dtype=np.uint8)
+    data = np.concatenate([motif, filler, motif]).tobytes()  # copy at 9 MB
+    short = compress_section_device(data, level=9)
+    longw = compress_section_device(data, level=9, window_log=25)
+    assert decompress_section(short, len(data)) == data
+    assert decompress_section(longw, len(data)) == data
+    assert len(longw) < len(short) * 0.95, (len(longw), len(short))
+
+
+def test_cli_device_engine_long(tmp_path, ref_bin):
+    """tnaf --engine device -19 --long 25 archives decode with the
+    reference and match the engine's level-1 size on repeat-structured
+    input (deeper chains must never lose to shallow ones)."""
+    from naf_tpu.cli import tnaf as T
+
+    rng = np.random.default_rng(72)
+    motif = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=200_000)
+    seq = np.concatenate([motif, rng.choice(
+        np.frombuffer(b"ACGT", np.uint8), size=400_000), motif])
+    body = seq.tobytes()
+    data = b">chr x\n" + b"\n".join(
+        body[i:i + 80] for i in range(0, len(body), 80)) + b"\n"
+    src = tmp_path / "x.fa"
+    src.write_bytes(data)
+    o1 = tmp_path / "o1.naf"
+    o19 = tmp_path / "o19.naf"
+    assert T.main(["--engine", "device", "-1", str(src), "-o", str(o1)]) == 0
+    assert T.main(["--engine", "device", "-19", "--long", "25",
+                   str(src), "-o", str(o19)]) == 0
+    assert o19.stat().st_size < o1.stat().st_size * 1.01
+    q = run_ref([ref_bin["unnaf"], "-c", str(o19)])
+    assert q.returncode == 0
+    plain, _ = encode(data, EncodeOptions())
+    assert q.stdout == Decoder(io.BytesIO(plain), DecodeOptions()).fasta()
