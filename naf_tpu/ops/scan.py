@@ -29,6 +29,64 @@ from . import tables as T
 
 _GT = ord(">")
 
+#: MXU scan chunk width (the systolic array's native tile)
+_MXU = 128
+
+
+def _mm_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix-sum of an i32 vector via lower-triangular matmuls.
+
+    The TPU compiler's time on ``cumsum``/``associative_scan`` over a giant
+    1-D axis grows super-linearly (1-D scans lower to log-n levels of
+    stride-2 lane relayouts; measured 150 s+ to compile at 2^20 and
+    effectively unbounded at 2^26).  The MXU formulation is compile-flat
+    (~1-3 s at every size) AND runs on the systolic array: chunk prefixes
+    are one [C,128] @ tril(128,128) matmul, the per-chunk carry recurses on
+    the 128x-smaller totals vector, and tiny tails use the plain cumsum.
+    """
+    n = x.shape[0]
+    if n <= 8192 or n % _MXU:
+        return jnp.cumsum(x)
+    C = n // _MXU
+    y = x.reshape(C, _MXU)
+    tri = jnp.tril(jnp.ones((_MXU, _MXU), jnp.int32))
+    within = y @ tri.T                        # [C, 128] prefix within chunks
+    totals = within[:, -1]
+    carry = _mm_cumsum(totals) - totals       # exclusive carry per chunk
+    return (within + carry[:, None]).reshape(n)
+
+
+def _cumsum_i32(mask) -> jnp.ndarray:
+    return _mm_cumsum(mask.astype(jnp.int32))
+
+
+def _prev_true_pos(flag: jnp.ndarray, pos: jnp.ndarray,
+                   cum: jnp.ndarray) -> jnp.ndarray:
+    """Per byte: position of the last ``flag`` byte at/before it, -1 before
+    the first.  ``cum`` is the inclusive prefix count of ``flag``.
+
+    Max-scan replacement: scatter the k-th flag position into a table at
+    k, gather back by count — scatter/gather compile flat on TPU where the
+    max-scan's lane relayouts do not.
+    """
+    n = flag.shape[0]
+    tab = jnp.full(n + 2, -1, jnp.int32).at[
+        jnp.where(flag, cum, n + 1)
+    ].set(pos, mode="drop")                   # tab[k] = pos of k-th (1-based)
+    return tab[cum]                           # cum==0 -> tab[0] == -1
+
+
+def _next_true_pos(flag: jnp.ndarray, pos: jnp.ndarray,
+                   cum: jnp.ndarray) -> jnp.ndarray:
+    """Per byte: position of the first ``flag`` byte at/after it, B past the
+    last (min-reverse-scan replacement; same scatter/gather scheme)."""
+    n = flag.shape[0]
+    tab = jnp.full(n + 1, n, jnp.int32).at[
+        jnp.where(flag, cum - 1, n)
+    ].set(pos, mode="drop")                   # tab[k] = pos of k-th (0-based)
+    before = cum - flag.astype(jnp.int32)     # flags strictly before pos
+    return tab[before]                        # before == total -> n
+
 
 @functools.partial(jax.jit, static_argnames=("seq_type",))
 def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
@@ -66,18 +124,14 @@ def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     pos = jnp.arange(B, dtype=jnp.int32)
 
     # record id per byte (marker byte belongs to the record it starts)
-    rec_id = jnp.cumsum(rec_start.astype(jnp.int32))
+    rec_id = _cumsum_i32(rec_start)
 
     # for each byte, the position of its record's marker ('-1' for record 0)
-    marker_pos = jnp.where(rec_start, pos, -1)
-    rec_marker = jax.lax.associative_scan(jnp.maximum, marker_pos)
+    rec_marker = _prev_true_pos(rec_start, pos, rec_id)
 
-    # first EOL at/after each position (suffix scan of eol positions)
-    eolpos = jnp.where(is_eol, pos, B)
-    next_eol_incl = jax.lax.associative_scan(jnp.minimum, eolpos, reverse=True)
-    # first space-class at/after each position
-    sppos = jnp.where(is_space, pos, B)
-    next_space_incl = jax.lax.associative_scan(jnp.minimum, sppos, reverse=True)
+    # first EOL / space-class byte at/after each position
+    next_eol_incl = _next_true_pos(is_eol, pos, _cumsum_i32(is_eol))
+    next_space_incl = _next_true_pos(is_space, pos, _cumsum_i32(is_space))
 
     def at_or_b(arr, idx):
         # arr[idx] with idx possibly == B -> B
@@ -177,19 +231,16 @@ def scan_fastq_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
          is_eol[:-1]]
     )
     # byte's own line index (EOL byte belongs to the line it terminates)
-    line_id = jnp.cumsum(is_eol.astype(jnp.int32)) - is_eol.astype(jnp.int32)
+    line_id = _cumsum_i32(is_eol) - is_eol.astype(jnp.int32)
     lane = line_id % 4          # 0 header, 1 seq, 2 '+', 3 qual
 
     rec_start = (b == jnp.uint8(ord("@"))) & prev_is_eol & (lane == 0)
 
     pos = jnp.arange(B, dtype=jnp.int32)
-    marker_pos = jnp.where(rec_start, pos, -1)
-    rec_marker = jax.lax.associative_scan(jnp.maximum, marker_pos)
+    rec_marker = _prev_true_pos(rec_start, pos, _cumsum_i32(rec_start))
 
-    eolpos = jnp.where(is_eol, pos, B)
-    next_eol_incl = jax.lax.associative_scan(jnp.minimum, eolpos, reverse=True)
-    sppos = jnp.where(is_space, pos, B)
-    next_space_incl = jax.lax.associative_scan(jnp.minimum, sppos, reverse=True)
+    next_eol_incl = _next_true_pos(is_eol, pos, _cumsum_i32(is_eol))
+    next_space_incl = _next_true_pos(is_space, pos, _cumsum_i32(is_space))
 
     def at_or_b(arr, idx):
         safe = jnp.minimum(idx, B - 1)
@@ -260,7 +311,7 @@ def compact(mask: jnp.ndarray, values: jnp.ndarray):
 
     out has the same (static) length as values; positions >= count are zero.
     """
-    idx = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = _cumsum_i32(mask) - 1
     B = values.shape[0]
     out = jnp.zeros(B, values.dtype).at[
         jnp.where(mask, idx, B)
@@ -283,6 +334,6 @@ def pack_even(seq_padded: jnp.ndarray) -> jnp.ndarray:
 def longest_line_block(seq_keep: jnp.ndarray, is_eol: jnp.ndarray) -> jnp.ndarray:
     """Max kept-chars between EOLs within the block (line-length reduce)."""
     B = seq_keep.shape[0]
-    line_id = jnp.cumsum(is_eol.astype(jnp.int32))
+    line_id = _cumsum_i32(is_eol)
     counts = jnp.zeros(B + 1, jnp.int32).at[line_id].add(seq_keep.astype(jnp.int32))
     return jnp.max(counts)

@@ -203,7 +203,7 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
     id_vals = _fit(S.compact(s["id_keep"], b)[0], id_cap)
     com_vals = _fit(S.compact(s["com_keep"], s["com_val"])[0], com_cap)
 
-    rec_id = jnp.cumsum(s["rec_start"].astype(jnp.int32))
+    rec_id = S._cumsum_i32(s["rec_start"])   # blocked scan: TPU compile-safe
     seq_lens = _segment_sum(s["seq_keep"], rec_id, r_cap)
     id_lens = _segment_sum(s["id_keep"], rec_id, r_cap)
     com_lens = _segment_sum(s["com_keep"], rec_id, r_cap)
