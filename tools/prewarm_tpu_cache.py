@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Pre-warm the persistent JAX compile cache for TPU kernels — chipless.
+
+Compiles the bench/production kernel shapes ahead-of-time against a local
+v5e topology description (libtpu's AOT compiler; no chip, no tunnel) with
+the persistent compilation cache enabled.  A later run on the real chip
+then *loads* the cached executable instead of paying the remote compile —
+the axon tunnel's compile helper is both slow and a shared resource, so
+every compile moved here is latency (and a wedge risk) removed from the
+driver's benchmark run.
+
+Usage:  python tools/prewarm_tpu_cache.py [--e2e]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")   # never touch the tunnel
+    from naf_tpu.utils.jaxenv import setup_jax
+
+    setup_jax()
+    import jax.numpy as jnp
+    from jax.experimental import topologies
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    topo = topologies.get_topology_desc(
+        "v5e:1x1x1", "tpu", chips_per_host_bounds=(1, 1, 1))
+    mesh = topologies.make_mesh(topo, (1,), ("x",))
+    sh = NamedSharding(mesh, P())
+
+    def compile_one(label, fn, *avals):
+        t0 = time.time()
+        try:
+            jax.jit(fn).lower(*avals).compile()
+            print(f"  {label}: {time.time() - t0:.1f}s")
+        except Exception as e:
+            print(f"  {label}: FAILED {type(e).__name__}: {str(e)[:90]}")
+
+    u8 = jnp.uint8
+
+    def aval(shape, dtype=u8):
+        return jax.ShapeDtypeStruct(shape, dtype, sharding=sh)
+
+    # ---- bench_device_kernels (bench.py) — exact loop bodies/shapes -------
+    from naf_tpu.ops.pack import pack_4bit_pallas
+    from naf_tpu.ops.unpack import unpack_4bit_pallas_u16
+    from naf_tpu.ops import scan as S
+
+    n = 1 << 26
+    K = 32
+    KS = 8
+
+    def pack_loop(x):
+        def body(i, acc):
+            return pack_4bit_pallas(x ^ jnp.tile(acc, 2))
+        return jax.lax.fori_loop(0, K, body, jnp.zeros(n // 2, jnp.uint8))
+
+    def unpack_loop(p0):
+        def body(i, acc):
+            return unpack_4bit_pallas_u16(p0 ^ (acc & 0xFF).astype(jnp.uint8))
+        return jax.lax.fori_loop(0, K, body, jnp.zeros(n // 2, jnp.uint16))
+
+    def scan_loop(x0):
+        def body(i, carry):
+            acc, prev = carry
+            s = S.scan_fasta_block(x0 ^ acc, prev)
+            cnt = jnp.sum(s["stream_keep"].astype(jnp.int32))
+            return (cnt % 2).astype(jnp.uint8), s["stream_val"][0]
+        return jax.lax.fori_loop(
+            0, KS, body, (jnp.uint8(0), jnp.uint8(ord(">"))))
+
+    print("bench device kernels (n=2^26):")
+    compile_one("pack_loop", pack_loop, aval((n,)))
+    compile_one("unpack_loop", unpack_loop, aval((n // 2,)))
+    compile_one("scan_loop", scan_loop, aval((n,)))
+
+    # ---- raw per-block kernels at bucketed production sizes ---------------
+    print("scan blocks:")
+    for log2 in (20, 22, 24, 25, 26):
+        compile_one(
+            f"scan_fasta 2^{log2}",
+            lambda x0: S.scan_fasta_block(x0, jnp.uint8(ord(">"))),
+            aval((1 << log2,)))
+    for log2 in (22, 24, 25):
+        compile_one(
+            f"scan_fastq 2^{log2}",
+            lambda x0: S.scan_fastq_block(x0, jnp.uint8(ord("@"))),
+            aval((1 << log2,)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
