@@ -2081,10 +2081,14 @@ struct FwdBits {
   uint64_t pos = 0;                      // bit position
 
   inline uint32_t peek(int nb) const {
-    uint64_t acc = 0;
     uint64_t b0 = pos >> 3;
-    for (int k = 0; k < 6; k++)
-      if (b0 + k < nbytes) acc |= (uint64_t)p[b0 + k] << (8 * k);
+    uint64_t acc = 0;
+    if (b0 + 8 <= nbytes) {                // hot path: one unaligned load
+      std::memcpy(&acc, p + b0, 8);
+    } else {
+      for (int k = 0; k < 8; k++)
+        if (b0 + k < nbytes) acc |= (uint64_t)p[b0 + k] << (8 * k);
+    }
     return (uint32_t)((acc >> (pos & 7)) & (((uint64_t)1 << nb) - 1));
   }
   inline uint32_t read(int nb) {
@@ -2112,11 +2116,16 @@ struct BackBits {
   }
   inline uint32_t peek_at(int64_t at, int nb) const {
     if (nb == 0) return 0;
-    uint64_t acc = 0;
     int64_t b0 = at >> 3;                // arithmetic shift: floor for <0
-    for (int k = 0; k < 6; k++) {
-      int64_t bi = b0 + k;
-      if (bi >= 0 && (uint64_t)bi < nbytes) acc |= (uint64_t)p[bi] << (8 * k);
+    uint64_t acc = 0;
+    if (b0 >= 0 && (uint64_t)(b0 + 8) <= nbytes) {   // one unaligned load
+      std::memcpy(&acc, p + b0, 8);
+    } else {
+      for (int k = 0; k < 8; k++) {
+        int64_t bi = b0 + k;
+        if (bi >= 0 && (uint64_t)bi < nbytes)
+          acc |= (uint64_t)p[bi] << (8 * k);
+      }
     }
     int sh = (int)(at - (b0 << 3));      // 0..7
     return (uint32_t)((acc >> sh) & (((uint64_t)1 << nb) - 1));
