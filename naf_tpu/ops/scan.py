@@ -31,19 +31,21 @@ _GT = ord(">")
 
 #: MXU scan chunk width (the systolic array's native tile)
 _MXU = 128
+_NEG = -(1 << 30)
+
+# TPU cost model note (measured on v5e through this kernel family): XLA
+# gathers AND scatters at per-byte granularity run ~0.1 GB/s (element-at-a-
+# time lowering) — even a 256-entry LUT gather.  1-D cumsum/associative_scan
+# additionally has super-linear COMPILE time (stride-2 lane relayouts per
+# tree level; 150 s+ at 2^20 elements).  Everything below therefore avoids
+# both: prefix sums ride the MXU as lower-triangular matmuls, max-scans use
+# 7 static lane-shifts per 128-chunk, and boolean LUTs are bit-packed words
+# + an 8-way select chain (pure VPU).  Compile is flat (~1-3 s per op at any
+# size) and runtime is vector-speed.
 
 
-def _mm_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix-sum of an i32 vector via lower-triangular matmuls.
-
-    The TPU compiler's time on ``cumsum``/``associative_scan`` over a giant
-    1-D axis grows super-linearly (1-D scans lower to log-n levels of
-    stride-2 lane relayouts; measured 150 s+ to compile at 2^20 and
-    effectively unbounded at 2^26).  The MXU formulation is compile-flat
-    (~1-3 s at every size) AND runs on the systolic array: chunk prefixes
-    are one [C,128] @ tril(128,128) matmul, the per-chunk carry recurses on
-    the 128x-smaller totals vector, and tiny tails use the plain cumsum.
-    """
+def _mm_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix-sum of an i32 vector via tril matmuls (carry levels)."""
     n = x.shape[0]
     if n <= 8192 or n % _MXU:
         return jnp.cumsum(x)
@@ -52,40 +54,80 @@ def _mm_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     tri = jnp.tril(jnp.ones((_MXU, _MXU), jnp.int32))
     within = y @ tri.T                        # [C, 128] prefix within chunks
     totals = within[:, -1]
-    carry = _mm_cumsum(totals) - totals       # exclusive carry per chunk
+    carry = _mm_cumsum_i32(totals) - totals   # exclusive carry per chunk
     return (within + carry[:, None]).reshape(n)
 
 
 def _cumsum_i32(mask) -> jnp.ndarray:
-    return _mm_cumsum(mask.astype(jnp.int32))
+    """Inclusive prefix count of a boolean mask.
 
-
-def _prev_true_pos(flag: jnp.ndarray, pos: jnp.ndarray,
-                   cum: jnp.ndarray) -> jnp.ndarray:
-    """Per byte: position of the last ``flag`` byte at/before it, -1 before
-    the first.  ``cum`` is the inclusive prefix count of ``flag``.
-
-    Max-scan replacement: scatter the k-th flag position into a table at
-    k, gather back by count — scatter/gather compile flat on TPU where the
-    max-scan's lane relayouts do not.
+    First level feeds the MXU's int8 mode (chunk sums <= 128 are exact in
+    the i32 accumulator); carry levels recurse on the 128x-smaller totals
+    in i32.
     """
-    n = flag.shape[0]
-    tab = jnp.full(n + 2, -1, jnp.int32).at[
-        jnp.where(flag, cum, n + 1)
-    ].set(pos, mode="drop")                   # tab[k] = pos of k-th (1-based)
-    return tab[cum]                           # cum==0 -> tab[0] == -1
+    n = mask.shape[0]
+    if n <= 8192 or n % _MXU:
+        return jnp.cumsum(mask.astype(jnp.int32))
+    y = mask.astype(jnp.int8).reshape(n // _MXU, _MXU)
+    tri = jnp.tril(jnp.ones((_MXU, _MXU), jnp.int8))
+    within = jax.lax.dot_general(y, tri.T, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+    totals = within[:, -1]
+    carry = _mm_cumsum_i32(totals) - totals
+    return (within + carry[:, None]).reshape(n)
 
 
-def _next_true_pos(flag: jnp.ndarray, pos: jnp.ndarray,
-                   cum: jnp.ndarray) -> jnp.ndarray:
-    """Per byte: position of the first ``flag`` byte at/after it, B past the
-    last (min-reverse-scan replacement; same scatter/gather scheme)."""
-    n = flag.shape[0]
-    tab = jnp.full(n + 1, n, jnp.int32).at[
-        jnp.where(flag, cum - 1, n)
-    ].set(pos, mode="drop")                   # tab[k] = pos of k-th (0-based)
-    before = cum - flag.astype(jnp.int32)     # flags strictly before pos
-    return tab[before]                        # before == total -> n
+def _chunk_max_scan(v: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive max-scan of an i32 vector: 7 static lane-shift maxes within
+    each 128-chunk + a recursive carry over chunk totals."""
+    m = v.shape[0]
+    if m <= 8192 or m % _MXU:
+        return jax.lax.associative_scan(jnp.maximum, v)
+    y = v.reshape(m // _MXU, _MXU)
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        sh = jnp.pad(y, ((0, 0), (s, 0)), constant_values=_NEG)[:, :-s]
+        y = jnp.maximum(y, sh)
+    totals = y[:, -1]
+    carry = _chunk_max_scan(totals)
+    carry = jnp.concatenate([jnp.full((1,), _NEG, v.dtype), carry[:-1]])
+    return jnp.maximum(y, carry[:, None]).reshape(m)
+
+
+def _seg_start_bcast(rec_start, values, fallback):
+    """Per byte: ``values`` at its record's marker; ``fallback`` before the
+    first marker.  Works because marker values here (positions, prefix
+    counts) are non-decreasing, so a masked max-scan picks the last one."""
+    m = _chunk_max_scan(jnp.where(rec_start, values, _NEG))
+    return jnp.where(m == _NEG, fallback, m)
+
+
+_WORD_CACHE: dict = {}
+
+
+def _bool_words(tab):
+    """numpy bool[256] -> u32[8] bit-packed (cached per table object)."""
+    import numpy as np
+
+    key = id(tab)
+    w = _WORD_CACHE.get(key)
+    if w is None:
+        t = np.asarray(tab, bool)
+        w = np.zeros(8, np.uint32)
+        for c in np.flatnonzero(t):
+            w[c >> 5] |= np.uint32(1) << (int(c) & 31)
+        _WORD_CACHE[key] = w
+    return w
+
+
+def _lut_bool(b: jnp.ndarray, tab) -> jnp.ndarray:
+    """Boolean 256-entry LUT as an 8-way word select + bit test (VPU-speed;
+    a jnp gather of the same table measures ~0.1 GB/s on v5e)."""
+    w8 = _bool_words(tab)
+    h = (b >> 5).astype(jnp.int32)
+    w = jnp.full(b.shape, int(w8[0]), jnp.uint32)
+    for k in range(1, 8):
+        w = jnp.where(h == k, jnp.uint32(int(w8[k])), w)
+    return ((w >> (b & jnp.uint8(31)).astype(jnp.uint32)) & 1) != 0
 
 
 @functools.partial(jax.jit, static_argnames=("seq_type",))
@@ -112,41 +154,40 @@ def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     """
     B = block.shape[0]
     b = block
-    is_eol = jnp.asarray(T.IS_EOL)[b.astype(jnp.int32)]
-    is_space = jnp.asarray(T.IS_SPACE)[b.astype(jnp.int32)]
+    is_eol = _lut_bool(b, T.IS_EOL)
+    is_space = _lut_bool(b, T.IS_SPACE)
 
     prev_is_eol = jnp.concatenate(
         [jnp.asarray(T.IS_EOL)[prev_byte.astype(jnp.int32)].reshape(1), is_eol[:-1]]
     )
     rec_start = (b == _GT) & prev_is_eol
 
-    # positions (padded with B) of markers / eols / spaces
     pos = jnp.arange(B, dtype=jnp.int32)
 
     # record id per byte (marker byte belongs to the record it starts)
     rec_id = _cumsum_i32(rec_start)
+    cum_eol = _cumsum_i32(is_eol)
+    cum_sp = _cumsum_i32(is_space)
 
     # for each byte, the position of its record's marker ('-1' for record 0)
-    rec_marker = _prev_true_pos(rec_start, pos, rec_id)
+    # and the prefix counts AT that marker (segment broadcasts); record 0
+    # behaves as if its marker sat just before byte 0
+    rec_marker = _seg_start_bcast(rec_start, pos, -1)
+    eol_at_m = _seg_start_bcast(rec_start, cum_eol, 0)
+    sp_at_m = _seg_start_bcast(rec_start, cum_sp, 0)
 
-    # first EOL / space-class byte at/after each position
-    next_eol_incl = _next_true_pos(is_eol, pos, _cumsum_i32(is_eol))
-    next_space_incl = _next_true_pos(is_space, pos, _cumsum_i32(is_space))
-
-    def at_or_b(arr, idx):
-        # arr[idx] with idx possibly == B -> B
-        safe = jnp.minimum(idx, B - 1)
-        return jnp.where(idx >= B, B, arr[safe])
-
-    # per byte: its record's header_end = first eol at/after marker+1,
-    # id_end = first space at/after marker+1
-    m1 = jnp.clip(rec_marker + 1, 0, B)
-    header_end = at_or_b(next_eol_incl, m1)
-    id_end = at_or_b(next_space_incl, m1)
-
-    in_id = (pos >= m1) & (pos < id_end)
-    in_comment = (pos > id_end) & (pos < header_end) & (id_end < header_end)
-    in_seq = pos > header_end
+    # region logic by counts: a byte is on its record's header line iff no
+    # EOL lies strictly between the marker and it; in the id until the first
+    # space-class byte after the marker (IS_SPACE contains IS_EOL, so the
+    # id always ends within the header line); in the comment after it
+    i32 = jnp.int32
+    cnt_eol_excl = cum_eol - is_eol.astype(i32) - eol_at_m  # EOLs in (m, i)
+    cnt_sp_excl = cum_sp - is_space.astype(i32) - sp_at_m   # spaces in (m, i)
+    in_header_line = cnt_eol_excl == 0
+    after_marker = pos > rec_marker
+    in_id = in_header_line & after_marker & (cnt_sp_excl == 0) & ~is_space
+    in_comment = in_header_line & after_marker & (cnt_sp_excl >= 1) & ~is_eol
+    in_seq = ~in_header_line
     # sequence-parallel cut: bytes before the first in-block marker belong to
     # the previous block's open record's sequence, not to a record-0 header
     pre = (rec_marker < 0) & jnp.asarray(starts_in_seq)
@@ -156,10 +197,9 @@ def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     region = jnp.where(in_id, 1, jnp.where(in_comment, 2, jnp.where(in_seq, 3, 0)))
     region = jnp.where(rec_start, 0, region)
 
-    unex_text = jnp.asarray(T.IS_UNEXPECTED_TEXT)[b.astype(jnp.int32)]
-    unex_com = jnp.asarray(T.IS_UNEXPECTED_COMMENT)[b.astype(jnp.int32)]
-    unex_seq_tab = jnp.asarray(T.UNEXPECTED_BY_TYPE[seq_type])
-    unex_seq_b = unex_seq_tab[b.astype(jnp.int32)]
+    unex_text = _lut_bool(b, T.IS_UNEXPECTED_TEXT)
+    unex_com = _lut_bool(b, T.IS_UNEXPECTED_COMMENT)
+    unex_seq_b = _lut_bool(b, T.UNEXPECTED_BY_TYPE[seq_type])
     if seq_type == C.SEQ_TYPE_TEXT:
         keep_gt = b == _GT
         unex_seq_b = unex_seq_b & ~keep_gt
@@ -180,9 +220,16 @@ def scan_fasta_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     stream_val = jnp.where(id_unex, jnp.uint8(C.REPLACEMENT_NAME), seq_val)
 
     def hist(mask):
-        return jnp.zeros(256, jnp.int32).at[
-            jnp.where(mask, b.astype(jnp.int32), 256)
-        ].add(1, mode="drop")
+        # the scatter-add runs ~0.1 GB/s on TPU; clean inputs (no unexpected
+        # chars — the overwhelmingly common case) take the zero branch
+        def compute(_):
+            return jnp.zeros(256, jnp.int32).at[
+                jnp.where(mask, b.astype(jnp.int32), 256)
+            ].add(1, mode="drop")
+        # the zero branch must match the compute branch's sharding
+        # variance under shard_map: derive it from (varying) data at no cost
+        zero = (b[:1].astype(jnp.int32) & 0) + jnp.zeros(256, jnp.int32)
+        return jax.lax.cond(jnp.any(mask), compute, lambda _: zero, 0)
 
     return dict(
         rec_start=rec_start,
@@ -224,40 +271,41 @@ def scan_fastq_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     B = block.shape[0]
     b = block
     is_eol = b == jnp.uint8(ord("\n"))
-    is_space = jnp.asarray(T.IS_SPACE)[b.astype(jnp.int32)]
+    is_space = _lut_bool(b, T.IS_SPACE)
 
     prev_is_eol = jnp.concatenate(
         [jnp.asarray(T.IS_EOL)[prev_byte.astype(jnp.int32)].reshape(1),
          is_eol[:-1]]
     )
+    cum_eol = _cumsum_i32(is_eol)
     # byte's own line index (EOL byte belongs to the line it terminates)
-    line_id = _cumsum_i32(is_eol) - is_eol.astype(jnp.int32)
+    line_id = cum_eol - is_eol.astype(jnp.int32)
     lane = line_id % 4          # 0 header, 1 seq, 2 '+', 3 qual
 
     rec_start = (b == jnp.uint8(ord("@"))) & prev_is_eol & (lane == 0)
 
     pos = jnp.arange(B, dtype=jnp.int32)
-    rec_marker = _prev_true_pos(rec_start, pos, _cumsum_i32(rec_start))
+    cum_sp = _cumsum_i32(is_space)
+    rec_marker = _seg_start_bcast(rec_start, pos, -1)
+    eol_at_m = _seg_start_bcast(rec_start, cum_eol, 0)
+    sp_at_m = _seg_start_bcast(rec_start, cum_sp, 0)
 
-    next_eol_incl = _next_true_pos(is_eol, pos, _cumsum_i32(is_eol))
-    next_space_incl = _next_true_pos(is_space, pos, _cumsum_i32(is_space))
-
-    def at_or_b(arr, idx):
-        safe = jnp.minimum(idx, B - 1)
-        return jnp.where(idx >= B, B, arr[safe])
-
-    m1 = jnp.clip(rec_marker + 1, 0, B)
-    header_end = at_or_b(next_eol_incl, m1)
-    id_end = at_or_b(next_space_incl, m1)
+    # count-based header-line intervals (same scheme as the FASTA scan)
+    i32 = jnp.int32
+    cnt_eol_excl = cum_eol - is_eol.astype(i32) - eol_at_m
+    cnt_sp_excl = cum_sp - is_space.astype(i32) - sp_at_m
+    in_header_line = cnt_eol_excl == 0
+    after_marker = pos > rec_marker
 
     in_hdr = (lane == 0) & ~rec_start & ~is_eol
-    in_id = in_hdr & (pos >= m1) & (pos < id_end)
-    in_comment = in_hdr & (pos > id_end) & (pos < header_end) & (id_end < header_end)
+    in_id = (in_hdr & in_header_line & after_marker
+             & (cnt_sp_excl == 0) & ~is_space)
+    in_comment = in_hdr & in_header_line & after_marker & (cnt_sp_excl >= 1)
 
-    unex_text = jnp.asarray(T.IS_UNEXPECTED_TEXT)[b.astype(jnp.int32)]
-    unex_com = jnp.asarray(T.IS_UNEXPECTED_COMMENT)[b.astype(jnp.int32)]
-    unex_seq_b = jnp.asarray(T.UNEXPECTED_BY_TYPE[seq_type])[b.astype(jnp.int32)]
-    unex_qual_b = jnp.asarray(T.IS_UNEXPECTED_QUAL)[b.astype(jnp.int32)]
+    unex_text = _lut_bool(b, T.IS_UNEXPECTED_TEXT)
+    unex_com = _lut_bool(b, T.IS_UNEXPECTED_COMMENT)
+    unex_seq_b = _lut_bool(b, T.UNEXPECTED_BY_TYPE[seq_type])
+    unex_qual_b = _lut_bool(b, T.IS_UNEXPECTED_QUAL)
 
     id_unex = in_id & unex_text
     id_keep = in_id & ~unex_text
@@ -280,9 +328,14 @@ def scan_fastq_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     stream_val = jnp.where(id_unex, jnp.uint8(C.REPLACEMENT_NAME), seq_val)
 
     def hist(mask):
-        return jnp.zeros(256, jnp.int32).at[
-            jnp.where(mask, b.astype(jnp.int32), 256)
-        ].add(1, mode="drop")
+        def compute(_):
+            return jnp.zeros(256, jnp.int32).at[
+                jnp.where(mask, b.astype(jnp.int32), 256)
+            ].add(1, mode="drop")
+        # the zero branch must match the compute branch's sharding
+        # variance under shard_map: derive it from (varying) data at no cost
+        zero = (b[:1].astype(jnp.int32) & 0) + jnp.zeros(256, jnp.int32)
+        return jax.lax.cond(jnp.any(mask), compute, lambda _: zero, 0)
 
     return dict(
         rec_start=rec_start,
