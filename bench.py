@@ -565,7 +565,8 @@ def bench_device_kernels() -> dict:
     tp = t_iter(pack_loop, x)
     out["device_pack_GBps"] = round(n / tp / 1e9, 2)
     HEADLINE.update(out)
-    emit({"metric": "device_pack_GBps", "value": out["device_pack_GBps"]})
+    emit({"metric": "device_pack_GBps", "value": out["device_pack_GBps"],
+          "device": out["device"]})
     if remaining() < 40:
         return out
 
@@ -764,9 +765,76 @@ def _guard(name: str, est_s: float, fn, *args) -> dict:
         return {}
 
 
+def device_sections_child(env) -> dict:
+    """Run the TPU sections in a subprocess the parent can actually kill.
+
+    A remote kernel compile blocks inside native code, where pending
+    SIGALRM/SIGTERM cannot fire — a hung compile would otherwise ride
+    through every in-process guard (exactly how round 2 lost its record).
+    The child emits one JSON row per line on stdout; the parent forwards
+    them and folds the fields into the headline.  On timeout the child is
+    killed and whatever rows it printed are kept.
+    """
+    sub = dict(env, NAF_BENCH_DEVICE_ONLY="1")
+    t_budget = max(60, remaining() - 40)
+    out: dict = {}
+    try:
+        p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
+                             env=sub, stdout=subprocess.PIPE,
+                             stderr=subprocess.DEVNULL, text=True)
+        try:
+            stdout, _ = p.communicate(timeout=t_budget)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            stdout, _ = p.communicate()
+            emit({"note": f"device sections killed after {round(t_budget)}s"})
+        for ln in (stdout or "").splitlines():
+            ln = ln.strip()
+            if not ln.startswith("{"):
+                continue
+            try:
+                row = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            emit(row)
+            if "metric" in row and "value" in row:
+                out[row["metric"]] = row["value"]
+            if "device" in row:
+                out["device"] = row["device"]
+    except Exception as e:
+        emit({"note": f"device subprocess failed: {type(e).__name__}"})
+    return out
+
+
+def device_only_mode() -> None:
+    """Child body for device_sections_child: kernel + e2e rows on stdout."""
+    global emit
+    rows = []
+
+    def emit_stdout(row):          # child: rows go to stdout for the parent
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    emit = emit_stdout
+    env = dict(os.environ, TMPDIR="/tmp")
+    try:
+        bench_device_kernels()
+    except Exception as e:
+        print(json.dumps({"note": f"device_kernels: {type(e).__name__}"}),
+              flush=True)
+    try:
+        bench_device_e2e(env)
+    except Exception as e:
+        print(json.dumps({"note": f"device_e2e: {type(e).__name__}"}),
+              flush=True)
+
+
 def main() -> None:
     if os.environ.get("NAF_BENCH_SCALING"):
         scaling_mode()
+        return
+    if os.environ.get("NAF_BENCH_DEVICE_ONLY"):
+        device_only_mode()
         return
 
     signal.signal(signal.SIGTERM, _on_deadline)
@@ -782,8 +850,7 @@ def main() -> None:
         _guard("config4", 90, bench_config4, env)
         _guard("native_engine", 45, bench_native_engine, env)
     if not os.environ.get("NAF_BENCH_NO_DEVICE"):
-        HEADLINE.update(_guard("device_kernels", 60, bench_device_kernels))
-        HEADLINE.update(_guard("device_e2e", 60, bench_device_e2e, env))
+        HEADLINE.update(_guard("device", 90, device_sections_child, env))
     if not os.environ.get("NAF_BENCH_NO_SCALING"):
         HEADLINE.update(_guard("scaling", 55, scaling_summary, env))
     finish()

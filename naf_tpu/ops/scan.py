@@ -47,8 +47,12 @@ _NEG = -(1 << 30)
 def _mm_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix-sum of an i32 vector via tril matmuls (carry levels)."""
     n = x.shape[0]
-    if n <= 8192 or n % _MXU:
+    if n <= 8192:
         return jnp.cumsum(x)
+    if n % _MXU:
+        pad = _MXU - n % _MXU
+        padded = jnp.concatenate([x, jnp.zeros(pad, x.dtype)])
+        return _mm_cumsum_i32(padded)[:n]
     C = n // _MXU
     y = x.reshape(C, _MXU)
     tri = jnp.tril(jnp.ones((_MXU, _MXU), jnp.int32))
@@ -63,11 +67,17 @@ def _cumsum_i32(mask) -> jnp.ndarray:
 
     First level feeds the MXU's int8 mode (chunk sums <= 128 are exact in
     the i32 accumulator); carry levels recurse on the 128x-smaller totals
-    in i32.
+    in i32.  Arbitrary lengths are zero-padded up to the chunk width (a
+    ragged tail would otherwise fall back to the 1-D cumsum, whose TPU
+    compile time blows up super-linearly).
     """
     n = mask.shape[0]
-    if n <= 8192 or n % _MXU:
+    if n <= 8192:
         return jnp.cumsum(mask.astype(jnp.int32))
+    if n % _MXU:
+        pad = _MXU - n % _MXU
+        padded = jnp.concatenate([mask, jnp.zeros(pad, mask.dtype)])
+        return _cumsum_i32(padded)[:n]
     y = mask.astype(jnp.int8).reshape(n // _MXU, _MXU)
     tri = jnp.tril(jnp.ones((_MXU, _MXU), jnp.int8))
     within = jax.lax.dot_general(y, tri.T, (((1,), (0,)), ((), ())),
@@ -81,8 +91,12 @@ def _chunk_max_scan(v: jnp.ndarray) -> jnp.ndarray:
     """Inclusive max-scan of an i32 vector: 7 static lane-shift maxes within
     each 128-chunk + a recursive carry over chunk totals."""
     m = v.shape[0]
-    if m <= 8192 or m % _MXU:
+    if m <= 8192:
         return jax.lax.associative_scan(jnp.maximum, v)
+    if m % _MXU:
+        pad = _MXU - m % _MXU
+        padded = jnp.concatenate([v, jnp.full(pad, _NEG, v.dtype)])
+        return _chunk_max_scan(padded)[:m]
     y = v.reshape(m // _MXU, _MXU)
     for s in (1, 2, 4, 8, 16, 32, 64):
         sh = jnp.pad(y, ((0, 0), (s, 0)), constant_values=_NEG)[:, :-s]
