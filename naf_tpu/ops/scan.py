@@ -377,13 +377,21 @@ def compact(mask: jnp.ndarray, values: jnp.ndarray):
     """Stable compaction: kept values move to the front; returns (out, count).
 
     out has the same (static) length as values; positions >= count are zero.
+
+    Implemented as a stable key sort (kept elements get their output index
+    as key, dropped ones a sentinel): XLA's TPU sort runs ~2x the scatter
+    formulation's per-element rate and compiles flat, where the scatter
+    lowering is element-at-a-time (~0.1 GB/s measured on v5e even with
+    sorted/unique index hints).
     """
-    idx = _cumsum_i32(mask) - 1
     B = values.shape[0]
-    out = jnp.zeros(B, values.dtype).at[
-        jnp.where(mask, idx, B)
-    ].set(values, mode="drop")
-    return out, jnp.sum(mask.astype(jnp.int32))
+    cum = _cumsum_i32(mask)
+    cnt = cum[-1] if B else jnp.int32(0)
+    out_idx = jnp.where(mask, cum - 1, B)
+    _k, v_sorted = jax.lax.sort((out_idx, values), dimension=0, num_keys=1)
+    out = jnp.where(jnp.arange(B, dtype=jnp.int32) < cnt, v_sorted,
+                    jnp.zeros((), values.dtype))
+    return out, cnt
 
 
 @jax.jit

@@ -58,10 +58,38 @@ def _bucket(n: int, align: int = 16) -> int:
 # ---------------------------------------------------------------------------
 
 def _segment_sum(mask, rec_id, r_cap: int):
-    """i32[r_cap]: count of set mask bits per record segment."""
+    """i32[r_cap]: count of set mask bits per record segment (scatter path,
+    kept as the small-block / oracle fallback)."""
     return jnp.zeros(r_cap, jnp.int32).at[
         jnp.where(mask, rec_id, r_cap)
     ].add(1, mode="drop")
+
+
+def _record_bounds(rec_start, r_cap: int):
+    """i32[r_cap+1] record boundaries: [0, marker_1, ..., B, B, ...].
+
+    Record r spans [bnd[r], bnd[r+1]); rows past the real record count
+    collapse to empty ranges.  One compaction, shared by every per-record
+    segment sum.
+    """
+    B = rec_start.shape[0]
+    pos = jnp.arange(B, dtype=jnp.int32)
+    starts, n_m = S.compact(rec_start, pos)
+    j = jnp.arange(r_cap, dtype=jnp.int32)
+    starts_r = jnp.where(j < n_m, _fit(starts, r_cap), B)
+    return jnp.concatenate([jnp.zeros(1, jnp.int32), starts_r])
+
+
+def _segment_sum_bounds(mask, bnd):
+    """i32[r_cap]: per-record mask counts via boundary gathers.
+
+    The scatter formulation processes an n-sized index vector at ~0.1 GB/s
+    on TPU; here each segment sum is one n-sized prefix count (MXU) plus two
+    r_cap-sized gathers from it.
+    """
+    cum = S._cumsum_i32(mask)
+    E = jnp.concatenate([jnp.zeros(1, jnp.int32), cum])   # E[i] = count < i
+    return E[bnd[1:]] - E[bnd[:-1]]
 
 
 def _fit(arr, cap: int):
@@ -70,6 +98,23 @@ def _fit(arr, cap: int):
     if n >= cap:
         return arr[:cap]
     return jnp.concatenate([arr, jnp.zeros(cap - n, arr.dtype)])
+
+
+def _pack_block(shifted, pallas_pack: bool):
+    """Pack compacted chars to nibbles: Pallas kernel on TPU meshes (the
+    XLA stride-2 slice relayout measures ~0.1 GB/s on v5e; the kernel
+    ~18 GB/s), XLA path elsewhere (CPU tests / oracle).  The choice is a
+    static flag derived from the mesh's device platform so chipless AOT
+    pre-compilation traces the same HLO as the real chip."""
+    if pallas_pack:
+        from ..ops.pack import pack_4bit_pallas
+
+        n = shifted.shape[0]
+        pad = (-n) % 256
+        if pad:
+            shifted = jnp.concatenate([shifted, jnp.zeros(pad, jnp.uint8)])
+        return pack_4bit_pallas(shifted)[: (n + 1) // 2]
+    return S.pack_even(shifted)
 
 
 def _run_stats(lower, count):
@@ -82,6 +127,30 @@ def _run_stats(lower, count):
     n_changes = jnp.sum(change.astype(jnp.int32))
     n_runs = jnp.where(count > 0, n_changes + 1, 0)
     return lower[0] & (count > 0), n_runs
+
+
+def _run_stats_uncompacted(keep, val):
+    """(first_lower, n_runs) of the kept stream WITHOUT compacting it.
+
+    Pass 1 only needs the run count and the first byte's case; both derive
+    from comparing each kept byte with its predecessor's case, found via a
+    masked max-scan of (position*2 | lower) — no sort, no scatter.
+    """
+    B = keep.shape[0]
+    lower = keep & (val >= 96)
+    pos = jnp.arange(B, dtype=jnp.int32)
+    enc = jnp.where(keep, pos * 2 + lower.astype(jnp.int32), S._NEG)
+    m = S._chunk_max_scan(enc)
+    m_excl = jnp.concatenate([jnp.full((1,), S._NEG, jnp.int32), m[:-1]])
+    has_prev = m_excl >= 0
+    prev_lower = (m_excl & 1) == 1
+    change = keep & has_prev & (lower != prev_lower)
+    n_changes = jnp.sum(change.astype(jnp.int32))
+    cum_keep = S._cumsum_i32(keep)
+    cnt = cum_keep[-1]
+    n_runs = jnp.where(cnt > 0, n_changes + 1, 0)
+    first_lower = jnp.any(keep & (cum_keep == 1) & lower)
+    return first_lower, n_runs
 
 
 def _run_lengths(lower, count, m_cap: int):
@@ -140,9 +209,8 @@ def _stats_fn(block, prev_byte, sis, *, seq_type: int, fastq: bool):
     prefix = jnp.sum(jnp.where(jnp.arange(counts.shape[0]) < my, counts, 0))
     odd = (prefix % 2) == 1
 
-    seq_c, cnt = S.compact(s["stream_keep"], s["stream_val"])
-    lower = (seq_c >= 96) & (jnp.arange(seq_c.shape[0]) < cnt)
-    first_lower, n_runs = _run_stats(lower, cnt)
+    first_lower, n_runs = _run_stats_uncompacted(
+        s["stream_keep"], s["stream_val"])
 
     id_bytes = jnp.sum(s["id_keep"].astype(jnp.int32))
     com_bytes = jnp.sum(s["com_keep"].astype(jnp.int32))
@@ -188,7 +256,7 @@ def stats_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
 
 def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
              p_cap: int, id_cap: int, com_cap: int, r_cap: int, m_cap: int,
-             q_cap: int):
+             q_cap: int, pallas_pack: bool = False):
     b = block[0]
     s = _scan_block(b, prev_byte[0], sis[0], seq_type=seq_type, fastq=fastq)
 
@@ -197,23 +265,23 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
     # this block's first char pairs with the previous block's last char —
     # pack chars[1:] and emit chars[0]'s code separately
     shifted = jnp.where(odd[0], jnp.roll(seq_c, -1), seq_c)
-    packed = _fit(S.pack_even(shifted), p_cap)
+    packed = _fit(_pack_block(shifted, pallas_pack), p_cap)
     first_code = jnp.take(jnp.take(S.T.NUC_CODE, seq_c.astype(jnp.int32)), 0)
 
     id_vals = _fit(S.compact(s["id_keep"], b)[0], id_cap)
     com_vals = _fit(S.compact(s["com_keep"], s["com_val"])[0], com_cap)
 
-    rec_id = S._cumsum_i32(s["rec_start"])   # blocked scan: TPU compile-safe
-    seq_lens = _segment_sum(s["seq_keep"], rec_id, r_cap)
-    id_lens = _segment_sum(s["id_keep"], rec_id, r_cap)
-    com_lens = _segment_sum(s["com_keep"], rec_id, r_cap)
+    bnd = _record_bounds(s["rec_start"], r_cap)
+    seq_lens = _segment_sum_bounds(s["seq_keep"], bnd)
+    id_lens = _segment_sum_bounds(s["id_keep"], bnd)
+    com_lens = _segment_sum_bounds(s["com_keep"], bnd)
 
     lower = (seq_c >= 96) & (jnp.arange(seq_c.shape[0]) < cnt)
     run_lens = _run_lengths(lower, cnt, m_cap)
 
     if fastq:
         qual_vals = _fit(S.compact(s["qual_keep"], s["qual_val"])[0], q_cap)
-        qual_lens = _segment_sum(s["qual_keep"], rec_id, r_cap)
+        qual_lens = _segment_sum_bounds(s["qual_keep"], bnd)
     else:
         qual_vals = jnp.zeros(q_cap, jnp.uint8)
         qual_lens = jnp.zeros(r_cap, jnp.int32)
@@ -231,13 +299,17 @@ def emit_blocks_sharded(blocks, prev_bytes, starts_in_seq, odd, *,
                         seq_type: int, fastq: bool, mesh: Mesh,
                         p_cap: int, id_cap: int, com_cap: int, r_cap: int,
                         m_cap: int, q_cap: int):
+    pallas_pack = mesh.devices.flat[0].platform == "tpu"
     fn = shard_map(
         functools.partial(_emit_fn, seq_type=seq_type, fastq=fastq,
                           p_cap=p_cap, id_cap=id_cap, com_cap=com_cap,
-                          r_cap=r_cap, m_cap=m_cap, q_cap=q_cap),
+                          r_cap=r_cap, m_cap=m_cap, q_cap=q_cap,
+                          pallas_pack=pallas_pack),
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS),) * 4,
         out_specs=tuple(P(BLOCK_AXIS) for _ in range(11)),
+        # pallas_call emits vma-less output avals; skip the variance check
+        check_vma=False,
     )
     return fn(blocks, prev_bytes, starts_in_seq, odd)
 
