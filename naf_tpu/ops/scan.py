@@ -394,6 +394,18 @@ def compact(mask: jnp.ndarray, values: jnp.ndarray):
     return out, cnt
 
 
+def compact_best(mask, values, pallas: bool):
+    """compact() with the TPU Pallas kernel when the caller's mesh is a TPU
+    (static flag, so chipless AOT pre-compilation matches the chip trace);
+    the sort formulation elsewhere.  0.41 GB/s vs 0.22 (sort) / 0.09
+    (scatter) measured on v5e at 2^24."""
+    if pallas:
+        from .compact import compact_u8_pallas
+
+        return compact_u8_pallas(values, mask)
+    return compact(mask, values)
+
+
 @jax.jit
 def pack_even(seq_padded: jnp.ndarray) -> jnp.ndarray:
     """Pack a compacted (padded) char block at even alignment: u8[B] -> u8[B/2].

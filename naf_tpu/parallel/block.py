@@ -65,7 +65,7 @@ def _segment_sum(mask, rec_id, r_cap: int):
     ].add(1, mode="drop")
 
 
-def _record_bounds(rec_start, r_cap: int):
+def _record_bounds(rec_start, r_cap: int, pallas: bool = False):
     """i32[r_cap+1] record boundaries: [0, marker_1, ..., B, B, ...].
 
     Record r spans [bnd[r], bnd[r+1]); rows past the real record count
@@ -74,7 +74,7 @@ def _record_bounds(rec_start, r_cap: int):
     """
     B = rec_start.shape[0]
     pos = jnp.arange(B, dtype=jnp.int32)
-    starts, n_m = S.compact(rec_start, pos)
+    starts, n_m = S.compact_best(rec_start, pos, pallas)
     j = jnp.arange(r_cap, dtype=jnp.int32)
     starts_r = jnp.where(j < n_m, _fit(starts, r_cap), B)
     return jnp.concatenate([jnp.zeros(1, jnp.int32), starts_r])
@@ -153,14 +153,14 @@ def _run_stats_uncompacted(keep, val):
     return first_lower, n_runs
 
 
-def _run_lengths(lower, count, m_cap: int):
+def _run_lengths(lower, count, m_cap: int, pallas: bool = False):
     """i32[m_cap] run lengths of the compacted case vector."""
     B = lower.shape[0]
     idx = jnp.arange(B, dtype=jnp.int32)
     valid = idx < count
     prev = jnp.concatenate([lower[:1], lower[:-1]])
     change = valid & (idx > 0) & (lower != prev)
-    pos_c, n_changes = S.compact(change, idx)
+    pos_c, n_changes = S.compact_best(change, idx, pallas)
     # boundaries: [0, change_0, ..., change_{k-1}, count]
     bounds = jnp.zeros(m_cap + 1, jnp.int32)
     j = jnp.arange(m_cap, dtype=jnp.int32)
@@ -260,7 +260,8 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
     b = block[0]
     s = _scan_block(b, prev_byte[0], sis[0], seq_type=seq_type, fastq=fastq)
 
-    seq_c, cnt = S.compact(s["stream_keep"], s["stream_val"])
+    seq_c, cnt = S.compact_best(s["stream_keep"], s["stream_val"],
+                              pallas_pack)
     # nibble-parity alignment: when the global prefix char count is odd,
     # this block's first char pairs with the previous block's last char —
     # pack chars[1:] and emit chars[0]'s code separately
@@ -268,19 +269,21 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
     packed = _fit(_pack_block(shifted, pallas_pack), p_cap)
     first_code = jnp.take(jnp.take(S.T.NUC_CODE, seq_c.astype(jnp.int32)), 0)
 
-    id_vals = _fit(S.compact(s["id_keep"], b)[0], id_cap)
-    com_vals = _fit(S.compact(s["com_keep"], s["com_val"])[0], com_cap)
+    id_vals = _fit(S.compact_best(s["id_keep"], b, pallas_pack)[0], id_cap)
+    com_vals = _fit(S.compact_best(s["com_keep"], s["com_val"],
+                                   pallas_pack)[0], com_cap)
 
-    bnd = _record_bounds(s["rec_start"], r_cap)
+    bnd = _record_bounds(s["rec_start"], r_cap, pallas_pack)
     seq_lens = _segment_sum_bounds(s["seq_keep"], bnd)
     id_lens = _segment_sum_bounds(s["id_keep"], bnd)
     com_lens = _segment_sum_bounds(s["com_keep"], bnd)
 
     lower = (seq_c >= 96) & (jnp.arange(seq_c.shape[0]) < cnt)
-    run_lens = _run_lengths(lower, cnt, m_cap)
+    run_lens = _run_lengths(lower, cnt, m_cap, pallas_pack)
 
     if fastq:
-        qual_vals = _fit(S.compact(s["qual_keep"], s["qual_val"])[0], q_cap)
+        qual_vals = _fit(S.compact_best(s["qual_keep"], s["qual_val"],
+                                       pallas_pack)[0], q_cap)
         qual_lens = _segment_sum_bounds(s["qual_keep"], bnd)
     else:
         qual_vals = jnp.zeros(q_cap, jnp.uint8)
