@@ -36,7 +36,7 @@ REF_BUILD = REPO / ".ref_build"
 SIZE_MB = int(os.environ.get("NAF_BENCH_MB", "64"))
 LEVEL = int(os.environ.get("NAF_BENCH_LEVEL", "1"))
 REPS = int(os.environ.get("NAF_BENCH_REPS", "15"))
-BUDGET = float(os.environ.get("NAF_BENCH_BUDGET_S", "430"))
+BUDGET = float(os.environ.get("NAF_BENCH_BUDGET_S", "500"))
 T0 = time.monotonic()
 
 HEADLINE: dict = {"metric": "fasta_roundtrip_MBps", "value": 0.0,
@@ -430,8 +430,8 @@ def bench_config4(env) -> None:
         return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
                               input=ref_blob, capture_output=True, env=env)
 
-    reps = _adaptive_reps(warm, share=0.55, lo=1,
-                          hi=int(os.environ.get("NAF_BENCH_C4_REPS", "3")))
+    reps = _adaptive_reps(warm, share=0.35, lo=1,
+                          hi=int(os.environ.get("NAF_BENCH_C4_REPS", "2")))
     (t_c, rc), _ = _best_interleaved([compress, ref_compress], reps=reps)
     (t_d, rd), (out, qd) = _best_interleaved([decompress, ref_decompress],
                                              reps=max(reps, 3))
@@ -528,7 +528,7 @@ def bench_device_kernels() -> dict:
     from naf_tpu.ops.unpack import unpack_4bit_pallas_u16
 
     rng = np.random.default_rng(0)
-    n = 1 << int(os.environ.get("NAF_BENCH_DEVICE_LOG2", "26"))
+    n = 1 << int(os.environ.get("NAF_BENCH_DEVICE_LOG2", "25"))
     seq = rng.choice(np.frombuffer(b"ACGTacgtNn", np.uint8), size=n)
     x = jnp.asarray(seq)
     K = 32
@@ -635,7 +635,7 @@ def bench_device_e2e(env) -> dict:
     from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
     from naf_tpu.pipeline.encoder import EncodeOptions, encode
 
-    mb = int(os.environ.get("NAF_BENCH_DEVICE_E2E_MB", "32"))
+    mb = int(os.environ.get("NAF_BENCH_DEVICE_E2E_MB", "16"))
     data = gen_fasta(mb)                  # fixed seed/shape -> compile cache
     dmb = len(data) / (1 << 20)
     mesh = block_mesh(1)
@@ -653,6 +653,19 @@ def bench_device_e2e(env) -> dict:
     if remaining() < 40:
         return out
 
+    # device-resident pipeline rate (transfer-excluded): through the dev
+    # tunnel the host<->device link runs at ~MB/s and dominates the e2e
+    # rows; production transports (PCIe/DMA) run at GB/s, so the chip's own
+    # data-plane rate is the number that transfers to deployment.  Blocks
+    # are uploaded once; both sharded passes run on device-resident data.
+    if remaining() > 30:
+        try:
+            out.update(_device_pipeline_rate(data, mesh))
+        except Exception as e:
+            emit({"note": f"device_pipeline: {type(e).__name__}"})
+    if remaining() < 40:
+        return out
+
     def dec():
         return Decoder(io.BytesIO(blob), DecodeOptions()).fasta_device(mesh=mesh)
 
@@ -665,6 +678,51 @@ def bench_device_e2e(env) -> dict:
     emit({"metric": "device_decode_MBps", "value": out["device_decode_MBps"],
           "input_mb": mb, "note": "end-to-end sharded decode, 1 real chip"})
     return out
+
+
+def _device_pipeline_rate(data: bytes, mesh) -> dict:
+    """MB/s of the sharded scan+emit passes on device-resident blocks."""
+    import jax
+    import jax.numpy as jnp
+
+    from naf_tpu.parallel.block import (emit_blocks_sharded, make_blocks,
+                                        stats_blocks_sharded)
+    from naf_tpu.parallel.mesh import block_sharding
+    from naf_tpu.parallel.pipeline import _bucket
+    from naf_tpu.pipeline import parser as P
+
+    fmt, marker = P.detect_format(data)
+    body = np.frombuffer(data, np.uint8)[marker + 1:]
+    blocks = make_blocks(body, mesh.devices.size)
+    sharding = block_sharding(mesh)
+    blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
+    prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
+    sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
+
+    def passes():
+        st = stats_blocks_sharded(blocks_d, prev_d, sis_d,
+                                  seq_type=0, fastq=False, mesh=mesh)
+        (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
+         _fl, _lg) = [np.asarray(o) for o in st[:9]]
+        caps = dict(
+            p_cap=_bucket(int((counts + 1).max(initial=2) // 2) + 1),
+            id_cap=_bucket(max(int(id_bytes.max(initial=1)), 1)),
+            com_cap=_bucket(max(int(com_bytes.max(initial=1)), 1)),
+            r_cap=_bucket(int(n_rec.max(initial=0)) + 1),
+            m_cap=_bucket(max(int(n_runs.max(initial=2)), 2)),
+            q_cap=16)
+        em = emit_blocks_sharded(blocks_d, prev_d, sis_d, st[1],
+                                 seq_type=0, fastq=False, mesh=mesh, **caps)
+        return np.asarray(em[2])[:1]      # host fetch = true barrier
+
+    passes()                              # warm-up (compiles are cached)
+    t, _ = _best(passes, reps=3)
+    dmb = len(data) / (1 << 20)
+    row = {"device_pipeline_MBps": round(dmb / t, 2)}
+    emit({"metric": "device_pipeline_MBps", "value": row["device_pipeline_MBps"],
+          "note": "sharded scan+emit on device-resident blocks "
+                  "(transfer-excluded; dev tunnel link is ~MB/s)"})
+    return row
 
 
 # ---------------------------------------------------------------------------
@@ -775,8 +833,9 @@ def device_sections_child(env) -> dict:
     them and folds the fields into the headline.  On timeout the child is
     killed and whatever rows it printed are kept.
     """
-    sub = dict(env, NAF_BENCH_DEVICE_ONLY="1")
-    t_budget = max(60, remaining() - 40)
+    t_budget = max(60, min(remaining() - 170, 240))
+    sub = dict(env, NAF_BENCH_DEVICE_ONLY="1",
+               NAF_BENCH_BUDGET_S=str(int(t_budget)))
     out: dict = {}
     try:
         p = subprocess.Popen([sys.executable, os.path.abspath(__file__)],
@@ -843,14 +902,15 @@ def main() -> None:
 
     env = dict(os.environ, TMPDIR="/tmp")
 
-    # priority order: headline first, cheapest-per-value next
+    # priority order: headline first, then the on-chip rows (the round's
+    # must-haves), then the secondary host configs
     _guard("core", 0, bench_core, env)          # always runs
-    if not os.environ.get("NAF_BENCH_QUICK"):
-        _guard("config2", 70, bench_config2, env)
-        _guard("config4", 90, bench_config4, env)
-        _guard("native_engine", 45, bench_native_engine, env)
     if not os.environ.get("NAF_BENCH_NO_DEVICE"):
         HEADLINE.update(_guard("device", 90, device_sections_child, env))
+    if not os.environ.get("NAF_BENCH_QUICK"):
+        _guard("config2", 60, bench_config2, env)
+        _guard("config4", 75, bench_config4, env)
+        _guard("native_engine", 40, bench_native_engine, env)
     if not os.environ.get("NAF_BENCH_NO_SCALING"):
         HEADLINE.update(_guard("scaling", 55, scaling_summary, env))
     finish()

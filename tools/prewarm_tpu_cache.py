@@ -54,7 +54,9 @@ def main() -> int:
     from naf_tpu.ops.unpack import unpack_4bit_pallas_u16
     from naf_tpu.ops import scan as S
 
-    n = 1 << 26
+    import os
+
+    n = 1 << int(os.environ.get("NAF_BENCH_DEVICE_LOG2", "25"))
     K = 32
     KS = 8
 
@@ -77,7 +79,7 @@ def main() -> int:
         return jax.lax.fori_loop(
             0, KS, body, (jnp.uint8(0), jnp.uint8(ord(">"))))
 
-    print("bench device kernels (n=2^26):")
+    print(f"bench device kernels (n={n}):")
     compile_one("pack_loop", pack_loop, aval((n,)))
     compile_one("unpack_loop", unpack_loop, aval((n // 2,)))
     compile_one("scan_loop", scan_loop, aval((n,)))
@@ -125,7 +127,7 @@ def prewarm_e2e(topo) -> None:
                                         stats_blocks_sharded)
     from naf_tpu.pipeline import parser as PP
 
-    mb = int(os.environ.get("NAF_BENCH_DEVICE_E2E_MB", "32"))
+    mb = int(os.environ.get("NAF_BENCH_DEVICE_E2E_MB", "16"))
     data = gen_fasta(mb)
     fmt, marker = PP.detect_format(data)
     body = np.frombuffer(data, np.uint8)[marker + 1:]
