@@ -399,7 +399,9 @@ def bench_config4(env) -> None:
     from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
     from naf_tpu.pipeline.encoder import EncodeOptions, encode
 
-    mb = int(os.environ.get("NAF_BENCH_C4_MB", "32"))
+    # 16 MB (was 32) so the round record affords reps >= 3: one rep on this
+    # +-50% host is not a measurement (r02 3.15 vs r03 1.52 MB/s, same code)
+    mb = int(os.environ.get("NAF_BENCH_C4_MB", "16"))
     level = int(os.environ.get("NAF_BENCH_C4_LEVEL", "19"))
     wlog = 27
     data = gen_fasta_single(mb)
@@ -430,8 +432,8 @@ def bench_config4(env) -> None:
         return subprocess.run([str(REF_BUILD / "unnaf"), "-c"],
                               input=ref_blob, capture_output=True, env=env)
 
-    reps = _adaptive_reps(warm, share=0.35, lo=1,
-                          hi=int(os.environ.get("NAF_BENCH_C4_REPS", "2")))
+    reps = _adaptive_reps(warm, share=0.5, lo=3,
+                          hi=int(os.environ.get("NAF_BENCH_C4_REPS", "3")))
     (t_c, rc), _ = _best_interleaved([compress, ref_compress], reps=reps)
     (t_d, rd), (out, qd) = _best_interleaved([decompress, ref_decompress],
                                              reps=max(reps, 3))
@@ -623,6 +625,11 @@ def bench_device_e2e(env) -> dict:
     (encode), and section decompress + device gather-render (decode) — the
     full archive pipeline, not a microkernel.  Timing is a true barrier:
     both return host bytes.
+
+    Row order is by evidential value (BASELINE.md's measurement contract):
+    the transfer-excluded device_pipeline_MBps first (the chip-rate claim),
+    then the e2e encode/decode rows — so a budget kill eats the least
+    important rows, not the most (the round-3 record lost all of them).
     """
     try:
         import jax
@@ -641,28 +648,29 @@ def bench_device_e2e(env) -> dict:
     mesh = block_mesh(1)
     opts = EncodeOptions(level=LEVEL, threads=os.cpu_count() or 0)
 
-    blob, _ = encode_sharded(data, opts, mesh=mesh)   # warm-up + compile
-    host_blob, _ = encode(data, opts)
-    assert blob == host_blob, "device archive != host archive"
     out: dict = {}
-    t_e, _ = _best(lambda: encode_sharded(data, opts, mesh=mesh), reps=3)
-    out["device_encode_MBps"] = round(dmb / t_e, 2)
-    HEADLINE.update(out)
-    emit({"metric": "device_encode_MBps", "value": out["device_encode_MBps"],
-          "input_mb": mb, "note": "end-to-end sharded encode, 1 real chip"})
-    if remaining() < 40:
-        return out
-
     # device-resident pipeline rate (transfer-excluded): through the dev
     # tunnel the host<->device link runs at ~MB/s and dominates the e2e
     # rows; production transports (PCIe/DMA) run at GB/s, so the chip's own
     # data-plane rate is the number that transfers to deployment.  Blocks
     # are uploaded once; both sharded passes run on device-resident data.
-    if remaining() > 30:
-        try:
-            out.update(_device_pipeline_rate(data, mesh))
-        except Exception as e:
-            emit({"note": f"device_pipeline: {type(e).__name__}"})
+    try:
+        out.update(_device_pipeline_rate(data, mesh))
+        HEADLINE.update(out)
+    except Exception as e:
+        emit({"note": f"device_pipeline: {type(e).__name__}"})
+    if remaining() < 30:
+        return out
+
+    blob, _ = encode_sharded(data, opts, mesh=mesh)   # warm-up + compile
+    host_blob, _ = encode(data, opts)
+    assert blob == host_blob, "device archive != host archive"
+    t_e, _ = _best(lambda: encode_sharded(data, opts, mesh=mesh), reps=3)
+    out["device_encode_MBps"] = round(dmb / t_e, 2)
+    HEADLINE.update(out)
+    emit({"metric": "device_encode_MBps", "value": out["device_encode_MBps"],
+          "input_mb": mb, "note": "end-to-end sharded encode, 1 real chip "
+          "(includes dev-tunnel transfer at ~MB/s)"})
     if remaining() < 40:
         return out
 
@@ -749,7 +757,7 @@ def scaling_mode() -> None:
     from naf_tpu.parallel.pipeline import encode_sharded
     from naf_tpu.pipeline.encoder import EncodeOptions, encode
 
-    data = gen_fasta(int(os.environ.get("NAF_BENCH_SCALING_MB", "16")))
+    data = gen_fasta(int(os.environ.get("NAF_BENCH_SCALING_MB", "8")))
     mb = len(data) / (1 << 20)
     opts = EncodeOptions(level=1)
     host_blob, _ = encode(data, opts)
@@ -760,7 +768,7 @@ def scaling_mode() -> None:
         mesh = block_mesh(D)
         blob, _ = encode_sharded(data, opts, mesh=mesh)   # warm-up/compile
         assert blob == host_blob, "sharded archive != host archive"
-        t, _ = _best(lambda: encode_sharded(data, opts, mesh=mesh), reps=5)
+        t, _ = _best(lambda: encode_sharded(data, opts, mesh=mesh), reps=3)
         mbps = mb / t
         if base is None:
             base = mbps
@@ -779,11 +787,12 @@ def scaling_summary(env) -> dict:
     core count — per-device efficiency is the honest number)."""
     sub = dict(env, NAF_BENCH_SCALING="1", NAF_BENCH_SCALING_SIZES="1,8",
                NAF_BENCH_SCALING_MB=os.environ.get("NAF_BENCH_SCALING_MB",
-                                                   "16"))
+                                                   "8"))
     try:
+        # guaranteed floor: this row has been starved two rounds running
         r = subprocess.run([sys.executable, os.path.abspath(__file__)],
                            capture_output=True, env=sub,
-                           timeout=max(30, remaining() - 15))
+                           timeout=max(60, remaining() - 15))
         rows = [json.loads(ln) for ln in r.stdout.splitlines() if ln.strip()]
         by_d = {row["devices"]: row for row in rows
                 if row.get("metric") == "sharded_encode_MBps"}
@@ -833,7 +842,7 @@ def device_sections_child(env) -> dict:
     them and folds the fields into the headline.  On timeout the child is
     killed and whatever rows it printed are kept.
     """
-    t_budget = max(60, min(remaining() - 170, 240))
+    t_budget = max(60, min(remaining() - 185, 200))
     sub = dict(env, NAF_BENCH_DEVICE_ONLY="1",
                NAF_BENCH_BUDGET_S=str(int(t_budget)))
     out: dict = {}
@@ -866,7 +875,15 @@ def device_sections_child(env) -> dict:
 
 
 def device_only_mode() -> None:
-    """Child body for device_sections_child: kernel + e2e rows on stdout."""
+    """Child body for device_sections_child: e2e rows FIRST, then kernels.
+
+    Round-3 ordering (kernels first) lost the contract e2e rows to the 240 s
+    child budget; the e2e rows are the BASELINE.md deliverable, the kernel
+    micro-rows are supporting evidence.  Before touching the TPU the child
+    AOT-prewarms the persistent compile cache chiplessly (a cold compile
+    through the axon tunnel is slow and can wedge the shared compile helper
+    — CLAUDE.md), so the real-chip run is a cache load.
+    """
     global emit
     rows = []
 
@@ -876,15 +893,28 @@ def device_only_mode() -> None:
 
     emit = emit_stdout
     env = dict(os.environ, TMPDIR="/tmp")
-    try:
-        bench_device_kernels()
-    except Exception as e:
-        print(json.dumps({"note": f"device_kernels: {type(e).__name__}"}),
-              flush=True)
+    if not os.environ.get("NAF_BENCH_NO_PREWARM"):
+        try:
+            t0 = time.monotonic()
+            r = subprocess.run(
+                [sys.executable,
+                 str(REPO / "tools" / "prewarm_tpu_cache.py"), "--e2e"],
+                env=dict(env, JAX_PLATFORMS="cpu"),
+                capture_output=True,
+                timeout=max(30, min(120, remaining() - 90)))
+            emit({"note": f"prewarm rc={r.returncode} "
+                          f"{round(time.monotonic() - t0, 1)}s"})
+        except Exception as e:
+            emit({"note": f"prewarm skipped: {type(e).__name__}"})
     try:
         bench_device_e2e(env)
     except Exception as e:
         print(json.dumps({"note": f"device_e2e: {type(e).__name__}"}),
+              flush=True)
+    try:
+        bench_device_kernels()
+    except Exception as e:
+        print(json.dumps({"note": f"device_kernels: {type(e).__name__}"}),
               flush=True)
 
 
@@ -902,17 +932,18 @@ def main() -> None:
 
     env = dict(os.environ, TMPDIR="/tmp")
 
-    # priority order: headline first, then the on-chip rows (the round's
-    # must-haves), then the secondary host configs
+    # priority order: headline first, then the on-chip rows and the scaling
+    # row (the round's must-haves), then the secondary host configs —
+    # starvation eats the tail, so the contract rows come first
     _guard("core", 0, bench_core, env)          # always runs
     if not os.environ.get("NAF_BENCH_NO_DEVICE"):
         HEADLINE.update(_guard("device", 90, device_sections_child, env))
-    if not os.environ.get("NAF_BENCH_QUICK"):
-        _guard("config2", 60, bench_config2, env)
-        _guard("config4", 75, bench_config4, env)
-        _guard("native_engine", 40, bench_native_engine, env)
     if not os.environ.get("NAF_BENCH_NO_SCALING"):
-        HEADLINE.update(_guard("scaling", 55, scaling_summary, env))
+        HEADLINE.update(_guard("scaling", 50, scaling_summary, env))
+    if not os.environ.get("NAF_BENCH_QUICK"):
+        _guard("config2", 45, bench_config2, env)
+        _guard("config4", 60, bench_config4, env)
+        _guard("native_engine", 30, bench_native_engine, env)
     finish()
 
 

@@ -59,6 +59,14 @@ def _bucket(n: int, align: int = 128) -> int:
     return m
 
 
+#: When set to a list, render_sharded appends one entry per compiled-step
+#: invocation: (static key, arg shapes+dtypes).  The chipless AOT prewarmer
+#: (tools/prewarm_tpu_cache.py) replays a CPU decode with this enabled, then
+#: compiles the recorded buckets against the TPU topology so the real-chip
+#: bench never sends a cold render compile through the axon tunnel.
+_COMPILE_LOG: Optional[list] = None
+
+
 # ---------------------------------------------------------------------------
 # Host-side metadata
 # ---------------------------------------------------------------------------
@@ -379,6 +387,12 @@ def render_sharded(plan: RenderPlan, seq_bytes: np.ndarray,
         hdr_p = np.zeros(Hn, np.uint8); hdr_p[:hdr_b.size] = hdr_b
         bp = np.full(M, pad_rec, np.int32); bp[:b.size] = b
 
+        if _COMPILE_LOG is not None:
+            _COMPILE_LOG.append((
+                (Osz, plan.mode, plan.line_len, plan.rna, plan.packed,
+                 plan.upper, masking),
+                tuple((a.shape, a.dtype.name) for a in
+                      (seq_sl, qual_sl, scalars, Ep, Op, Hp, hdr_p, bp))))
         step = _compiled_step(mesh, Osz, plan.mode, plan.line_len, plan.rna,
                               plan.packed, plan.upper, masking)
         out = step(

@@ -169,6 +169,30 @@ def prewarm_e2e(topo) -> None:
                               fastq=False, mesh=tmesh, **caps).compile()
     print(f"  e2e emit pass: {time.time() - t0:.1f}s")
 
+    # ---- device decode (render) buckets: replay on CPU, compile on topo ---
+    import io
+
+    from naf_tpu.parallel import decode as DD
+    from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    blob, _ = encode(data, EncodeOptions(level=1))
+    DD._COMPILE_LOG = log = []
+    try:
+        Decoder(io.BytesIO(blob), DecodeOptions()).fasta_device(mesh=cmesh)
+    finally:
+        DD._COMPILE_LOG = None
+    shard = NamedSharding(tmesh, P(BLOCK_AXIS))
+    repl = NamedSharding(tmesh, P())
+    for key, shapes in dict.fromkeys(log):      # unique, order-preserving
+        avals = [jax.ShapeDtypeStruct(s, jnp.dtype(d),
+                                      sharding=shard if i < 3 else repl)
+                 for i, (s, d) in enumerate(shapes)]
+        t0 = time.time()
+        step = DD._compiled_step(tmesh, *key)
+        step.lower(*avals).compile()
+        print(f"  render bucket {key}: {time.time() - t0:.1f}s")
+
 
 if __name__ == "__main__":
     sys.exit(main())
