@@ -172,17 +172,26 @@ def _run_lengths(lower, count, m_cap: int, pallas: bool = False):
     return jnp.where(j < n_runs, lens, 0)
 
 
-def _scan_block(b, prev_byte, starts_in_seq, *, seq_type: int, fastq: bool):
+def _scan_block(b, prev_byte, starts_in_seq, *, seq_type: int, fastq: bool,
+                pallas: bool = False):
     """Per-byte classification shared by both passes.
 
     Returns the dict from ops.scan plus 'qual_keep'/'qual_val'/'qual_unex'
-    (zeros for FASTA) and 'rec_id'.
+    (zeros for FASTA).  ``pallas`` (static, from the mesh platform) selects
+    the fused Pallas classify kernel (ops.scan_fused) on TPU meshes — same
+    bits, one VMEM pass instead of the XLA-op formulation.
     """
     if fastq:
         s = S.scan_fastq_block(b, prev_byte, seq_type=seq_type)
     else:
-        s = S.scan_fasta_block(b, prev_byte, seq_type=seq_type,
-                               starts_in_seq=starts_in_seq)
+        if pallas:
+            from ..ops.scan_fused import scan_fasta_fused
+
+            s = scan_fasta_fused(b, prev_byte, seq_type=seq_type,
+                                 starts_in_seq=starts_in_seq)
+        else:
+            s = S.scan_fasta_block(b, prev_byte, seq_type=seq_type,
+                                   starts_in_seq=starts_in_seq)
         z = jnp.zeros(b.shape[0], bool)
         s = dict(s, qual_keep=z, qual_unex=z, qual_val=b,
                  hist_qual=jnp.zeros(256, jnp.int32))
@@ -199,9 +208,11 @@ def _hist_split(h):
 # pass 1: stats
 # ---------------------------------------------------------------------------
 
-def _stats_fn(block, prev_byte, sis, *, seq_type: int, fastq: bool):
+def _stats_fn(block, prev_byte, sis, *, seq_type: int, fastq: bool,
+              pallas: bool = False):
     b = block[0]
-    s = _scan_block(b, prev_byte[0], sis[0], seq_type=seq_type, fastq=fastq)
+    s = _scan_block(b, prev_byte[0], sis[0], seq_type=seq_type, fastq=fastq,
+                    pallas=pallas)
     count = jnp.sum(s["stream_keep"].astype(jnp.int32))
 
     counts = jax.lax.all_gather(count, BLOCK_AXIS)              # i32[D]
@@ -241,11 +252,15 @@ def _stats_fn(block, prev_byte, sis, *, seq_type: int, fastq: bool):
 def stats_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
                          seq_type: int, fastq: bool, mesh: Mesh):
     n_out = 9 + 8
+    pallas = mesh.devices.flat[0].platform == "tpu"
     fn = shard_map(
-        functools.partial(_stats_fn, seq_type=seq_type, fastq=fastq),
+        functools.partial(_stats_fn, seq_type=seq_type, fastq=fastq,
+                          pallas=pallas),
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
         out_specs=tuple(P(BLOCK_AXIS) for _ in range(n_out)),
+        # pallas_call emits vma-less output avals; skip the variance check
+        check_vma=False,
     )
     return fn(blocks, prev_bytes, starts_in_seq)
 
@@ -258,7 +273,8 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
              p_cap: int, id_cap: int, com_cap: int, r_cap: int, m_cap: int,
              q_cap: int, pallas_pack: bool = False):
     b = block[0]
-    s = _scan_block(b, prev_byte[0], sis[0], seq_type=seq_type, fastq=fastq)
+    s = _scan_block(b, prev_byte[0], sis[0], seq_type=seq_type, fastq=fastq,
+                    pallas=pallas_pack)
 
     seq_c, cnt = S.compact_best(s["stream_keep"], s["stream_val"],
                               pallas_pack)
