@@ -461,6 +461,115 @@ def compress_section_native(data, level: int = 1, window_log: int = 0) -> bytes:
     return frame[4:]
 
 
+def _part_lib():
+    """Native lib with the part-compression ABI bound (idempotent)."""
+    import ctypes as ct
+
+    from .. import native as _native
+
+    lib = _native._load()
+    if lib is None:
+        raise RuntimeError("native engine unavailable")
+    if not hasattr(lib, "_naf_zstd_part_ready"):
+        lib.naf_zstd_compress_part.restype = ct.c_uint64
+        lib.naf_zstd_compress_part.argtypes = [
+            ct.c_void_p, ct.c_uint64, ct.c_void_p, ct.c_uint64,
+            ct.c_int32, ct.c_int32]
+        lib.naf_zstd_window_log_for.restype = ct.c_int32
+        lib.naf_zstd_window_log_for.argtypes = [ct.c_int32, ct.c_int32]
+        lib._naf_zstd_part_ready = True
+    return lib
+
+
+def compress_part_native(data, level: int = 1, window_log: int = 0) -> bytes:
+    """One PART of a stitched single frame: a bare zstd block chain.
+
+    No frame header, no last-block bit, fresh (invalid) rep-offset state —
+    the chain decodes identically after any predecessor, so independent
+    parts compressed on different threads/hosts stitch into ONE valid
+    frame (``stitch_section_frame``).  Empty input -> empty chain.
+    """
+    import ctypes as ct
+
+    import numpy as np
+
+    lib = _part_lib()
+    mv = memoryview(data)
+    if mv.nbytes == 0:
+        return b""
+    src = np.frombuffer(mv, np.uint8)
+    cap = mv.nbytes + mv.nbytes // 4 + 4096
+    dst = np.empty(cap, np.uint8)
+    w = lib.naf_zstd_compress_part(
+        src.ctypes.data_as(ct.c_void_p), mv.nbytes,
+        dst.ctypes.data_as(ct.c_void_p), cap, int(level), int(window_log))
+    if w == 0:
+        raise RuntimeError("native engine buffer overflow")
+    return dst[:w].tobytes()
+
+
+def _window_descriptor(window: int) -> int:
+    """Smallest zstd Window_Descriptor byte covering ``window`` bytes."""
+    for exp in range(0, 32):
+        base = 1 << (10 + exp)
+        for mantissa in range(8):
+            if base + (base >> 3) * mantissa >= window:
+                return (exp << 3) | mantissa
+    return (21 << 3)                      # 2 GB — unreachable in practice
+
+
+def stitch_section_frame(chains, part_sizes, level: int = 1,
+                         window_log: int = 0) -> bytes:
+    """Per-part block chains -> ONE magic-stripped zstd frame.
+
+    ``chains[i]`` is ``compress_part_native(parts[i])``; ``part_sizes[i]``
+    the part's uncompressed length.  The frame = header (window sized to
+    the largest possible offset: min(max part, the level's match window))
+    + concatenated chains + an empty raw last block.  This is SURVEY
+    §2.4's single-frame block stitching: the reference decoder injects
+    exactly one frame magic per section (unnaf/src/input.c:278), so the
+    only parallel-compression layout it can decode is independent blocks
+    inside one frame.
+    """
+    lib = _part_lib()
+    total = sum(int(s) for s in part_sizes)
+    max_part = max((int(s) for s in part_sizes), default=0)
+    wlog = int(lib.naf_zstd_window_log_for(int(level), int(window_log)))
+    window = min(max_part, 1 << wlog) if max_part else 1024
+    out = bytearray()
+    out.append(0xC0)                      # FCS_Flag=3 (8B), no flags
+    out.append(_window_descriptor(window))
+    out += int(total).to_bytes(8, "little")
+    for ch in chains:
+        out += ch
+    out += b"\x01\x00\x00"                # empty raw block, last-bit set
+    return bytes(out)
+
+
+def compress_section_parts(parts, level: int = 1, window_log: int = 0,
+                           threads: int = 0) -> bytes:
+    """Thread-parallel single-frame compression of independent parts.
+
+    Returns a magic-stripped frame decodable by the reference ``unnaf``,
+    our library path, and the native decoder alike.  ``threads`` caps the
+    pool (0 = cpu count); the ctypes calls release the GIL, so parts
+    genuinely compress in parallel.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    parts = [memoryview(p) for p in parts]
+    sizes = [p.nbytes for p in parts]
+    n_workers = min(len(parts) or 1, threads or os.cpu_count() or 1)
+    if n_workers > 1:
+        with ThreadPoolExecutor(n_workers) as ex:
+            chains = list(ex.map(
+                lambda p: compress_part_native(p, level, window_log), parts))
+    else:
+        chains = [compress_part_native(p, level, window_log) for p in parts]
+    return stitch_section_frame(chains, sizes, level, window_log)
+
+
 def _device_chain_depth(level: int) -> int:
     """`-#` -> candidate chain depth proposed per position (the device
     analog of cfg_for's chain-log ladder, naf_zstd.cpp:852)."""

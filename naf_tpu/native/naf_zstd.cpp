@@ -1726,20 +1726,18 @@ static uint64_t write_frame_header(uint8_t *dst, uint64_t n) {
   return w;
 }
 
-// level: zstd-style (-131072 .. 22); window_log: 0 = by level, else 10..30
-// (--long).  Returns frame length, 0 on overflow.
-uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
-                              uint8_t *dst, uint64_t dst_cap,
-                              int32_t level, int32_t window_log) {
-  fse_init_all();
-  LevelCfg cfg = cfg_for(level, window_log);
-  uint64_t w = write_frame_header(dst, n);
-
-  if (n == 0) {
-    dst[w++] = 0x01; dst[w++] = 0x00; dst[w++] = 0x00;
-    return w;
-  }
-
+// Compress src[0, n) as a chain of zstd blocks appended at dst (which
+// already holds any frame header).  `mark_last` sets the last-block bit on
+// the final block; `rs` seeds the repeat-offset state (all-zero = "fresh
+// part": rep coding stays off until real offsets establish the state on
+// both sides, which makes the chain decodable after ANY predecessor —
+// the invariant single-frame block stitching relies on).  Returns bytes
+// appended, or UINT64_MAX on overflow.
+static uint64_t compress_block_chain(const uint8_t *src, uint64_t n,
+                                     uint8_t *dst, uint64_t dst_cap,
+                                     LevelCfg cfg, RepState rs,
+                                     int mark_last) {
+  uint64_t w = 0;
   // tables (hash4 is thread-local; chains/ldm allocated when used)
   static thread_local int32_t tl_hash[1 << 20];
   if (cfg.hlog > 20) cfg.hlog = 20;
@@ -1776,7 +1774,6 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
   static thread_local uint8_t literals[BLOCK_MAX + 16];
   static thread_local uint8_t body[BLOCK_MAX + (BLOCK_MAX >> 2) + 4096];
 
-  RepState rs;
   uint64_t pos = 0;
   uint64_t lo_limit = 0;       // match-history floor (2 GB table reset)
   while (pos < n) {
@@ -1792,7 +1789,7 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
       t.base = pos;             // new epoch: stored entries stay positive
     }
     uint64_t bsz = n - pos < BLOCK_MAX ? n - pos : BLOCK_MAX;
-    int last = (pos + bsz == n) ? 1 : 0;
+    int last = (pos + bsz == n && mark_last) ? 1 : 0;
     uint32_t lit_n = 0;
     RepState rs_block = rs;       // committed only if the block is kept
     uint32_t n_seqs =
@@ -1808,7 +1805,7 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
     if (w + 3 + (bodysz ? bodysz : bsz) > dst_cap) {
       delete[] alloc_chain; delete[] alloc_ldm; delete[] alloc_stat;
       delete[] alloc_bt;
-      return 0;
+      return UINT64_MAX;
     }
     if (bodysz) {
       rs = rs_block;
@@ -1833,6 +1830,53 @@ uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
   delete[] alloc_stat;
   delete[] alloc_bt;
   return w;
+}
+
+// level: zstd-style (-131072 .. 22); window_log: 0 = by level, else 10..30
+// (--long).  Returns frame length, 0 on overflow.
+uint64_t naf_zstd_compress_ex(const uint8_t *src, uint64_t n,
+                              uint8_t *dst, uint64_t dst_cap,
+                              int32_t level, int32_t window_log) {
+  fse_init_all();
+  LevelCfg cfg = cfg_for(level, window_log);
+  uint64_t w = write_frame_header(dst, n);
+  if (n == 0) {
+    dst[w++] = 0x01; dst[w++] = 0x00; dst[w++] = 0x00;
+    return w;
+  }
+  uint64_t c = compress_block_chain(src, n, dst + w, dst_cap - w,
+                                    cfg, RepState{}, 1);
+  if (c == UINT64_MAX) return 0;
+  return w + c;
+}
+
+// One PART of a stitched single frame: a bare zstd block chain with no
+// frame header and no last-block bit, whose decode is independent of the
+// decoder state at the stitch point — matches stay inside the part, rep
+// state starts invalid (all-zero) so no sequence references the
+// predecessor's rep offsets, and every block writes its own entropy tables
+// (write_compressed_block never emits Repeat/Treeless modes).  The host
+// stitches parts with stitch_section_frame (codec/zstd_backend.py) into
+// ONE reference-decodable frame per section (SURVEY §2.4's block-data-
+// parallel design; the reference decoder injects a single frame magic per
+// section, /root/reference/unnaf/src/input.c:278, so per-part FRAMES are
+// not an option).  Returns bytes written, 0 on overflow.
+uint64_t naf_zstd_compress_part(const uint8_t *src, uint64_t n,
+                                uint8_t *dst, uint64_t dst_cap,
+                                int32_t level, int32_t window_log) {
+  if (n == 0) return 0;
+  fse_init_all();
+  LevelCfg cfg = cfg_for(level, window_log);
+  RepState rs;
+  rs.r[0] = rs.r[1] = rs.r[2] = 0;
+  uint64_t c = compress_block_chain(src, n, dst, dst_cap, cfg, rs, 0);
+  return c == UINT64_MAX ? 0 : c;
+}
+
+// effective match-window log for (level, --long): the stitcher sizes the
+// stitched frame's Window_Descriptor from min(max part, 1 << this)
+int32_t naf_zstd_window_log_for(int32_t level, int32_t window_log) {
+  return (int32_t)cfg_for(level, window_log).wlog;
 }
 
 // legacy entry (level 1); the caller-supplied scratch is accepted for ABI

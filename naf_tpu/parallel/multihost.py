@@ -254,6 +254,116 @@ def _empty_frame() -> bytes:
     return compress_section(b"")
 
 
+def _gather_parts(local_parts, traffic: Optional[dict]):
+    """Gather per-host (k0, part_size, chain) triples from every process.
+
+    Returns (part_sizes, chains) in global block order.  Only compressed
+    chains + O(parts) integers travel.
+    """
+    metas, blobs = [], []
+    for k0, psize, chain in local_parts:
+        metas.extend((int(k0), int(psize), len(chain)))
+        blobs.append(chain)
+    meta = np.asarray(metas, np.int64)
+    blob = (np.frombuffer(b"".join(blobs), np.uint8)
+            if blobs else np.zeros(0, np.uint8))
+    all_meta = _allgather_bytes(meta.view(np.uint8), traffic)
+    all_blob = _allgather_bytes(blob, traffic)
+    entries = []
+    for pm, pb in zip(all_meta, all_blob):
+        m = pm.view(np.int64)
+        off = 0
+        for i in range(0, m.size, 3):
+            k0, ps, cl = int(m[i]), int(m[i + 1]), int(m[i + 2])
+            entries.append((k0, ps, pb[off:off + cl].tobytes()))
+            off += cl
+    entries.sort(key=lambda e: e[0])
+    return [e[1] for e in entries], [e[2] for e in entries]
+
+
+def encode_multihost_parts(data: bytes,
+                           opts: Optional[EncodeOptions] = None,
+                           traffic: Optional[dict] = None
+                           ) -> tuple[bytes, EncodeStats]:
+    """O(compressed)-traffic multi-host encode into the PLAIN format.
+
+    SURVEY §2.4's single-frame block stitching: every host compresses its
+    own devices' packed-sequence (and FASTQ quality) byte ranges into
+    history-free zstd block chains (``naf_zstd_compress_part``); only the
+    chains plus O(blocks + records) metadata are allgathered, and every
+    host stitches them into ONE standard zstd frame per section
+    (``stitch_section_frame``) — so the archive stays decodable by the
+    reference ``unnaf``, which injects a single frame magic per section
+    (/root/reference/unnaf/src/input.c:278) and cannot handle multi-frame
+    sections.  Unlike ``encode_multihost`` the archive is not byte-
+    identical to the single-host one (frame internals differ with the
+    shard layout); the DECODED bytes are identical, and traffic is
+    O(compressed) like the extended path but without the tnaf-only
+    format bit.
+    """
+    from ..codec.zstd_backend import (compress_part_native,
+                                      stitch_section_frame)
+    from ..format.container import Section
+    from . import pipeline as PL
+    from .block import stitch_packed_range
+
+    opts = opts or EncodeOptions()
+    (D, fmt, counts, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
+     first_lower, longest, hists, em) = _run_passes(data, opts, traffic)
+    fastq = fmt == C.IN_FORMAT_FASTQ
+
+    first_codes = _gather_rows(em[1], D, traffic)
+    em_np = [None] * len(em)
+    for i, o in enumerate(em):
+        if i == 0 or (i == 5 and fastq):
+            em_np[i] = np.zeros((D, 0), np.uint8)
+        else:
+            em_np[i] = _gather_rows(o, D, traffic)
+    em_np[1] = first_codes
+
+    seq_local = []
+    for k0, k1, rows in _local_runs(em[0]):
+        byts = stitch_packed_range(
+            {k0 + i: r for i, r in enumerate(rows)}, counts, first_codes,
+            k0, k1)
+        if byts.size == 0:
+            continue
+        chain = compress_part_native(byts.tobytes(), level=opts.level,
+                                     window_log=opts.long_window_log)
+        seq_local.append((k0, byts.size, chain))
+    sizes, chains = _gather_parts(seq_local, traffic)
+    total_chars = int(counts.sum())
+    assert sum(sizes) == (total_chars + 1) // 2, \
+        f"part bytes {sum(sizes)} != packed size {(total_chars + 1) // 2}"
+    seq_payload = stitch_section_frame(chains, sizes, opts.level,
+                                       opts.long_window_log)
+    prebuilt = {"sequence": Section(uncompressed_size=total_chars,
+                                    payload=seq_payload)}
+
+    if fastq:
+        qual_local = []
+        for k0, k1, rows in _local_runs(em[5]):
+            byts = np.concatenate(
+                [rows[i][: int(qual_bytes[k0 + i])]
+                 for i in range(k1 - k0)]) if rows else np.zeros(0, np.uint8)
+            if byts.size == 0:
+                continue
+            chain = compress_part_native(byts.tobytes(), level=opts.level)
+            qual_local.append((k0, byts.size, chain))
+        qsizes, qchains = _gather_parts(qual_local, traffic)
+        total_qual = int(qual_bytes.sum())
+        assert sum(qsizes) == total_qual, (sum(qsizes), total_qual)
+        prebuilt["quality"] = Section(
+            uncompressed_size=total_qual,
+            payload=stitch_section_frame(qchains, qsizes, opts.level))
+
+    return PL._stitch_and_build(
+        D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes, n_rec,
+        n_runs, first_lower, longest, hists, em_np,
+        fallback=_fallback("quality/sequence length mismatch"),
+        prebuilt=prebuilt)
+
+
 def encode_multihost_extended(data: bytes,
                               opts: Optional[EncodeOptions] = None,
                               traffic: Optional[dict] = None

@@ -37,6 +37,10 @@ from ..ops.mask import mask_units_from_bytes
 from ..ops.pack import pack_4bit
 from . import parser as P
 
+#: native-engine SEQ payloads at least this large split into thread-parallel
+#: single-frame parts (history-free block chains; codec.zstd_backend)
+PARTS_MIN_BYTES = 16 << 20
+
 
 @dataclass
 class EncodeOptions:
@@ -179,8 +183,22 @@ def build_archive(res: "P.ParseResult", opts: EncodeOptions,
                 buf, level=level, window_log=opts.long_window_log)
         if opts.engine == "native":
             from ..codec import compress_section_native
+            from ..codec.zstd_backend import compress_section_parts
 
             # --long widens the SEQ window only (compressor.c:7-21)
+            n = memoryview(buf).nbytes
+            if threads > 1 and n >= PARTS_MIN_BYTES:
+                # thread-parallel single-frame compression: history-free
+                # per-part block chains stitched into ONE standard frame
+                # (reference-decodable).  Parts are >= 8 MB so the window
+                # truncation costs little — the same job-split tradeoff
+                # libzstd's own MT mode makes.
+                part = max(8 << 20, -(-n // threads))
+                parts = [memoryview(buf)[i:i + part]
+                         for i in range(0, n, part)]
+                return compress_section_parts(
+                    parts, level=level, window_log=opts.long_window_log,
+                    threads=threads)
             return compress_section_native(
                 buf, level=level, window_log=opts.long_window_log)
         sc = SectionCompressor(level=level, window_log=opts.long_window_log,

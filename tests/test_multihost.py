@@ -112,8 +112,25 @@ fq_ext, _ = encode_multihost_extended(
 assert (Decoder(io.BytesIO(fq_ext), DecodeOptions()).fastq()
         == Decoder(io.BytesIO(fq_host), DecodeOptions()).fastq())
 
+# ---- plain-format O(compressed) path: single-frame part stitching --------
+from naf_tpu.parallel.multihost import encode_multihost_parts
+
+pt_traffic = {}
+parts_blob, _ = encode_multihost_parts(big, EncodeOptions(level=1),
+                                       traffic=pt_traffic)
+assert (Decoder(io.BytesIO(parts_blob), DecodeOptions()).fasta()
+        == dec_host), "parts multihost decode != host decode"
+assert not (parts_blob[4] & 0x80), "parts archive must stay PLAIN format"
+pt_gathered = pt_traffic["gathered_bytes"]
+assert pt_gathered < len(big) // 4, \
+    f"parts path gathered {pt_gathered}B for {len(big)}B input"
+
+fq_parts, _ = encode_multihost_parts(fq_data, EncodeOptions(level=1))
+assert (Decoder(io.BytesIO(fq_parts), DecodeOptions()).fastq()
+        == Decoder(io.BytesIO(fq_host), DecodeOptions()).fastq())
+
 import hashlib
-digest = hashlib.md5(ext_blob + fq_ext).hexdigest()
+digest = hashlib.md5(ext_blob + fq_ext + parts_blob + fq_parts).hexdigest()
 print(f"proc{pid}: OK n_rec=16 fasta={len(blob)}B fastq={len(fq_blob)}B "
       f"ext_gathered={gathered}B input={len(big)}B EXTDIGEST={digest}")
 """

@@ -439,3 +439,72 @@ def test_cli_device_engine_long(tmp_path, ref_bin):
     assert q.returncode == 0
     plain, _ = encode(data, EncodeOptions())
     assert q.stdout == Decoder(io.BytesIO(plain), DecodeOptions()).fasta()
+
+
+# ---------------------------------------------------------------------------
+# Single-frame block stitching (SURVEY §2.4): independent parts -> one frame
+# ---------------------------------------------------------------------------
+
+from naf_tpu.codec.zstd_backend import (  # noqa: E402
+    compress_part_native, compress_section_parts, stitch_section_frame)
+
+
+def test_stitched_parts_roundtrip_all_levels():
+    """Parts with heavy CROSS-part redundancy (the tempting-but-illegal
+    reference case) decode via both the library and the native decoder."""
+    import zstandard as zstd
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 16, 1 << 19, dtype=np.uint8).tobytes()
+    parts = [base[:300_000], base[100_000:400_000], base, b"",
+             base[:65_537], rng.integers(0, 256, 333, dtype=np.uint8).tobytes()]
+    data = b"".join(parts)
+    for level in (1, 5, 19, -7):
+        frame = compress_section_parts(parts, level=level)
+        lib = zstd.ZstdDecompressor().decompress(
+            b"\x28\xb5\x2f\xfd" + frame, max_output_size=len(data) + 8)
+        assert lib == data
+        assert decompress_section_native(frame, len(data)) == data
+
+
+def test_stitched_parts_fuzz_boundaries():
+    """Random part splits of one buffer == the unsplit stream, bit-for-bit
+    on decode; exercises rep-state isolation at every boundary."""
+    import zstandard as zstd
+
+    rng = np.random.default_rng(5)
+    motif = rng.integers(0, 16, 4096, dtype=np.uint8).tobytes()
+    data = motif * 64 + rng.integers(0, 256, 10_000, dtype=np.uint8).tobytes()
+    for trial in range(8):
+        n_parts = int(rng.integers(1, 7))
+        cuts = np.sort(rng.integers(0, len(data), n_parts - 1)) \
+            if n_parts > 1 else np.asarray([], np.int64)
+        bounds = [0, *map(int, cuts), len(data)]
+        parts = [data[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+        frame = compress_section_parts(parts, level=int(rng.integers(1, 9)))
+        out = zstd.ZstdDecompressor().decompress(
+            b"\x28\xb5\x2f\xfd" + frame, max_output_size=len(data) + 8)
+        assert out == data, f"trial {trial}"
+
+
+def test_stitched_parts_empty():
+    frame = compress_section_parts([], level=1)
+    assert decompress_section_native(frame, 0) == b""
+    frame2 = compress_section_parts([b"", b""], level=3)
+    assert decompress_section_native(frame2, 0) == b""
+
+
+def test_parts_archive_reference_decodable(ref_bin, monkeypatch):
+    """An archive whose SEQ section was thread-parallel part-compressed
+    decodes with the reference unnaf — the plain-format parallel story."""
+    from naf_tpu.pipeline import encoder as E
+
+    monkeypatch.setattr(E, "PARTS_MIN_BYTES", 1 << 12)
+    data = _fasta(42, n_rec=40, max_len=9000)
+    blob, _ = encode(data, EncodeOptions(engine="native", threads=4))
+    plain, _ = encode(data, EncodeOptions())
+    want = Decoder(io.BytesIO(plain), DecodeOptions()).fasta()
+    assert Decoder(io.BytesIO(blob), DecodeOptions()).fasta() == want
+    q = run_ref([ref_bin["unnaf"], "-c"], blob)
+    assert q.returncode == 0, q.stderr
+    assert q.stdout == want
