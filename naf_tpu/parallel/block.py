@@ -271,19 +271,27 @@ def stats_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
 
 def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
              p_cap: int, id_cap: int, com_cap: int, r_cap: int, m_cap: int,
-             q_cap: int, pallas_pack: bool = False):
+             q_cap: int, pallas_pack: bool = False, pack_nibbles: bool = True):
     b = block[0]
     s = _scan_block(b, prev_byte[0], sis[0], seq_type=seq_type, fastq=fastq,
                     pallas=pallas_pack)
 
     seq_c, cnt = S.compact_best(s["stream_keep"], s["stream_val"],
                               pallas_pack)
-    # nibble-parity alignment: when the global prefix char count is odd,
-    # this block's first char pairs with the previous block's last char —
-    # pack chars[1:] and emit chars[0]'s code separately
-    shifted = jnp.where(odd[0], jnp.roll(seq_c, -1), seq_c)
-    packed = _fit(_pack_block(shifted, pallas_pack), p_cap)
-    first_code = jnp.take(jnp.take(S.T.NUC_CODE, seq_c.astype(jnp.int32)), 0)
+    if pack_nibbles:
+        # nibble-parity alignment: when the global prefix char count is
+        # odd, this block's first char pairs with the previous block's
+        # last char — pack chars[1:] and emit chars[0]'s code separately
+        shifted = jnp.where(odd[0], jnp.roll(seq_c, -1), seq_c)
+        packed = _fit(_pack_block(shifted, pallas_pack), p_cap)
+        first_code = jnp.take(jnp.take(S.T.NUC_CODE, seq_c.astype(jnp.int32)),
+                              0)
+    else:
+        # protein/text sequences store raw bytes (tables.c:96-117 has no
+        # 4-bit code for them): emit the compacted char stream as-is;
+        # host stitching is plain concatenation, no parity carry
+        packed = _fit(seq_c, p_cap)
+        first_code = jnp.uint8(0)
 
     id_vals = _fit(S.compact_best(s["id_keep"], b, pallas_pack)[0], id_cap)
     com_vals = _fit(S.compact_best(s["com_keep"], s["com_val"],
@@ -313,17 +321,18 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
 
 @functools.partial(jax.jit, static_argnames=(
     "seq_type", "fastq", "mesh", "p_cap", "id_cap", "com_cap", "r_cap",
-    "m_cap", "q_cap"))
+    "m_cap", "q_cap", "pack_nibbles"))
 def emit_blocks_sharded(blocks, prev_bytes, starts_in_seq, odd, *,
                         seq_type: int, fastq: bool, mesh: Mesh,
                         p_cap: int, id_cap: int, com_cap: int, r_cap: int,
-                        m_cap: int, q_cap: int):
+                        m_cap: int, q_cap: int, pack_nibbles: bool = True):
     pallas_pack = mesh.devices.flat[0].platform == "tpu"
     fn = shard_map(
         functools.partial(_emit_fn, seq_type=seq_type, fastq=fastq,
                           p_cap=p_cap, id_cap=id_cap, com_cap=com_cap,
                           r_cap=r_cap, m_cap=m_cap, q_cap=q_cap,
-                          pallas_pack=pallas_pack),
+                          pallas_pack=pallas_pack,
+                          pack_nibbles=pack_nibbles),
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS),) * 4,
         out_specs=tuple(P(BLOCK_AXIS) for _ in range(11)),

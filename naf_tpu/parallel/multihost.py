@@ -89,7 +89,14 @@ def _local_row(garr) -> np.ndarray:
     return np.asarray(s.data[0:1])
 
 
-def _run_passes(data: bytes, opts: EncodeOptions, traffic: Optional[dict]):
+class _HostFallback(Exception):
+    """Input regime the device passes can't cover bit-exactly; every
+    process re-encodes on the host (input bytes are identical everywhere,
+    so the archives are too — no collectives needed)."""
+
+
+def _run_passes(data: bytes, opts: EncodeOptions, traffic: Optional[dict],
+                *, allow_text: bool = False):
     """Shared two-pass body: returns everything both archive builders need.
 
     The big pass-2 payload rows (packed seq, FASTQ quality) come back as
@@ -103,20 +110,26 @@ def _run_passes(data: bytes, opts: EncodeOptions, traffic: Optional[dict]):
     from . import pipeline as PL
 
     fmt, marker = P.detect_format(data)
-    if opts.seq_type > C.SEQ_TYPE_RNA or opts.strict or opts.well_formed:
-        raise ValueError("multihost path currently covers nucleotide inputs")
+    text_like = opts.seq_type >= C.SEQ_TYPE_PROTEIN
+    if text_like and not allow_text:
+        # the compressed-traffic paths stitch packed-nibble byte ranges;
+        # raw-byte sections take the host (identical on every process)
+        raise _HostFallback("text/protein over compressed-traffic path")
+
+    fastq = fmt == C.IN_FORMAT_FASTQ
+    body = np.frombuffer(data, np.uint8)[marker + 1:]
+    if opts.well_formed and not PL._wf_device_safe(body, fastq):
+        raise _HostFallback("wf-divergent input")
 
     devices = jax.devices()
     D = len(devices)
     mesh = Mesh(np.asarray(devices), (BLOCK_AXIS,))
     sharding = NamedSharding(mesh, PS(BLOCK_AXIS))
 
-    fastq = fmt == C.IN_FORMAT_FASTQ
-    body = np.frombuffer(data, np.uint8)[marker + 1:]
     if fastq:
         mb = make_blocks_fastq(body, D)
         if mb is None:
-            raise ValueError("multihost FASTQ path needs the regular 4-line grid")
+            raise _HostFallback("irregular FASTQ grid")
         blocks, _ = mb
     else:
         blocks = make_blocks(body, D)
@@ -140,18 +153,26 @@ def _run_passes(data: bytes, opts: EncodeOptions, traffic: Optional[dict]):
     # locally addressable row IS the global total; nothing to gather
     hists = [_local_row(o) for o in st[9:]]
 
-    p_cap = PL._bucket(int((counts + 1).max(initial=2) // 2) + 1)
+    # --strict: pass-1 histograms prove cleanliness; any unexpected char
+    # re-parses on the host for the reference-exact error (or archive)
+    if opts.strict and any(int(h.sum()) for h in hists):
+        raise _HostFallback("strict input has unexpected chars")
+
+    if text_like:
+        p_cap = PL._bucket(int(counts.max(initial=2)) + 1)
+    else:
+        p_cap = PL._bucket(int((counts + 1).max(initial=2) // 2) + 1)
     id_cap = PL._bucket(max(int(id_bytes.max(initial=1)), 1))
     com_cap = PL._bucket(max(int(com_bytes.max(initial=1)), 1))
     r_cap = PL._bucket(int(n_rec.max(initial=0)) + 1)
-    m_cap = PL._bucket(max(int(n_runs.max(initial=2)), 2))
+    m_cap = 2 if text_like else PL._bucket(max(int(n_runs.max(initial=2)), 2))
     q_cap = PL._bucket(max(int(qual_bytes.max(initial=1)), 1)) if fastq else 16
 
     em = emit_blocks_sharded(
         blocks_d, prev_d, sis_d, st[1],
         seq_type=opts.seq_type, fastq=fastq, mesh=mesh,
         p_cap=p_cap, id_cap=id_cap, com_cap=com_cap, r_cap=r_cap,
-        m_cap=m_cap, q_cap=q_cap)
+        m_cap=m_cap, q_cap=q_cap, pack_nibbles=not text_like)
 
     return (D, fmt, counts, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
             first_lower, longest, hists, em)
@@ -170,11 +191,16 @@ def encode_multihost(data: bytes, opts: Optional[EncodeOptions] = None
     Returns the archive (identical on every process, byte-identical to the
     single-host ``encoder.encode``).
     """
+    from ..pipeline.encoder import encode as host_encode
     from . import pipeline as PL
 
     opts = opts or EncodeOptions()
-    (D, fmt, counts, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
-     first_lower, longest, hists, em) = _run_passes(data, opts, None)
+    try:
+        (D, fmt, counts, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
+         first_lower, longest, hists, em) = _run_passes(data, opts, None,
+                                                        allow_text=True)
+    except _HostFallback:
+        return host_encode(data, opts)
     em_np = [_gather_rows(o, D) for o in em]
 
     return PL._stitch_and_build(
@@ -308,8 +334,13 @@ def encode_multihost_parts(data: bytes,
     from .block import stitch_packed_range
 
     opts = opts or EncodeOptions()
-    (D, fmt, counts, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
-     first_lower, longest, hists, em) = _run_passes(data, opts, traffic)
+    try:
+        (D, fmt, counts, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
+         first_lower, longest, hists, em) = _run_passes(data, opts, traffic)
+    except _HostFallback:
+        from ..pipeline.encoder import encode as host_encode
+
+        return host_encode(data, opts)
     fastq = fmt == C.IN_FORMAT_FASTQ
 
     first_codes = _gather_rows(em[1], D, traffic)
@@ -386,8 +417,13 @@ def encode_multihost_extended(data: bytes,
     from .block import stitch_packed_range
 
     opts = replace(opts or EncodeOptions(), extended=True)
-    (D, fmt, counts, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
-     first_lower, longest, hists, em) = _run_passes(data, opts, traffic)
+    try:
+        (D, fmt, counts, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
+         first_lower, longest, hists, em) = _run_passes(data, opts, traffic)
+    except _HostFallback:
+        from ..pipeline.encoder import encode as host_encode
+
+        return host_encode(data, opts)
     fastq = fmt == C.IN_FORMAT_FASTQ
 
     # small rows travel; the packed/quality payload rows (em[0], em[5])

@@ -43,6 +43,34 @@ def _bucket(n: int, align: int = 16) -> int:
     return m
 
 
+def _wf_device_safe(body: np.ndarray, fastq: bool) -> bool:
+    """True when --well-formed parsing provably equals robust parsing.
+
+    The wf fast path (ennaf/src/process.c:314-355, tables.c:46-69) treats
+    only LF and ' ' as whitespace and skips char validation.  Robust
+    classification produces identical bytes iff the input contains no
+    TAB/VT/FF/CR and no ' ' outside header lines (spaces ON header lines
+    behave identically: the first ends the id, the rest are comment bytes
+    under both tables).  Char validation differences surface as nonzero
+    unexpected-char histograms and are caught after pass 1.
+    """
+    if body.size == 0:
+        return True
+    if np.any((body == 9) | (body == 11) | (body == 12) | (body == 13)):
+        return False
+    sp = np.flatnonzero(body == 32)
+    if sp.size == 0:
+        return True
+    eol = np.flatnonzero(body == 10)
+    line_id = np.searchsorted(eol, sp)        # line index of each space
+    if fastq:
+        return bool(np.all(line_id % 4 == 0))
+    starts = np.concatenate([[0], eol + 1])   # start byte of each line
+    first = body[np.minimum(starts[line_id], body.size - 1)]
+    # line 0 is record 0's header (its '>' was stripped by the caller)
+    return bool(np.all((line_id == 0) | (first == ord(">"))))
+
+
 def _merge_hist(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """u32 (lo16, hi16) psum halves -> u64[257] histogram."""
     h = np.zeros(257, np.uint64)
@@ -73,20 +101,26 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
         raise P.InputError(
             "input format is different from format specified in the command line")
 
-    device_path = (
-        fmt in (C.IN_FORMAT_FASTA, C.IN_FORMAT_FASTQ)
-        and opts.seq_type <= C.SEQ_TYPE_RNA
-        and not opts.strict and not opts.well_formed
-    )
+    device_path = fmt in (C.IN_FORMAT_FASTA, C.IN_FORMAT_FASTQ)
     if not device_path:
+        return host_encode(data, opts)
+
+    fastq = fmt == C.IN_FORMAT_FASTQ
+    body = np.frombuffer(data, np.uint8)[marker + 1:]
+
+    # --well-formed parses with the reduced space table (LF/' ' only,
+    # tables.c:46-69) and skips replacement: on inputs where that regime
+    # actually holds — no TAB/VT/FF/CR anywhere, no ' ' inside sequence or
+    # quality lines — the robust classification the device runs is
+    # byte-identical, so the archive is too.  Inputs outside the regime
+    # (where wf semantics diverge byte-for-byte) take the host wf parser.
+    if opts.well_formed and not _wf_device_safe(body, fastq):
         return host_encode(data, opts)
 
     if mesh is None:
         mesh = block_mesh(n_blocks)
     D = mesh.devices.size
 
-    fastq = fmt == C.IN_FORMAT_FASTQ
-    body = np.frombuffer(data, np.uint8)[marker + 1:]
     if fastq:
         mb = make_blocks_fastq(body, D)
         if mb is None:                      # irregular grid -> host parser
@@ -108,11 +142,23 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
          first_lower, longest) = [np.asarray(o) for o in st[:9]]
         hists = [np.asarray(o) for o in st[9:]]
 
-        p_cap = _bucket(int((counts + 1).max(initial=2) // 2) + 1)
+        # --strict dies at the FIRST unexpected char with its exact
+        # position-dependent message (process.c:121-129): pass-1 histograms
+        # prove cleanliness for free; any hit re-parses on the host, which
+        # raises the reference-exact error text
+        if opts.strict and any(int(h.sum()) for h in hists):
+            return host_encode(data, opts)
+
+        text_like = opts.seq_type >= C.SEQ_TYPE_PROTEIN
+        if text_like:
+            p_cap = _bucket(int(counts.max(initial=2)) + 1)
+        else:
+            p_cap = _bucket(int((counts + 1).max(initial=2) // 2) + 1)
         id_cap = _bucket(max(int(id_bytes.max(initial=1)), 1))
         com_cap = _bucket(max(int(com_bytes.max(initial=1)), 1))
         r_cap = _bucket(int(n_rec.max(initial=0)) + 1)
-        m_cap = _bucket(max(int(n_runs.max(initial=2)), 2))
+        m_cap = (2 if text_like
+                 else _bucket(max(int(n_runs.max(initial=2)), 2)))
         q_cap = (_bucket(max(int(qual_bytes.max(initial=1)), 1))
                  if fastq else 16)
 
@@ -120,14 +166,22 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
             blocks_d, prev_d, sis_d, st[1],
             seq_type=opts.seq_type, fastq=fastq, mesh=mesh,
             p_cap=p_cap, id_cap=id_cap, com_cap=com_cap, r_cap=r_cap,
-            m_cap=m_cap, q_cap=q_cap)
+            m_cap=m_cap, q_cap=q_cap, pack_nibbles=not text_like)
         em_np = [np.asarray(o) for o in em]
+    except P.InputError:
+        raise                               # user-facing parse errors
     except Exception as e:
         # failure detection (SURVEY §5): a device fault mid-encode requeues
         # the work to the host pipeline instead of aborting — the archive is
-        # byte-identical either way, so retry is free correctness-wise
+        # byte-identical either way, so retry is free correctness-wise.
+        # NAF_TPU_NO_FALLBACK=1 re-raises instead (CI/debug: a silent retry
+        # would otherwise hide real device-path regressions behind a
+        # still-correct archive)
+        import os
         import warnings
 
+        if os.environ.get("NAF_TPU_NO_FALLBACK") == "1":
+            raise
         warnings.warn(
             f"naf_tpu: device encode failed ({type(e).__name__}: {e}); "
             "falling back to the host pipeline")
@@ -181,13 +235,23 @@ def _stitch_and_build(D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes,
                         else int(longest[0]))
 
     total_chars = int(counts.sum())
-    res.seq = np.zeros(total_chars, np.uint8)    # only .size is used
-    if prebuilt is None:
-        res.packed = stitch_packed(packed, counts, first_codes)
+    text_like = opts.seq_type >= C.SEQ_TYPE_PROTEIN
+    if text_like:
+        # protein/text archives store raw bytes: per-block compacted char
+        # streams concatenate directly (no nibble parity); build_archive
+        # upper-cases under --no-mask
+        res.seq = (np.concatenate(
+            [packed[k, : int(counts[k])] for k in range(D)])
+            if total_chars else np.zeros(0, np.uint8)).astype(np.uint8)
+        res.packed = None
     else:
-        res.packed = np.zeros(0, np.uint8)       # payload arrives prebuilt
+        res.seq = np.zeros(total_chars, np.uint8)    # only .size is used
+        if prebuilt is None:
+            res.packed = stitch_packed(packed, counts, first_codes)
+        else:
+            res.packed = np.zeros(0, np.uint8)   # payload arrives prebuilt
 
-    store_mask = not opts.no_mask
+    store_mask = not opts.no_mask and not text_like
     if store_mask:
         from ..ops.mask import runs_to_units
 

@@ -129,6 +129,15 @@ fq_parts, _ = encode_multihost_parts(fq_data, EncodeOptions(level=1))
 assert (Decoder(io.BytesIO(fq_parts), DecodeOptions()).fastq()
         == Decoder(io.BytesIO(fq_host), DecodeOptions()).fastq())
 
+# ---- full input space: protein + strict + well-formed ---------------------
+prot = b"".join(b">p%d c\nMKV*LNDAEFGH-ikw\nACDEF\n" % i for i in range(9))
+for kw in ({"seq_type": 2}, {"strict": True}, {"well_formed": True}):
+    mb, _ = encode_multihost(prot if "seq_type" in kw else data,
+                             EncodeOptions(level=1, **kw))
+    hb, _ = encode(prot if "seq_type" in kw else data,
+                   EncodeOptions(level=1, **kw))
+    assert mb == hb, f"multihost {kw} != host"
+
 import hashlib
 digest = hashlib.md5(ext_blob + fq_ext + parts_blob + fq_parts).hexdigest()
 print(f"proc{pid}: OK n_rec=16 fasta={len(blob)}B fastq={len(fq_blob)}B "

@@ -220,3 +220,99 @@ def test_pass2_transfer_is_payload_shaped():
     xfer = PL.device_to_host_bytes(8, caps)
     # v1 shipped >4 bytes per input byte; the packed payload alone is ~0.5
     assert xfer < 1.5 * body_n, (xfer, body_n)
+
+
+# ---------------------------------------------------------------------------
+# Device encode for protein/text/strict/well-formed (full input space)
+# ---------------------------------------------------------------------------
+
+def _typed_fasta(rng, seq_type, n_rec=20, max_len=600):
+    alpha = {
+        C.SEQ_TYPE_DNA: b"ACGTacgtNn",
+        C.SEQ_TYPE_RNA: b"ACGUacguNn",
+        C.SEQ_TYPE_PROTEIN: b"ACDEFGHIKLMNPQRSTVWYacdefghiklm*-",
+        C.SEQ_TYPE_TEXT: b"abcXYZ019{}#>~%$",
+    }[seq_type]
+    rows = []
+    for i in range(n_rec):
+        com = b" com %d" % i if i % 2 else b""
+        rows.append(b">s%d%s\n" % (i, com))
+        seq = rng.choice(np.frombuffer(alpha, np.uint8),
+                         size=int(rng.integers(1, max_len)))
+        rows.append(seq.tobytes() + b"\n")
+    return b"".join(rows)
+
+
+@pytest.mark.parametrize("seq_type", [C.SEQ_TYPE_PROTEIN, C.SEQ_TYPE_TEXT])
+def test_sharded_encode_protein_text(seq_type, monkeypatch):
+    monkeypatch.setenv("NAF_TPU_NO_FALLBACK", "1")
+    rng = np.random.default_rng(seq_type + 70)
+    data = _typed_fasta(rng, seq_type)
+    for no_mask in (False, True):
+        opts = EncodeOptions(level=1, seq_type=seq_type, no_mask=no_mask)
+        host_blob, host_stats = encode(data, opts)
+        dev_blob, dev_stats = encode_sharded(data, opts, mesh=block_mesh(8))
+        assert dev_blob == host_blob, (seq_type, no_mask)
+        assert dev_stats.n_sequences == host_stats.n_sequences
+
+
+def test_sharded_encode_strict_clean_stays_on_device(monkeypatch):
+    monkeypatch.setenv("NAF_TPU_NO_FALLBACK", "1")
+    rng = np.random.default_rng(3)
+    data = _fasta(rng, n_rec=12, max_len=400)
+    opts = EncodeOptions(level=1, strict=True)
+    host_blob, _ = encode(data, opts)
+    dev_blob, _ = encode_sharded(data, opts, mesh=block_mesh(8))
+    assert dev_blob == host_blob
+
+
+def test_sharded_encode_strict_dirty_raises_exact_error():
+    from naf_tpu.pipeline.parser import InputError
+
+    data = b">a\nACGTZGGG\nACGT\n>b\nTTTT\n"
+    opts = EncodeOptions(level=1, strict=True)
+    with pytest.raises(InputError) as e_dev:
+        encode_sharded(data, opts, mesh=block_mesh(8))
+    with pytest.raises(InputError) as e_host:
+        encode(data, opts)
+    assert str(e_dev.value) == str(e_host.value)
+
+
+def test_sharded_encode_well_formed(monkeypatch):
+    monkeypatch.setenv("NAF_TPU_NO_FALLBACK", "1")
+    rng = np.random.default_rng(9)
+    data = _fasta(rng, n_rec=15, max_len=500)
+    opts = EncodeOptions(level=1, well_formed=True)
+    host_blob, _ = encode(data, opts)
+    dev_blob, _ = encode_sharded(data, opts, mesh=block_mesh(8))
+    assert dev_blob == host_blob
+
+
+def test_sharded_encode_well_formed_unsafe_falls_back():
+    # TAB inside the id: wf keeps it verbatim, robust ends the id there —
+    # the device gate must route this to the host wf parser
+    data = b">a\tweird\nACGT\n>b x\nGGGG\n"
+    opts = EncodeOptions(level=1, well_formed=True)
+    host_blob, _ = encode(data, opts)
+    dev_blob, _ = encode_sharded(data, opts, mesh=block_mesh(8))
+    assert dev_blob == host_blob
+    # space inside a sequence line likewise diverges
+    data2 = b">a\nAC GT\n>b\nGGGG\n"
+    h2, _ = encode(data2, EncodeOptions(level=1, well_formed=True))
+    d2, _ = encode_sharded(data2, EncodeOptions(level=1, well_formed=True),
+                           mesh=block_mesh(8))
+    assert d2 == h2
+
+
+@pytest.mark.parametrize("seq_type", [C.SEQ_TYPE_PROTEIN, C.SEQ_TYPE_TEXT])
+def test_sharded_protein_text_decodes_with_reference(seq_type, ref_bin):
+    from conftest import run_ref
+
+    rng = np.random.default_rng(seq_type)
+    data = _typed_fasta(rng, seq_type, n_rec=10)
+    flag = b"--protein" if seq_type == C.SEQ_TYPE_PROTEIN else b"--text"
+    blob, _ = encode_sharded(data, EncodeOptions(level=1, seq_type=seq_type),
+                             mesh=block_mesh(4))
+    q = run_ref([ref_bin["unnaf"], "-c"], blob)
+    assert q.returncode == 0, q.stderr
+    assert q.stdout == Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
