@@ -146,9 +146,17 @@ struct BitW {
   uint64_t acc = 0;
   int nbits = 0;
   inline void add(uint32_t val, int bits) {
+    // word-at-a-time flush: one unaligned 8-byte store per add instead of
+    // a byte loop (bit layout identical; every caller's buffer carries
+    // >= 8 bytes of headroom past its bound checks).  The invariant
+    // nbits <= 7 on entry keeps acc within 64 bits for bits <= 32.
     acc |= (uint64_t)(val & ((bits < 32 ? (1u << bits) : 0u) - 1)) << nbits;
     nbits += bits;
-    while (nbits >= 8) { out[pos++] = (uint8_t)acc; acc >>= 8; nbits -= 8; }
+    std::memcpy(out + pos, &acc, 8);
+    int fl = nbits >> 3;
+    pos += fl;
+    acc >>= fl * 8;
+    nbits &= 7;
   }
   inline uint64_t close() {
     add(1, 1);                       // end-of-stream marker bit
@@ -901,6 +909,12 @@ static inline uint32_t hash4_log(uint32_t v, int hlog) {
   return (v * 2654435761u) >> (32 - hlog);
 }
 
+// 5-byte hash for the fast greedy path: min-match there is 5, so a 5-byte
+// seed avoids extends that a 4-byte hash would propose and then reject
+static inline uint32_t hash5_log(uint64_t v, int hlog) {
+  return (uint32_t)(((v << 24) * 0x9E3779B185EBCA87ull) >> (64 - hlog));
+}
+
 static inline uint32_t hash3_16(uint32_t v) {
   return ((v & 0xFFFFFFu) * 506832829u) >> 16;
 }
@@ -969,12 +983,13 @@ static inline uint64_t chain_search(const uint8_t *src, uint64_t pos,
   const uint64_t window = 1ull << cfg.wlog;
   uint64_t lo = pos > window ? pos - window : 0;
   if (lo < lo_limit) lo = lo_limit;
-  uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
+  uint32_t h = hash5_log(read64(src + pos), cfg.hlog);
   int64_t cand = (int64_t)t.hash[h] - 1 + (int64_t)t.base;
   // the caller inserts pos before searching; skip the self-entry
   if (cand == (int64_t)pos)
     cand = (int64_t)t.chain[pos & cmask] - 1 + (int64_t)t.base;
   uint64_t best = 0;
+  int64_t best_sc = 0;
   int depth = cfg.depth;
   while (cand >= (int64_t)lo && depth-- > 0) {
     if (cand >= (int64_t)pos) break;   // stale ring entry
@@ -982,9 +997,20 @@ static inline uint64_t chain_search(const uint8_t *src, uint64_t pos,
     if (src[cand + best] == src[pos + best]) {
       uint64_t m = extend(src, (uint64_t)cand, pos, end);
       if (m > best) {
-        best = m;
-        *off_out = (uint32_t)(pos - (uint64_t)cand);
-        if (pos + m >= end) break;
+        // price the offset: walking nearest-first, a farther candidate
+        // must be LONGER to win, and short matches at large offsets are
+        // rejected outright (they cost more bits than their literals and
+        // break rep continuity — same gate as the fast greedy path)
+        uint32_t off = (uint32_t)(pos - (uint64_t)cand);
+        uint32_t hb = (uint32_t)highbit32(off | 1);
+        int64_t sc = (int64_t)(m << 3) - hb;
+        if ((hb <= 12 || 2 * m >= (uint64_t)hb + 2)
+            && (m >= 5 || hb <= 8) && sc > best_sc) {
+          best = m;
+          best_sc = sc;
+          *off_out = off;
+          if (pos + m >= end) break;
+        }
       }
     }
     int64_t nxt = (int64_t)t.chain[cand & cmask] - 1 + (int64_t)t.base;
@@ -997,7 +1023,7 @@ static inline uint64_t chain_search(const uint8_t *src, uint64_t pos,
 static inline void chain_insert(const uint8_t *src, uint64_t pos,
                                 const LevelCfg &cfg, Tables &t) {
   const uint32_t cmask = (1u << cfg.clog) - 1;
-  uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
+  uint32_t h = hash5_log(read64(src + pos), cfg.hlog);
   t.chain[pos & cmask] = t.hash[h];
   t.hash[h] = (int32_t)(pos - t.base + 1);
 }
@@ -1064,8 +1090,64 @@ static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
     anchor = at + m;
   };
 
-  if (cfg.strat == 0) {
-    // greedy hash4 with rep checks
+  if (cfg.strat == 0 && !cfg.ldm && !cfg.full_rep) {
+    // fast greedy (levels <= 1 and negative levels without --long): the
+    // libzstd-fast shape — 5-byte hash, primary-rep-first, and skip
+    // acceleration that strides through literal runs (the reference's
+    // speed identity at low levels, README.md:4; BENCH_r03 measured this
+    // loop's predecessor at 73 MB/s vs 633 for the linked library)
+    const uint32_t accel_mult = cfg.accel ? (uint32_t)cfg.accel : 1;
+    // software-pipelined: the NEXT probe's hash + table slot are computed
+    // before the current position's checks, hiding the dependent-load
+    // latency chain (hash -> index -> load) that otherwise serializes the
+    // per-position walk
+    uint32_t h0 = pos < limit ? hash5_log(read64(src + pos), cfg.hlog) : 0;
+    while (pos < limit && n < max_seqs) {
+      uint32_t run = (uint32_t)(pos - anchor);
+      uint64_t nxt = pos + 1 + (run >> 8) * accel_mult;
+      uint32_t h1 = nxt < limit ? hash5_log(read64(src + nxt), cfg.hlog) : 0;
+      int64_t cand = (int64_t)t.hash[h0] - 1 + (int64_t)t.base;
+      t.hash[h0] = (int32_t)(pos - t.base + 1);
+
+      uint32_t rep_d = 0;
+      uint64_t m_rep = best_rep(src, pos, block_end, rs,
+                                (uint32_t)(pos - anchor), &rep_d);
+      {
+        uint64_t m = m_rep;
+        if (m >= 4) {
+          emit(pos, m, rep_d);
+          pos = anchor;
+          h0 = pos < limit ? hash5_log(read64(src + pos), cfg.hlog) : 0;
+          continue;
+        }
+      }
+      if (cand >= (int64_t)lo_limit && pos - (uint64_t)cand <= window) {
+        uint64_t m = extend(src, (uint64_t)cand, pos, block_end);
+        uint32_t off = (uint32_t)(pos - (uint64_t)cand);
+        // offset-priced acceptance: a 5-byte match at a 2^20 offset costs
+        // more bits than its literals on 4-bit-packed data, and the noise
+        // matches it would emit also break rep continuity and keep the
+        // skip accelerator from ever engaging on incompressible spans
+        uint32_t hb = (uint32_t)highbit32(off | 1);
+        if (m >= cfg.mm && (hb <= 12 || 2 * m >= (uint64_t)hb + 2)) {
+          emit(pos, m, off);
+          if (pos + m < limit) {
+            uint64_t i1 = pos + (m >> 1), i2 = pos + m - 2;
+            t.hash[hash5_log(read64(src + i1), cfg.hlog)] =
+                (int32_t)(i1 - t.base + 1);
+            t.hash[hash5_log(read64(src + i2), cfg.hlog)] =
+                (int32_t)(i2 - t.base + 1);
+          }
+          pos = anchor;
+          h0 = pos < limit ? hash5_log(read64(src + pos), cfg.hlog) : 0;
+          continue;
+        }
+      }
+      pos = nxt;
+      h0 = h1;
+    }
+  } else if (cfg.strat == 0) {
+    // greedy hash4 with rep checks (the --long / full-rep configuration)
     uint32_t skip = 0;
     while (pos < limit && n < max_seqs) {
       uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
@@ -1140,11 +1222,11 @@ static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
       bool use_rep = m_rep >= 3 && score(m_rep, 1) >= score(m, off + 3);
       if (use_rep) { m = m_rep; }
       else if (m < cfg.mm) { pos++; continue; }
-      // offset sanity vs cost: tiny matches at huge distance lose
-      if (!use_rep && m * 8 < (uint64_t)highbit32(off + 3) + 14) {
-        pos++;
-        continue;
-      }
+      // offset-priced acceptance (same gate as the fast path): a short
+      // match at a large offset costs more bits than its literals on
+      // 4-bit-packed data and breaks rep continuity
+      // (offset pricing lives inside chain_search now; LDM matches are
+      // always >= 32 bytes and never fail it)
 
       uint64_t at = pos;
       for (int step = 0; step < cfg.lazy && at + 1 < limit; step++) {
