@@ -274,9 +274,14 @@ class SectionDecompressor:
     """
 
     def __init__(self, total_in: Optional[int] = None,
-                 total_out: Optional[int] = None):
-        self._native = (_DECODE_ENGINE == "native" and total_in is not None
-                        and total_out is not None)
+                 total_out: Optional[int] = None,
+                 force_library: bool = False):
+        """``force_library`` bypasses the native one-shot path — callers
+        that stop at an output prefix (--range) need the library's
+        incremental decode, which yields bytes per fed chunk."""
+        self._done = False
+        self._native = (not force_library and _DECODE_ENGINE == "native"
+                        and total_in is not None and total_out is not None)
         if self._native:
             self._total_in = total_in
             self._total_out = total_out
@@ -288,12 +293,17 @@ class SectionDecompressor:
         self._first = True
 
     def feed(self, chunk: bytes) -> bytes:
+        if self._done:
+            # single-shot contract: a feed after the final chunk would hand
+            # a lone fragment to the native decoder and fail confusingly
+            raise RuntimeError("section decompressor exhausted")
         if self._native:
             self._parts.append(chunk)
             self._got += len(chunk)
             if self._got >= self._total_in:
                 payload = b"".join(self._parts)
                 self._parts = []
+                self._done = True
                 return decompress_section_native(payload, self._total_out)
             return b""
         if self._first:
@@ -609,6 +619,14 @@ def compress_section_device(data, level: int = 1, window_log: int = 0,
     from ..ops.matchfind import (
         SPAN, find_ldm_candidates, find_match_candidates_windowed)
 
+    mv = memoryview(data)
+    if mv.nbytes >= 1 << 31:
+        # the device candidate ABI carries int32 absolute positions
+        # (ops/matchfind.py); >= 2 GiB sections would wrap negative and
+        # silently drop every candidate — the native engine covers this
+        # regime at full fidelity instead
+        return compress_section_native(data, level=level,
+                                       window_log=window_log)
     k = k or _device_chain_depth(level)
     lib = _native._load()
     if lib is None:

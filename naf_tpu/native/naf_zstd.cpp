@@ -2768,6 +2768,67 @@ static int64_t decode_block(const uint8_t *p, uint64_t n, uint8_t *dst,
 
 static const uint64_t DEC_ERR = ~(uint64_t)0;
 
+// XXH64 (seed 0) for Content_Checksum verification — the dedicated
+// algorithm zstd specifies (RFC 8878 §3.1.1; xxhash spec constants).
+static const uint64_t XP1 = 0x9E3779B185EBCA87ull;
+static const uint64_t XP2 = 0xC2B2AE3D27D4EB4Full;
+static const uint64_t XP3 = 0x165667B19E3779F9ull;
+static const uint64_t XP4 = 0x85EBCA77C2B2AE63ull;
+static const uint64_t XP5 = 0x27D4EB2F165667C5ull;
+
+static inline uint64_t xrotl(uint64_t v, int r) {
+  return (v << r) | (v >> (64 - r));
+}
+static inline uint64_t xread64(const uint8_t *p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+static inline uint64_t xround(uint64_t acc, uint64_t input) {
+  return xrotl(acc + input * XP2, 31) * XP1;
+}
+static inline uint64_t xmerge(uint64_t acc, uint64_t v) {
+  return (acc ^ xround(0, v)) * XP1 + XP4;
+}
+
+static uint64_t xxh64(const uint8_t *p, uint64_t len) {
+  const uint8_t *end = p + len;
+  uint64_t h;
+  if (len >= 32) {
+    uint64_t v1 = XP1 + XP2, v2 = XP2, v3 = 0, v4 = (uint64_t)0 - XP1;
+    const uint8_t *lim = end - 32;
+    do {
+      v1 = xround(v1, xread64(p));
+      v2 = xround(v2, xread64(p + 8));
+      v3 = xround(v3, xread64(p + 16));
+      v4 = xround(v4, xread64(p + 24));
+      p += 32;
+    } while (p <= lim);
+    h = xrotl(v1, 1) + xrotl(v2, 7) + xrotl(v3, 12) + xrotl(v4, 18);
+    h = xmerge(h, v1); h = xmerge(h, v2);
+    h = xmerge(h, v3); h = xmerge(h, v4);
+  } else {
+    h = XP5;
+  }
+  h += len;
+  while (p + 8 <= end) {
+    h = xrotl(h ^ xround(0, xread64(p)), 27) * XP1 + XP4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    h = xrotl(h ^ ((uint64_t)v * XP1), 23) * XP2 + XP3;
+    p += 4;
+  }
+  while (p < end) {
+    h = xrotl(h ^ (*p * XP5), 11) * XP1;
+    p++;
+  }
+  h ^= h >> 33; h *= XP2; h ^= h >> 29; h *= XP3; h ^= h >> 32;
+  return h;
+}
+
 // Decode a complete stream of zstd frames (incl. skippable frames) into dst.
 // Returns total bytes written, or UINT64_MAX on any parse error / overflow.
 uint64_t naf_zstd_decompress(const uint8_t *src, uint64_t n,
@@ -2855,7 +2916,13 @@ uint64_t naf_zstd_decompress(const uint8_t *src, uint64_t n,
     }
     if (checksum) {
       if (n - pos < 4) return DEC_ERR;
-      pos += 4;                          // xxhash64 low bits: skipped
+      uint32_t want = read32(src + pos);
+      pos += 4;
+      // Content_Checksum = low 32 bits of XXH64(content, 0) (RFC 8878
+      // §3.1.1): verify, so length-preserving corruption is rejected like
+      // a compliant decoder would (advisor finding r3)
+      if ((uint32_t)xxh64(dst + frame_base, out - frame_base) != want)
+        return DEC_ERR;
     }
     if (have_fcs && out - frame_base != fcs) return DEC_ERR;
   }

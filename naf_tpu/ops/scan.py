@@ -316,7 +316,11 @@ def scan_fastq_block(block: jnp.ndarray, prev_byte: jnp.ndarray,
     in_header_line = cnt_eol_excl == 0
     after_marker = pos > rec_marker
 
-    in_hdr = (lane == 0) & ~rec_start & ~is_eol
+    # header membership excludes the whole EOL class: a CR in a CRLF grid
+    # ends the comment exactly like the host parser (lane math stays on LF
+    # alone, so the CR never advances the 4-line cycle)
+    is_eolc = _lut_bool(b, T.IS_EOL)
+    in_hdr = (lane == 0) & ~rec_start & ~is_eolc
     in_id = (in_hdr & in_header_line & after_marker
              & (cnt_sp_excl == 0) & ~is_space)
     in_comment = in_hdr & in_header_line & after_marker & (cnt_sp_excl >= 1)

@@ -228,13 +228,11 @@ def _stats_fn(block, prev_byte, sis, *, seq_type: int, fastq: bool,
     qual_bytes = jnp.sum(s["qual_keep"].astype(jnp.int32))
     n_rec = jnp.sum(s["rec_start"].astype(jnp.int32))
 
-    if fastq:
-        # FASTQ "longest line" is the max read length — derived on host
-        # from the stitched per-record lengths (records never span blocks)
-        longest = jnp.int32(0)
-    else:
-        longest = jax.lax.pmax(
-            S.longest_line_block(s["seq_keep"], s["is_eol"]), BLOCK_AXIS)
+    # FASTQ's "longest line" is the max read length; since reads never span
+    # blocks and only lane-1 bytes are seq_keep, the same per-line kept-max
+    # + pmax covers both formats in pass 1 (no host derivation needed)
+    longest = jax.lax.pmax(
+        S.longest_line_block(s["seq_keep"], s["is_eol"]), BLOCK_AXIS)
 
     hists = []
     for key in ("hist_id", "hist_comment", "hist_seq", "hist_qual"):
@@ -411,15 +409,18 @@ def make_blocks(data: np.ndarray, n_blocks: int, *, marker: int = _GT,
 def make_blocks_fastq(data: np.ndarray, n_blocks: int):
     """Record-aligned FASTQ blocks; returns (Blocks, n_records) or None.
 
-    Requires the regular 4-line LF grid (every production FASTQ): non-empty
-    lines, '+' third lines, '@' record heads, trailing newline, no '\\r'.
-    Irregular inputs take the host parser.  ``data`` starts right after the
-    leading '@'.
+    Requires the regular 4-line LF grid (every production FASTQ):
+    non-empty lines, '+' third lines, '@' record heads, trailing newline,
+    and no CR/VT/FF anywhere — the reference FASTQ parser treats those as
+    EOL-class, so e.g. a CRLF grid is an ERROR there ("can't find '+'
+    line"); rejecting them here routes such inputs to the host parser,
+    which raises the reference-exact message.  ``data`` starts right
+    after the leading '@'.
     """
     n = data.size
     if n == 0 or data[-1] != _LF:
         return None
-    if np.any(data == 13):
+    if np.any((data == 11) | (data == 12) | (data == 13)):
         return None
     eol = np.flatnonzero(data == _LF)
     n_lines = eol.size

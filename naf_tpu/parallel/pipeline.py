@@ -231,8 +231,7 @@ def _stitch_and_build(D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes,
         np.concatenate([com_vals[k, : int(com_bytes[k])] for k in range(D)]),
         g_com_lens)
     res.lengths = g_seq_lens.astype(np.uint64)
-    res.longest_line = (int(g_seq_lens.max(initial=0)) if fastq
-                        else int(longest[0]))
+    res.longest_line = int(longest[0])
 
     total_chars = int(counts.sum())
     text_like = opts.seq_type >= C.SEQ_TYPE_PROTEIN

@@ -534,7 +534,11 @@ class Decoder:
             return np.frombuffer(b"".join(pieces), np.uint8)
         from ..codec import SectionDecompressor
 
-        d = SectionDecompressor(csize, total_out)
+        # prefix-bounded reads keep the library's incremental decode even
+        # under --engine native (whose decoder is one-shot and would
+        # otherwise buffer + decode the WHOLE section for a small prefix)
+        d = SectionDecompressor(csize, total_out,
+                                force_library=s1 < total_out)
         left = csize
         out = bytearray()
         while len(out) < s1 and left > 0:

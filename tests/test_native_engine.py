@@ -508,3 +508,24 @@ def test_parts_archive_reference_decodable(ref_bin, monkeypatch):
     q = run_ref([ref_bin["unnaf"], "-c"], blob)
     assert q.returncode == 0, q.stderr
     assert q.stdout == want
+
+
+def test_native_decoder_verifies_content_checksum():
+    """Checksummed frames reject length-preserving corruption (RFC 8878
+    Content_Checksum = XXH64 low 32; advisor finding r3)."""
+    import zstandard as zstd
+
+    rng = np.random.default_rng(13)
+    data = rng.integers(0, 16, 1 << 18, dtype=np.uint8).tobytes() * 3
+    c = zstd.ZstdCompressor(level=3, write_checksum=True).compress(data)
+    assert decompress_section_native(c[4:], len(data)) == data
+    rejected = 0
+    for trial in range(20):
+        bad = bytearray(c)
+        bad[int(rng.integers(20, len(bad) - 5))] ^= 1 << int(rng.integers(8))
+        try:
+            out = decompress_section_native(bytes(bad)[4:], len(data))
+            assert out == data or False, "corruption decoded successfully"
+        except Exception:
+            rejected += 1
+    assert rejected == 20, f"only {rejected}/20 corruptions rejected"

@@ -316,3 +316,24 @@ def test_sharded_protein_text_decodes_with_reference(seq_type, ref_bin):
     q = run_ref([ref_bin["unnaf"], "-c"], blob)
     assert q.returncode == 0, q.stderr
     assert q.stdout == Decoder(io.BytesIO(blob), DecodeOptions()).fasta()
+
+
+def test_sharded_encode_fastq_crlf_matches_reference_error():
+    """The reference REJECTS CRLF FASTQ (CR is EOL-class: "can't find '+'
+    line") — the device path must fall back and raise the same error."""
+    from naf_tpu.pipeline.parser import InputError
+
+    data = b"@r1\r\nACGT\r\n+\r\n!!!!\r\n"
+    with pytest.raises(InputError, match="can't find"):
+        encode(data, EncodeOptions(level=1))
+    with pytest.raises(InputError, match="can't find"):
+        encode_sharded(data, EncodeOptions(level=1), mesh=block_mesh(4))
+
+
+def test_make_blocks_fastq_rejects_cr_and_rare_eol():
+    from naf_tpu.parallel.block import make_blocks_fastq
+
+    crlf = np.frombuffer(b"r\r\nAC\r\n+\r\n!!\r\n", np.uint8)
+    assert make_blocks_fastq(crlf, 2) is None
+    vt = np.frombuffer(b"r\x0bx\nAC\n+\n!!\n", np.uint8)
+    assert make_blocks_fastq(vt, 2) is None
