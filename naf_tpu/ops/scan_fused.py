@@ -275,6 +275,203 @@ def classify_fasta_fused(block, prev_byte, starts_in_seq=False, *,
     return flags.reshape(-1)[:B], sval.reshape(-1)[:B]
 
 
+def _make_fastq_kernel(seq_type: int):
+    """Fused FASTQ classify: lane = (#LFs so far) % 4 via a sum-scan, and
+    the header id/comment split via the same transition monoid as FASTA
+    (EOL resets to const-ID for the next line's header; the sub-state is
+    don't-care off lane 0).  Preconditions as ops.scan.scan_fastq_block:
+    the validated regular 4-line LF grid, blocks cut at record starts.
+
+    Flag bit layout (u8) — lane-0 and lane-3 reuse bits 4/5, separated by
+    bit 7: bit0 rec_start, bit1 seq_unex, bit2 seq_keep, bit3 is_eol,
+    bit4 id_keep|qual_keep, bit5 id_unex|qual_unex|com_unex,
+    bit6 com_keep, bit7 qual-line byte (lane 3, non-EOL).
+    """
+    unex_seq_tab = T.UNEXPECTED_BY_TYPE[seq_type]
+    repl = C.REPLACEMENT_SEQ[seq_type]
+    _AT = ord("@")
+
+    def kernel(sc_ref, x_ref, flags_ref, sval_ref, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[0] = sc_ref[0]          # sub-state before byte 0 (ID)
+            carry[1] = sc_ref[1]          # prev byte is LF
+            carry[2] = sc_ref[2]          # lane of byte 0's line
+
+        b = x_ref[:].astype(jnp.int32)
+        is_lf = (b == 0x0A).astype(jnp.int32)
+        is_eolc = (b >= 0x0A) & (b <= 0x0D)
+        is_sp = is_eolc | (b == 0x09) | (b == 0x20)
+        pe = _shift1_rowmajor(is_lf, carry[1]) != 0
+
+        lane_ax = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+        row_ax = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0)
+
+        # line id: inclusive LF count minus own-LF (the EOL byte belongs
+        # to the line it terminates) — Hillis-Steele sum over lanes + rows
+        c = is_lf
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            sh = jnp.roll(c, s, axis=1)
+            c = c + jnp.where(lane_ax >= s, sh, 0)
+        t = jnp.broadcast_to(
+            jax.lax.slice(c, (0, _LANES - 1), (_ROWS, _LANES)),
+            (_ROWS, _LANES))
+        s = 1
+        while s < _ROWS:
+            sh = jnp.roll(t, s, axis=0)
+            t = t + jnp.where(row_ax >= s, sh, 0)
+            s *= 2
+        rc = jnp.roll(t, 1, axis=0)
+        rc = jnp.where(row_ax == 0, 0, rc)
+        cum_lf = c + rc                        # inclusive LF count
+        lane = (cum_lf - is_lf + carry[2]) & 3
+
+        rec_start = (b == _AT) & pe & (lane == 0)
+
+        # header sub-state: {id, space, const-ID} monoid; EOL resets to ID
+        space_nc = is_sp & ~is_eolc
+        m = jnp.where(is_eolc, _M_CID,
+                      jnp.where(space_nc, _M_SPACE, _M_IDENT))
+        p = m
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            sh = jnp.roll(p, s, axis=1)
+            sh = jnp.where(lane_ax >= s, sh, _M_IDENT)
+            p = _compose(p, sh)
+        t2 = jnp.broadcast_to(
+            jax.lax.slice(p, (0, _LANES - 1), (_ROWS, _LANES)),
+            (_ROWS, _LANES))
+        s = 1
+        while s < _ROWS:
+            sh = jnp.roll(t2, s, axis=0)
+            sh = jnp.where(row_ax >= s, sh, _M_IDENT)
+            t2 = _compose(t2, sh)
+            s *= 2
+        rc2 = jnp.roll(t2, 1, axis=0)
+        rc2 = jnp.where(row_ax == 0, _M_IDENT, rc2)
+        pfx = _compose(p, rc2)
+        st0 = carry[0]
+        state = _apply_map(pfx, st0)
+        sb = _shift1_rowmajor(state, st0)
+
+        in_hdr = (lane == 0) & ~rec_start & ~is_eolc
+        in_id = in_hdr & (sb == _ID) & ~is_sp
+        in_com = in_hdr & (sb == _COM)
+
+        unex_text_b = _lut_bool_small(b, T.IS_UNEXPECTED_TEXT)
+        unex_com_b = _lut_bool_small(b, T.IS_UNEXPECTED_COMMENT)
+        unex_seq_b = _lut_bool_small(b, unex_seq_tab)
+        unex_qual_b = _lut_bool_small(b, T.IS_UNEXPECTED_QUAL)
+
+        id_unex = in_id & unex_text_b
+        id_keep = in_id & ~unex_text_b
+        com_unex = in_com & unex_com_b
+
+        in_seq = (lane == 1) & ~is_eolc        # CR-free grid: ~LF suffices,
+        seq_keep = in_seq & ~is_sp             # but is_eolc matches oracle
+        seq_unex = seq_keep & unex_seq_b
+
+        is_lf_b = is_lf != 0
+        qual_line = (lane == 3) & ~is_lf_b
+        qual_first = qual_line & pe
+        qual_rest = qual_line & ~qual_first
+        qual_unex = qual_rest & ~is_sp & unex_qual_b
+        qual_keep = (qual_rest & ~is_sp) | qual_first
+
+        flags = (rec_start.astype(jnp.int32)
+                 | seq_unex.astype(jnp.int32) << 1
+                 | seq_keep.astype(jnp.int32) << 2
+                 | is_lf << 3
+                 | (id_keep | qual_keep).astype(jnp.int32) << 4
+                 | (id_unex | qual_unex | com_unex).astype(jnp.int32) << 5
+                 | in_com.astype(jnp.int32) << 6
+                 | qual_line.astype(jnp.int32) << 7)
+        flags_ref[:] = flags.astype(jnp.uint8)
+        sval_ref[:] = jnp.where(
+            id_unex, C.REPLACEMENT_NAME,
+            jnp.where(seq_unex, repl,
+                      jnp.where(qual_unex, C.REPLACEMENT_QUAL,
+                                b))).astype(jnp.uint8)
+
+        carry[0] = _extract(state, _ROWS - 1, _LANES - 1)
+        carry[1] = _extract(is_lf, _ROWS - 1, _LANES - 1)
+        carry[2] = (carry[2] + _extract(cum_lf, _ROWS - 1, _LANES - 1)) & 3
+
+    return kernel
+
+
+@lazy_jit(static_argnames=("seq_type", "interpret"))
+def classify_fastq_fused(block, prev_byte, *, seq_type: int = C.SEQ_TYPE_DNA,
+                         interpret: bool = False):
+    """u8[B] -> (flags u8[B], stream/qual values u8[B]); see the kernel."""
+    B = block.shape[0]
+    pad = (-B) % _TILE
+    x = block
+    if pad:
+        x = jnp.concatenate([x, jnp.full(pad, 0x0A, jnp.uint8)])
+    g = x.shape[0] // _TILE
+    x2 = x.reshape(g * _ROWS, _LANES)
+    pe0 = jnp.asarray(T.IS_EOL)[prev_byte.astype(jnp.int32)]
+    scalars = jnp.stack([jnp.int32(_ID), pe0.astype(jnp.int32),
+                         jnp.int32(0)])
+    spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    flags, sval = pl.pallas_call(
+        _make_fastq_kernel(seq_type),
+        grid=(g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_shape=(jax.ShapeDtypeStruct((g * _ROWS, _LANES), jnp.uint8),
+                   jax.ShapeDtypeStruct((g * _ROWS, _LANES), jnp.uint8)),
+        out_specs=(spec, spec),
+        scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
+        interpret=interpret,
+    )(scalars, x2)
+    return flags.reshape(-1)[:B], sval.reshape(-1)[:B]
+
+
+def scan_fastq_fused(block, prev_byte, seq_type: int = C.SEQ_TYPE_DNA, *,
+                     interpret: bool = False) -> dict:
+    """Drop-in for ops.scan.scan_fastq_block built on the fused kernel."""
+    from . import scan as S
+
+    flags, sval = classify_fastq_fused(block, prev_byte, seq_type=seq_type,
+                                       interpret=interpret)
+    f = flags.astype(jnp.int32)
+    rec_start = (f & 1) != 0
+    seq_unex = (f & 2) != 0
+    seq_keep = (f & 4) != 0
+    is_eol = (f & 8) != 0
+    b45 = (f & 16) != 0
+    b5 = (f & 32) != 0
+    com_keep = (f & 64) != 0
+    is_qual = (f & 128) != 0
+    id_keep = b45 & ~is_qual
+    qual_keep = b45 & is_qual
+    id_unex = b5 & ~com_keep & ~is_qual
+    com_unex = b5 & com_keep
+    qual_unex = b5 & is_qual
+    return dict(
+        rec_start=rec_start,
+        stream_keep=seq_keep | id_unex,
+        stream_val=jnp.where(qual_unex, block, sval),
+        seq_keep=seq_keep,
+        is_eol=is_eol,
+        id_keep=id_keep,
+        id_unex=id_unex,
+        com_keep=com_keep,
+        com_unex=com_unex,
+        com_val=jnp.where(com_unex, jnp.uint8(C.REPLACEMENT_NAME), block),
+        qual_keep=qual_keep,
+        qual_unex=qual_unex,
+        qual_val=jnp.where(qual_unex, jnp.uint8(C.REPLACEMENT_QUAL), block),
+        hist_id=S._hist_cond(id_unex, block),
+        hist_comment=S._hist_cond(com_unex, block),
+        hist_seq=S._hist_cond(seq_unex, block),
+        hist_qual=S._hist_cond(qual_unex, block),
+    )
+
+
 def scan_fasta_fused(block, prev_byte, seq_type: int = C.SEQ_TYPE_DNA,
                      starts_in_seq=False, *, interpret: bool = False) -> dict:
     """Drop-in for ops.scan.scan_fasta_block built on the fused kernel.

@@ -182,7 +182,12 @@ def _scan_block(b, prev_byte, starts_in_seq, *, seq_type: int, fastq: bool,
     bits, one VMEM pass instead of the XLA-op formulation.
     """
     if fastq:
-        s = S.scan_fastq_block(b, prev_byte, seq_type=seq_type)
+        if pallas:
+            from ..ops.scan_fused import scan_fastq_fused
+
+            s = scan_fastq_fused(b, prev_byte, seq_type=seq_type)
+        else:
+            s = S.scan_fastq_block(b, prev_byte, seq_type=seq_type)
     else:
         if pallas:
             from ..ops.scan_fused import scan_fasta_fused

@@ -110,3 +110,61 @@ def test_empty_and_tiny():
     _assert_match(np.frombuffer(b"r\nA\n", np.uint8), ord(">"))
     _assert_match(np.frombuffer(b"\n", np.uint8), ord(">"))
     _assert_match(np.frombuffer(b"A", np.uint8), ord(">"))
+
+
+# ---------------------------------------------------------------------------
+# FASTQ fused kernel
+# ---------------------------------------------------------------------------
+
+FQ_KEYS = ("rec_start", "stream_keep", "stream_val", "seq_keep", "is_eol",
+           "id_keep", "id_unex", "com_keep", "com_unex", "com_val",
+           "qual_keep", "qual_unex", "qual_val",
+           "hist_id", "hist_comment", "hist_seq", "hist_qual")
+
+
+def _assert_fastq_match(body: np.ndarray, prev: int, seq_type: int = 0):
+    from naf_tpu.ops.scan_fused import scan_fastq_fused
+
+    o = S.scan_fastq_block(jnp.asarray(body), jnp.asarray(np.uint8(prev)),
+                           seq_type=seq_type)
+    f = scan_fastq_fused(jnp.asarray(body), jnp.asarray(np.uint8(prev)),
+                         seq_type=seq_type, interpret=True)
+    for k in FQ_KEYS:
+        a, b = np.asarray(o[k]), np.asarray(f[k])
+        assert np.array_equal(a, b), (
+            f"{k}: {int((a != b).sum())}/{a.size} mismatches")
+
+
+def _gen_fastq(rng, n_rec, max_len=200, alphabet=b"ACGTNacgtZz "):
+    rows = []
+    for i in range(n_rec):
+        ln = int(rng.integers(1, max_len))
+        seq = rng.choice(np.frombuffer(alphabet, np.uint8), size=ln).tobytes()
+        qual = rng.integers(28, 94, size=ln, dtype=np.uint8).tobytes()
+        com = b" c%d @x" % i if i % 3 else b""
+        rows.append(b"@read%d%s\n%s\n+\n%s\n" % (i, com, seq, qual))
+    return np.frombuffer(b"".join(rows), np.uint8)[1:]
+
+
+def test_fastq_multi_tile():
+    rng = np.random.default_rng(11)
+    _assert_fastq_match(_gen_fastq(rng, 1200), ord("@"))
+
+
+def test_fastq_long_reads_span_tiles():
+    """Single reads longer than a tile exercise the lane/sub carries."""
+    rng = np.random.default_rng(12)
+    body = _gen_fastq(rng, 4, max_len=2 * F._TILE // 3)
+    _assert_fastq_match(body, ord("@"))
+
+
+def test_fastq_weird_bytes():
+    """'@'/'+' inside quality strings, unexpected chars everywhere."""
+    rng = np.random.default_rng(13)
+    body = _gen_fastq(rng, 300, alphabet=b"ACGT@+>\x01~ acgt")
+    _assert_fastq_match(body, ord("@"))
+
+
+def test_fastq_lf_padding_tail():
+    body = np.frombuffer(b"r1\nACGT\n+\n!!!!\n" + b"\n" * 37, np.uint8)
+    _assert_fastq_match(body, ord("@"))

@@ -58,7 +58,7 @@ def main() -> int:
 
     n = 1 << int(os.environ.get("NAF_BENCH_DEVICE_LOG2", "25"))
     K = 32
-    KS = 8
+    KS = 32
 
     def pack_loop(x):
         def body(i, acc):
@@ -70,12 +70,16 @@ def main() -> int:
             return unpack_4bit_pallas_u16(p0 ^ (acc & 0xFF).astype(jnp.uint8))
         return jax.lax.fori_loop(0, K, body, jnp.zeros(n // 2, jnp.uint16))
 
+    from naf_tpu.ops.scan_fused import classify_fasta_fused
+
     def scan_loop(x0):
+        # O(1) loop glue: prev (the carried scalar) feeds the next call, so
+        # iterations serialize without any n-sized xor/reduce pass that
+        # would bill HBM traffic to the kernel being measured
         def body(i, carry):
             acc, prev = carry
-            s = S.scan_fasta_block(x0 ^ acc, prev)
-            cnt = jnp.sum(s["stream_keep"].astype(jnp.int32))
-            return (cnt % 2).astype(jnp.uint8), s["stream_val"][0]
+            flags, sval = classify_fasta_fused(x0, prev, False, seq_type=0)
+            return acc ^ flags[0], sval[0]
         return jax.lax.fori_loop(
             0, KS, body, (jnp.uint8(0), jnp.uint8(ord(">"))))
 
@@ -86,6 +90,20 @@ def main() -> int:
 
     # ---- raw per-block kernels at bucketed production sizes ---------------
     print("scan blocks:")
+    from naf_tpu.ops.scan_fused import classify_fastq_fused
+
+    for log2 in (20, 22, 24, 25):
+        compile_one(
+            f"classify_fused 2^{log2}",
+            lambda x0: classify_fasta_fused(x0, jnp.uint8(ord(">")), False,
+                                            seq_type=0),
+            aval((1 << log2,)))
+    for log2 in (22, 24, 25):
+        compile_one(
+            f"classify_fastq_fused 2^{log2}",
+            lambda x0: classify_fastq_fused(x0, jnp.uint8(ord("@")),
+                                            seq_type=0),
+            aval((1 << log2,)))
     for log2 in (20, 22, 24, 25, 26):
         compile_one(
             f"scan_fasta 2^{log2}",
