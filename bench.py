@@ -869,6 +869,26 @@ def _guard(name: str, est_s: float, fn, *args) -> dict:
         return {}
 
 
+def _run_prewarm(env, budget_s: float) -> bool:
+    """Chipless AOT prewarm of every device shape (tools/prewarm_tpu_cache):
+    a cold compile through the axon tunnel is slow and can wedge the shared
+    compile helper, so every compile moved here is budget AND risk removed
+    from the chip run.  ~85 s cold on this 2-core host, meta-cached."""
+    try:
+        t0 = time.monotonic()
+        r = subprocess.run(
+            [sys.executable,
+             str(REPO / "tools" / "prewarm_tpu_cache.py"), "--e2e"],
+            env=dict(env, JAX_PLATFORMS="cpu"),
+            capture_output=True, timeout=budget_s)
+        emit({"note": f"prewarm rc={r.returncode} "
+                      f"{round(time.monotonic() - t0, 1)}s"})
+        return r.returncode == 0
+    except Exception as e:
+        emit({"note": f"prewarm skipped: {type(e).__name__}"})
+        return False
+
+
 def device_sections_child(env) -> dict:
     """Run the TPU sections in a subprocess the parent can actually kill.
 
@@ -880,6 +900,8 @@ def device_sections_child(env) -> dict:
     killed and whatever rows it printed are kept.
     """
     t_budget = max(60, min(remaining() - 185, 200))
+    # NAF_BENCH_PREWARMED rides env when the parent's prewarm succeeded;
+    # otherwise the child retries its own (shorter) prewarm
     sub = dict(env, NAF_BENCH_DEVICE_ONLY="1",
                NAF_BENCH_BUDGET_S=str(int(t_budget)))
     out: dict = {}
@@ -930,19 +952,9 @@ def device_only_mode() -> None:
 
     emit = emit_stdout
     env = dict(os.environ, TMPDIR="/tmp")
-    if not os.environ.get("NAF_BENCH_NO_PREWARM"):
-        try:
-            t0 = time.monotonic()
-            r = subprocess.run(
-                [sys.executable,
-                 str(REPO / "tools" / "prewarm_tpu_cache.py"), "--e2e"],
-                env=dict(env, JAX_PLATFORMS="cpu"),
-                capture_output=True,
-                timeout=max(30, min(120, remaining() - 90)))
-            emit({"note": f"prewarm rc={r.returncode} "
-                          f"{round(time.monotonic() - t0, 1)}s"})
-        except Exception as e:
-            emit({"note": f"prewarm skipped: {type(e).__name__}"})
+    if not os.environ.get("NAF_BENCH_NO_PREWARM") \
+            and not os.environ.get("NAF_BENCH_PREWARMED"):
+        _run_prewarm(env, max(30, min(120, remaining() - 90)))
     try:
         bench_device_e2e(env)
     except Exception as e:
@@ -975,9 +987,14 @@ def main() -> None:
 
     env = dict(os.environ, TMPDIR="/tmp")
 
-    # priority order: headline first, then the on-chip rows and the scaling
-    # row (the round's must-haves), then the secondary host configs —
-    # starvation eats the tail, so the contract rows come first
+    # priority order: prewarm (so the chip run is a pure cache load and the
+    # child's budget goes to measurement), headline, then the on-chip rows
+    # and the scaling row (the round's must-haves), then the secondary host
+    # configs — starvation eats the tail, so the contract rows come first
+    if not os.environ.get("NAF_BENCH_NO_DEVICE") \
+            and not os.environ.get("NAF_BENCH_NO_PREWARM"):
+        if _run_prewarm(env, max(30, min(150, BUDGET * 0.3))):
+            env["NAF_BENCH_PREWARMED"] = "1"
     _guard("core", 0, bench_core, env)          # always runs
     if not os.environ.get("NAF_BENCH_NO_DEVICE"):
         HEADLINE.update(_guard("device", 90, device_sections_child, env))

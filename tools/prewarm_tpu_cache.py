@@ -146,38 +146,77 @@ def prewarm_e2e(topo) -> None:
     from naf_tpu.pipeline import parser as PP
 
     mb = int(os.environ.get("NAF_BENCH_DEVICE_E2E_MB", "16"))
-    data = gen_fasta(mb)
-    fmt, marker = PP.detect_format(data)
-    body = np.frombuffer(data, np.uint8)[marker + 1:]
-    blocks = make_blocks(body, 1)
 
-    # caps via a CPU trial of pass 1 (same math as encode_sharded)
-    cmesh = Mesh(np.asarray(jax.devices("cpu")[:1]), (BLOCK_AXIS,))
-    st = stats_blocks_sharded(
-        jnp.asarray(blocks.data), jnp.asarray(blocks.prev),
-        jnp.asarray(blocks.starts_in_seq),
-        seq_type=0, fastq=False, mesh=cmesh)
-    (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
-     _fl, _lg) = [np.asarray(o) for o in st[:9]]
-    caps = dict(
-        p_cap=PL._bucket(int((counts + 1).max(initial=2) // 2) + 1),
-        id_cap=PL._bucket(max(int(id_bytes.max(initial=1)), 1)),
-        com_cap=PL._bucket(max(int(com_bytes.max(initial=1)), 1)),
-        r_cap=PL._bucket(int(n_rec.max(initial=0)) + 1),
-        m_cap=PL._bucket(max(int(n_runs.max(initial=2)), 2)),
-        q_cap=16)
+    # ---- shape/caps metadata cache: the CPU trial + decode replay cost
+    # ~60 s on this 2-core host, which starved the bench child's budget in
+    # rehearsal.  Shapes and caps are pure functions of (source, mb), so a
+    # source-hashed JSON makes warm reruns pure compile-cache validations.
+    import hashlib
+    import json
+    from pathlib import Path
+
+    repo = Path(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    h = hashlib.md5()
+    for f in ("naf_tpu/parallel/block.py", "naf_tpu/parallel/pipeline.py",
+              "naf_tpu/parallel/decode.py", "naf_tpu/ops/scan.py",
+              "naf_tpu/ops/scan_fused.py", "naf_tpu/ops/compact.py",
+              "naf_tpu/ops/pack.py", "bench.py"):
+        h.update((repo / f).read_bytes())
+    meta_key = f"{mb}:{h.hexdigest()}"
+    meta_path = Path(os.path.expanduser("~/.cache/naf_tpu_jax")) /         "prewarm_meta.json"
+    meta = None
+    try:
+        m = json.loads(meta_path.read_text())
+        if m.get("key") == meta_key:
+            meta = m
+    except Exception:
+        pass
+
+    if meta is None:
+        data = gen_fasta(mb)
+        fmt, marker = PP.detect_format(data)
+        body = np.frombuffer(data, np.uint8)[marker + 1:]
+        blocks = make_blocks(body, 1)
+
+        # caps via a CPU trial of pass 1 (same math as encode_sharded)
+        cmesh = Mesh(np.asarray(jax.devices("cpu")[:1]), (BLOCK_AXIS,))
+        st = stats_blocks_sharded(
+            jnp.asarray(blocks.data), jnp.asarray(blocks.prev),
+            jnp.asarray(blocks.starts_in_seq),
+            seq_type=0, fastq=False, mesh=cmesh)
+        (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
+         _fl, _lg) = [np.asarray(o) for o in st[:9]]
+        caps = dict(
+            p_cap=PL._bucket(int((counts + 1).max(initial=2) // 2) + 1),
+            id_cap=PL._bucket(max(int(id_bytes.max(initial=1)), 1)),
+            com_cap=PL._bucket(max(int(com_bytes.max(initial=1)), 1)),
+            r_cap=PL._bucket(int(n_rec.max(initial=0)) + 1),
+            m_cap=PL._bucket(max(int(n_runs.max(initial=2)), 2)),
+            q_cap=16)
+        shapes_meta = dict(
+            key=meta_key, caps=caps,
+            blocks=[list(blocks.data.shape), "uint8"],
+            prev=[list(blocks.prev.shape), str(blocks.prev.dtype)],
+            sis=[list(blocks.starts_in_seq.shape),
+                 str(blocks.starts_in_seq.dtype)],
+            odd=[list(np.asarray(st[1]).shape), str(np.asarray(st[1]).dtype)])
+    else:
+        caps = meta["caps"]
+        shapes_meta = meta
     print(f"e2e caps: {caps}")
 
     tmesh = topologies.make_mesh(topo, (1,), (BLOCK_AXIS,))
     shd = NamedSharding(tmesh, P(BLOCK_AXIS))
-    a_blocks = jax.ShapeDtypeStruct(blocks.data.shape, jnp.uint8,
+
+    def sds(entry):
+        shape, dtype = entry
+        return jax.ShapeDtypeStruct(tuple(shape), jnp.dtype(dtype),
                                     sharding=shd)
-    a_prev = jax.ShapeDtypeStruct(blocks.prev.shape, blocks.prev.dtype,
-                                  sharding=shd)
-    a_sis = jax.ShapeDtypeStruct(blocks.starts_in_seq.shape,
-                                 blocks.starts_in_seq.dtype, sharding=shd)
-    a_odd = jax.ShapeDtypeStruct(np.asarray(st[1]).shape,
-                                 np.asarray(st[1]).dtype, sharding=shd)
+
+    a_blocks = sds(shapes_meta["blocks"])
+    a_prev = sds(shapes_meta["prev"])
+    a_sis = sds(shapes_meta["sis"])
+    a_odd = sds(shapes_meta["odd"])
     t0 = time.time()
     stats_blocks_sharded.lower(a_blocks, a_prev, a_sis, seq_type=0,
                                fastq=False, mesh=tmesh).compile()
@@ -188,22 +227,37 @@ def prewarm_e2e(topo) -> None:
     print(f"  e2e emit pass: {time.time() - t0:.1f}s")
 
     # ---- device decode (render) buckets: replay on CPU, compile on topo ---
-    import io
-
     from naf_tpu.parallel import decode as DD
-    from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
-    from naf_tpu.pipeline.encoder import EncodeOptions, encode
 
-    blob, _ = encode(data, EncodeOptions(level=1))
-    DD._COMPILE_LOG = log = []
-    try:
-        Decoder(io.BytesIO(blob), DecodeOptions()).fasta_device(mesh=cmesh)
-    finally:
-        DD._COMPILE_LOG = None
+    if meta is None:
+        import io
+
+        from naf_tpu.pipeline.decoder import DecodeOptions, Decoder
+        from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+        blob, _ = encode(data, EncodeOptions(level=1))
+        DD._COMPILE_LOG = log = []
+        try:
+            Decoder(io.BytesIO(blob),
+                    DecodeOptions()).fasta_device(mesh=cmesh)
+        finally:
+            DD._COMPILE_LOG = None
+        entries = list(dict.fromkeys(log))
+        shapes_meta["render"] = [
+            [list(key), [[list(s), d] for s, d in shapes]]
+            for key, shapes in entries]
+        try:
+            meta_path.parent.mkdir(parents=True, exist_ok=True)
+            meta_path.write_text(json.dumps(shapes_meta))
+        except Exception:
+            pass
+    else:
+        entries = [(tuple(key), tuple((tuple(s), d) for s, d in shapes))
+                   for key, shapes in meta["render"]]
     shard = NamedSharding(tmesh, P(BLOCK_AXIS))
     repl = NamedSharding(tmesh, P())
-    for key, shapes in dict.fromkeys(log):      # unique, order-preserving
-        avals = [jax.ShapeDtypeStruct(s, jnp.dtype(d),
+    for key, shapes in entries:
+        avals = [jax.ShapeDtypeStruct(tuple(s), jnp.dtype(d),
                                       sharding=shard if i < 3 else repl)
                  for i, (s, d) in enumerate(shapes)]
         t0 = time.time()
