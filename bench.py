@@ -730,8 +730,8 @@ def _device_pipeline_rate(data: bytes, mesh) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from naf_tpu.parallel.block import (emit_blocks_sharded, make_blocks,
-                                        stats_blocks_sharded)
+    from naf_tpu.parallel.block import (emit_blocks_packed, make_blocks,
+                                        stats_blocks_packed, unpack_stats)
     from naf_tpu.parallel.mesh import block_sharding
     from naf_tpu.parallel.pipeline import _bucket
     from naf_tpu.pipeline import parser as P
@@ -745,10 +745,11 @@ def _device_pipeline_rate(data: bytes, mesh) -> dict:
     sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
 
     def passes():
-        st = stats_blocks_sharded(blocks_d, prev_d, sis_d,
-                                  seq_type=0, fastq=False, mesh=mesh)
+        st_packed, odd_d = stats_blocks_packed(
+            blocks_d, prev_d, sis_d, seq_type=0, fastq=False, mesh=mesh)
+        scalars, _hists = unpack_stats(st_packed)   # one fetch
         (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
-         _fl, _lg) = [np.asarray(o) for o in st[:9]]
+         _fl, _lg) = scalars
         caps = dict(
             p_cap=_bucket(int((counts + 1).max(initial=2) // 2) + 1),
             id_cap=_bucket(max(int(id_bytes.max(initial=1)), 1)),
@@ -756,9 +757,10 @@ def _device_pipeline_rate(data: bytes, mesh) -> dict:
             r_cap=_bucket(int(n_rec.max(initial=0)) + 1),
             m_cap=_bucket(max(int(n_runs.max(initial=2)), 2)),
             q_cap=16)
-        em = emit_blocks_sharded(blocks_d, prev_d, sis_d, st[1],
-                                 seq_type=0, fastq=False, mesh=mesh, **caps)
-        return np.asarray(em[2])[:1]      # host fetch = true barrier
+        pay, meta = emit_blocks_packed(blocks_d, prev_d, sis_d, odd_d,
+                                       seq_type=0, fastq=False, mesh=mesh,
+                                       **caps)
+        return np.asarray(meta[:, :1])    # host fetch = true barrier
 
     passes()                              # warm-up (compiles are cached)
     t, _ = _best(passes, reps=3)

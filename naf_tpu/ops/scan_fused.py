@@ -275,6 +275,90 @@ def classify_fasta_fused(block, prev_byte, starts_in_seq=False, *,
     return flags.reshape(-1)[:B], sval.reshape(-1)[:B]
 
 
+_NEGBIG = -(1 << 30)
+
+
+def _make_scan_kernel(op: str):
+    """Inclusive 1-D prefix scan (add/max) over an i32 stream: lane+row
+    Hillis-Steele per tile, SMEM carry across the sequential grid.
+
+    The XLA formulations (MXU tril-matmul cumsum, lane-shift max-scan in
+    ops.scan) measure ~0.4 GB/s on v5e and dominated BOTH sharded passes
+    (stats 211 ms / emit 237 ms of a 16 MB block); this kernel runs at
+    VPU speed with one extra i32 stream of output.
+    """
+    add = op == "add"
+    ident = 0 if add else _NEGBIG
+
+    def comb(a, b):
+        return a + b if add else jnp.maximum(a, b)
+
+    def kernel(x_ref, o_ref, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[0] = ident
+
+        x = x_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0)
+        p = x
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            sh = jnp.roll(p, s, axis=1)
+            p = comb(p, jnp.where(lane >= s, sh, ident))
+        t = jnp.broadcast_to(
+            jax.lax.slice(p, (0, _LANES - 1), (_ROWS, _LANES)),
+            (_ROWS, _LANES))
+        s = 1
+        while s < _ROWS:
+            sh = jnp.roll(t, s, axis=0)
+            t = comb(t, jnp.where(row >= s, sh, ident))
+            s *= 2
+        rc = jnp.roll(t, 1, axis=0)
+        rc = jnp.where(row == 0, ident, rc)
+        out = comb(comb(p, rc), jnp.full((_ROWS, _LANES), 1, jnp.int32)
+                   * carry[0])
+        o_ref[:] = out
+        carry[0] = _extract(out, _ROWS - 1, _LANES - 1)
+
+    return kernel
+
+
+def _scan_1d(x, op: str, interpret: bool = False):
+    n = x.shape[0]
+    ident = 0 if op == "add" else _NEGBIG
+    pad = (-n) % _TILE
+    if pad:
+        x = jnp.concatenate([x, jnp.full(pad, ident, jnp.int32)])
+    g = x.shape[0] // _TILE
+    x2 = x.reshape(g * _ROWS, _LANES)
+    spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _make_scan_kernel(op),
+        grid=(g,),
+        in_specs=[spec],
+        out_shape=jax.ShapeDtypeStruct((g * _ROWS, _LANES), jnp.int32),
+        out_specs=spec,
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(x2)
+    return out.reshape(-1)[:n]
+
+
+@lazy_jit(static_argnames=("interpret",))
+def cumsum_i32_pallas(x, interpret: bool = False):
+    """Inclusive prefix sum of an i32 (or castable) 1-D array."""
+    return _scan_1d(x.astype(jnp.int32), "add", interpret)
+
+
+@lazy_jit(static_argnames=("interpret",))
+def maxscan_i32_pallas(x, interpret: bool = False):
+    """Inclusive prefix max of an i32 1-D array."""
+    return _scan_1d(x.astype(jnp.int32), "max", interpret)
+
+
 def _make_fastq_kernel(seq_type: int):
     """Fused FASTQ classify: lane = (#LFs so far) % 4 via a sum-scan, and
     the header id/comment split via the same transition monoid as FASTA

@@ -80,14 +80,14 @@ def _record_bounds(rec_start, r_cap: int, pallas: bool = False):
     return jnp.concatenate([jnp.zeros(1, jnp.int32), starts_r])
 
 
-def _segment_sum_bounds(mask, bnd):
+def _segment_sum_bounds(mask, bnd, pallas: bool = False):
     """i32[r_cap]: per-record mask counts via boundary gathers.
 
     The scatter formulation processes an n-sized index vector at ~0.1 GB/s
-    on TPU; here each segment sum is one n-sized prefix count (MXU) plus two
-    r_cap-sized gathers from it.
+    on TPU; here each segment sum is one n-sized prefix count (Pallas scan
+    on TPU meshes, MXU tril elsewhere) plus two r_cap-sized gathers.
     """
-    cum = S._cumsum_i32(mask)
+    cum = S.cumsum_best(mask, pallas)
     E = jnp.concatenate([jnp.zeros(1, jnp.int32), cum])   # E[i] = count < i
     return E[bnd[1:]] - E[bnd[:-1]]
 
@@ -129,7 +129,7 @@ def _run_stats(lower, count):
     return lower[0] & (count > 0), n_runs
 
 
-def _run_stats_uncompacted(keep, val):
+def _run_stats_uncompacted(keep, val, pallas: bool = False):
     """(first_lower, n_runs) of the kept stream WITHOUT compacting it.
 
     Pass 1 only needs the run count and the first byte's case; both derive
@@ -140,13 +140,13 @@ def _run_stats_uncompacted(keep, val):
     lower = keep & (val >= 96)
     pos = jnp.arange(B, dtype=jnp.int32)
     enc = jnp.where(keep, pos * 2 + lower.astype(jnp.int32), S._NEG)
-    m = S._chunk_max_scan(enc)
+    m = S.maxscan_best(enc, pallas)
     m_excl = jnp.concatenate([jnp.full((1,), S._NEG, jnp.int32), m[:-1]])
     has_prev = m_excl >= 0
     prev_lower = (m_excl & 1) == 1
     change = keep & has_prev & (lower != prev_lower)
     n_changes = jnp.sum(change.astype(jnp.int32))
-    cum_keep = S._cumsum_i32(keep)
+    cum_keep = S.cumsum_best(keep, pallas)
     cnt = cum_keep[-1]
     n_runs = jnp.where(cnt > 0, n_changes + 1, 0)
     first_lower = jnp.any(keep & (cum_keep == 1) & lower)
@@ -226,7 +226,7 @@ def _stats_fn(block, prev_byte, sis, *, seq_type: int, fastq: bool,
     odd = (prefix % 2) == 1
 
     first_lower, n_runs = _run_stats_uncompacted(
-        s["stream_keep"], s["stream_val"])
+        s["stream_keep"], s["stream_val"], pallas)
 
     id_bytes = jnp.sum(s["id_keep"].astype(jnp.int32))
     com_bytes = jnp.sum(s["com_keep"].astype(jnp.int32))
@@ -237,7 +237,8 @@ def _stats_fn(block, prev_byte, sis, *, seq_type: int, fastq: bool,
     # blocks and only lane-1 bytes are seq_keep, the same per-line kept-max
     # + pmax covers both formats in pass 1 (no host derivation needed)
     longest = jax.lax.pmax(
-        S.longest_line_block(s["seq_keep"], s["is_eol"]), BLOCK_AXIS)
+        S.longest_line_block(s["seq_keep"], s["is_eol"], pallas=pallas),
+        BLOCK_AXIS)
 
     hists = []
     for key in ("hist_id", "hist_comment", "hist_seq", "hist_qual"):
@@ -266,6 +267,100 @@ def stats_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
         check_vma=False,
     )
     return fn(blocks, prev_bytes, starts_in_seq)
+
+
+#: packed stats row layout: 9 scalars + 8 psum'd histogram halves (256 each)
+_STATS_ROW = 9 + 8 * 256
+
+
+@functools.partial(jax.jit, static_argnames=("seq_type", "fastq", "mesh"))
+def stats_blocks_packed(blocks, prev_bytes, starts_in_seq, *,
+                        seq_type: int, fastq: bool, mesh: Mesh):
+    """Pass 1 with ONE output array: i32[D, _STATS_ROW].
+
+    Through the axon dev tunnel every device->host fetch costs a ~12 ms
+    round trip, so the tuple variant's 17 outputs spent ~200 ms on fetch
+    latency alone (measured; the actual pass-1 compute is ~15 ms for a
+    16 MB block).  Packing on device makes the host read one buffer.
+    """
+    pallas = mesh.devices.flat[0].platform == "tpu"
+
+    def fn(block, prev_byte, sis):
+        out = _stats_fn(block, prev_byte, sis, seq_type=seq_type,
+                        fastq=fastq, pallas=pallas)
+        parts = [o.astype(jnp.int32).reshape(1, -1) for o in out]
+        # odd also returned as a device array: pass 2 consumes it directly
+        # (saves the host->device re-upload round trip)
+        return jnp.concatenate(parts, axis=1), out[1]
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)), check_vma=False,
+    )(blocks, prev_bytes, starts_in_seq)
+
+
+def unpack_stats(packed_np: np.ndarray):
+    """i32[D, _STATS_ROW] -> the tuple layout of stats_blocks_sharded."""
+    p = np.asarray(packed_np)
+    scalars = [p[:, i] for i in range(9)]
+    scalars[1] = scalars[1].astype(bool)          # odd
+    scalars[7] = scalars[7].astype(bool)          # first_lower
+    hists = [p[:, 9 + k * 256: 9 + (k + 1) * 256].astype(np.uint32)
+             for k in range(8)]
+    return scalars, hists
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "seq_type", "fastq", "mesh", "p_cap", "id_cap", "com_cap", "r_cap",
+    "m_cap", "q_cap", "pack_nibbles"))
+def emit_blocks_packed(blocks, prev_bytes, starts_in_seq, odd, *,
+                       seq_type: int, fastq: bool, mesh: Mesh,
+                       p_cap: int, id_cap: int, com_cap: int, r_cap: int,
+                       m_cap: int, q_cap: int, pack_nibbles: bool = True):
+    """Pass 2 with TWO outputs (payload u8, metadata i32) — two fetches
+    instead of eleven (same tunnel-latency rationale as pass 1).
+
+    payload row: packed | id_vals | com_vals | qual_vals | first_code
+    meta row:    cnt | seq_lens | id_lens | com_lens | qual_lens | run_lens
+    """
+    pallas_pack = mesh.devices.flat[0].platform == "tpu"
+
+    def fn(block, prev_byte, sis, o):
+        (packed, first_code, cnt, id_vals, com_vals, qual_vals, seq_lens,
+         id_lens, com_lens, qual_lens, run_lens) = _emit_fn(
+            block, prev_byte, sis, o, seq_type=seq_type, fastq=fastq,
+            p_cap=p_cap, id_cap=id_cap, com_cap=com_cap, r_cap=r_cap,
+            m_cap=m_cap, q_cap=q_cap, pallas_pack=pallas_pack,
+            pack_nibbles=pack_nibbles)
+        payload = jnp.concatenate(
+            [packed[0], id_vals[0], com_vals[0], qual_vals[0],
+             first_code.reshape(1).astype(jnp.uint8)])[None]
+        meta = jnp.concatenate(
+            [cnt.reshape(1), seq_lens[0], id_lens[0], com_lens[0],
+             qual_lens[0], run_lens[0]]).astype(jnp.int32)[None]
+        return payload, meta
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),) * 4,
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)), check_vma=False,
+    )(blocks, prev_bytes, starts_in_seq, odd)
+
+
+def unpack_emit(payload_np, meta_np, *, p_cap, id_cap, com_cap, r_cap,
+                m_cap, q_cap):
+    """(payload, meta) rows -> the 11-tuple layout of emit_blocks_sharded."""
+    pay = np.asarray(payload_np)
+    met = np.asarray(meta_np)
+    o0, o1, o2, o3 = (p_cap, p_cap + id_cap, p_cap + id_cap + com_cap,
+                      p_cap + id_cap + com_cap + q_cap)
+    rc = r_cap
+    m0, m1, m2, m3, m4 = 1, 1 + rc, 1 + 2 * rc, 1 + 3 * rc, 1 + 4 * rc
+    return [pay[:, :p_cap], pay[:, o3], met[:, 0],
+            pay[:, o0:o1], pay[:, o1:o2], pay[:, o2:o3],
+            met[:, m0:m1], met[:, m1:m2], met[:, m2:m3], met[:, m3:m4],
+            met[:, m4:m4 + m_cap]]
 
 
 # ---------------------------------------------------------------------------
@@ -301,9 +396,9 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
                                    pallas_pack)[0], com_cap)
 
     bnd = _record_bounds(s["rec_start"], r_cap, pallas_pack)
-    seq_lens = _segment_sum_bounds(s["seq_keep"], bnd)
-    id_lens = _segment_sum_bounds(s["id_keep"], bnd)
-    com_lens = _segment_sum_bounds(s["com_keep"], bnd)
+    seq_lens = _segment_sum_bounds(s["seq_keep"], bnd, pallas_pack)
+    id_lens = _segment_sum_bounds(s["id_keep"], bnd, pallas_pack)
+    com_lens = _segment_sum_bounds(s["com_keep"], bnd, pallas_pack)
 
     lower = (seq_c >= 96) & (jnp.arange(seq_c.shape[0]) < cnt)
     run_lens = _run_lengths(lower, cnt, m_cap, pallas_pack)
@@ -311,7 +406,7 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
     if fastq:
         qual_vals = _fit(S.compact_best(s["qual_keep"], s["qual_val"],
                                        pallas_pack)[0], q_cap)
-        qual_lens = _segment_sum_bounds(s["qual_keep"], bnd)
+        qual_lens = _segment_sum_bounds(s["qual_keep"], bnd, pallas_pack)
     else:
         qual_vals = jnp.zeros(q_cap, jnp.uint8)
         qual_lens = jnp.zeros(r_cap, jnp.int32)

@@ -31,8 +31,9 @@ from ..format import constants as C
 from ..pipeline import parser as P
 from ..pipeline.encoder import EncodeOptions, EncodeStats, build_archive
 from .block import (
-    blob_from_lens, emit_blocks_sharded, make_blocks, make_blocks_fastq,
-    stats_blocks_sharded, stitch_lengths, stitch_packed, stitch_runs,
+    blob_from_lens, emit_blocks_packed, make_blocks, make_blocks_fastq,
+    stats_blocks_packed, stitch_lengths, stitch_packed, stitch_runs,
+    unpack_emit, unpack_stats,
 )
 
 
@@ -135,12 +136,12 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
         prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
         sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
 
-        st = stats_blocks_sharded(blocks_d, prev_d, sis_d,
-                                  seq_type=opts.seq_type, fastq=fastq,
-                                  mesh=mesh)
+        st_packed, odd_d = stats_blocks_packed(
+            blocks_d, prev_d, sis_d, seq_type=opts.seq_type, fastq=fastq,
+            mesh=mesh)
+        scalars, hists = unpack_stats(st_packed)   # ONE tunnel fetch
         (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
-         first_lower, longest) = [np.asarray(o) for o in st[:9]]
-        hists = [np.asarray(o) for o in st[9:]]
+         first_lower, longest) = scalars
 
         # --strict dies at the FIRST unexpected char with its exact
         # position-dependent message (process.c:121-129): pass-1 histograms
@@ -162,12 +163,13 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
         q_cap = (_bucket(max(int(qual_bytes.max(initial=1)), 1))
                  if fastq else 16)
 
-        em = emit_blocks_sharded(
-            blocks_d, prev_d, sis_d, st[1],
+        caps = dict(p_cap=p_cap, id_cap=id_cap, com_cap=com_cap,
+                    r_cap=r_cap, m_cap=m_cap, q_cap=q_cap)
+        pay, meta = emit_blocks_packed(
+            blocks_d, prev_d, sis_d, odd_d,
             seq_type=opts.seq_type, fastq=fastq, mesh=mesh,
-            p_cap=p_cap, id_cap=id_cap, com_cap=com_cap, r_cap=r_cap,
-            m_cap=m_cap, q_cap=q_cap, pack_nibbles=not text_like)
-        em_np = [np.asarray(o) for o in em]
+            pack_nibbles=not text_like, **caps)
+        em_np = unpack_emit(pay, meta, **caps)     # TWO tunnel fetches
     except P.InputError:
         raise                               # user-facing parse errors
     except Exception as e:

@@ -243,7 +243,7 @@ class TestPerBlockRetry:
         def boom(*a, **k):
             raise RuntimeError("injected device fault")
 
-        monkeypatch.setattr(PP, "stats_blocks_sharded", boom)
+        monkeypatch.setattr(PP, "stats_blocks_packed", boom)
         with pytest.warns(UserWarning, match="falling back to the host"):
             blob, _ = encode_sharded(data, EncodeOptions())
         assert blob == ref

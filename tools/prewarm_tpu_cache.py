@@ -141,8 +141,9 @@ def prewarm_e2e(topo) -> None:
     from bench import gen_fasta
     from naf_tpu.parallel import pipeline as PL
     from naf_tpu.parallel.block import (BLOCK_AXIS, make_blocks,
-                                        emit_blocks_sharded,
-                                        stats_blocks_sharded)
+                                        emit_blocks_packed,
+                                        stats_blocks_packed,
+                                        stats_blocks_sharded, unpack_stats)
     from naf_tpu.pipeline import parser as PP
 
     mb = int(os.environ.get("NAF_BENCH_DEVICE_E2E_MB", "16"))
@@ -180,12 +181,12 @@ def prewarm_e2e(topo) -> None:
 
         # caps via a CPU trial of pass 1 (same math as encode_sharded)
         cmesh = Mesh(np.asarray(jax.devices("cpu")[:1]), (BLOCK_AXIS,))
-        st = stats_blocks_sharded(
+        st_packed, odd_d = stats_blocks_packed(
             jnp.asarray(blocks.data), jnp.asarray(blocks.prev),
             jnp.asarray(blocks.starts_in_seq),
             seq_type=0, fastq=False, mesh=cmesh)
         (counts, odd, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
-         _fl, _lg) = [np.asarray(o) for o in st[:9]]
+         _fl, _lg), _h = unpack_stats(st_packed)
         caps = dict(
             p_cap=PL._bucket(int((counts + 1).max(initial=2) // 2) + 1),
             id_cap=PL._bucket(max(int(id_bytes.max(initial=1)), 1)),
@@ -199,7 +200,8 @@ def prewarm_e2e(topo) -> None:
             prev=[list(blocks.prev.shape), str(blocks.prev.dtype)],
             sis=[list(blocks.starts_in_seq.shape),
                  str(blocks.starts_in_seq.dtype)],
-            odd=[list(np.asarray(st[1]).shape), str(np.asarray(st[1]).dtype)])
+            odd=[list(np.asarray(odd_d).shape),
+                 str(np.asarray(odd_d).dtype)])
     else:
         caps = meta["caps"]
         shapes_meta = meta
@@ -218,12 +220,12 @@ def prewarm_e2e(topo) -> None:
     a_sis = sds(shapes_meta["sis"])
     a_odd = sds(shapes_meta["odd"])
     t0 = time.time()
-    stats_blocks_sharded.lower(a_blocks, a_prev, a_sis, seq_type=0,
-                               fastq=False, mesh=tmesh).compile()
+    stats_blocks_packed.lower(a_blocks, a_prev, a_sis, seq_type=0,
+                              fastq=False, mesh=tmesh).compile()
     print(f"  e2e stats pass: {time.time() - t0:.1f}s")
     t0 = time.time()
-    emit_blocks_sharded.lower(a_blocks, a_prev, a_sis, a_odd, seq_type=0,
-                              fastq=False, mesh=tmesh, **caps).compile()
+    emit_blocks_packed.lower(a_blocks, a_prev, a_sis, a_odd, seq_type=0,
+                             fastq=False, mesh=tmesh, **caps).compile()
     print(f"  e2e emit pass: {time.time() - t0:.1f}s")
 
     # ---- device decode (render) buckets: replay on CPU, compile on topo ---
