@@ -2460,13 +2460,82 @@ static bool huf_stream_decode(const uint8_t *p, uint64_t n, const HufDec &d,
                               uint8_t *out, uint32_t count) {
   BackBits bb{p, n};
   if (!bb.init()) return false;
-  for (uint32_t i = 0; i < count; i++) {
-    uint32_t idx = bb.peek(d.log);
+  const int log = d.log;
+  const uint32_t mask = (1u << log) - 1;
+  uint32_t i = 0;
+  // fast loop: one unaligned 8-byte window per ~4-5 symbols instead of the
+  // per-symbol reload in peek_at (the decoder's dominant cost; same
+  // word-at-a-time trick as the encoder's BitW)
+  while (bb.bits >= 64 && i + 6 <= count) {
+    // window [base, base+64) with base+64 >= bits guaranteed: the load
+    // covers the top, and symbols decode until fewer than `log` bits of
+    // window remain below the cursor (~4 symbols per load at log 11)
+    int64_t b0 = (bb.bits >> 3) - 7;
+    uint64_t acc;
+    std::memcpy(&acc, p + b0, 8);
+    const int64_t base = b0 << 3;
+    const int64_t floor_bits = base + log;
+    while (bb.bits >= floor_bits && i < count) {
+      uint32_t idx = (uint32_t)(acc >> (bb.bits - log - base)) & mask;
+      out[i++] = d.sym[idx];
+      bb.bits -= d.nb[idx];
+    }
+  }
+  for (; i < count; i++) {               // tail: bounds-checked path
+    uint32_t idx = bb.peek(log);
     out[i] = d.sym[idx];
     bb.bits -= d.nb[idx];
   }
   return bb.bits >= 0;
 }
+
+// Lockstep decode of the 4 literal streams: four independent dependency
+// chains per iteration (the single-stream loop is latency-bound on the
+// table lookup chain; interleaving is where libzstd's 4X speed lives).
+static bool huf_stream_decode4(const uint8_t *q[4], const uint64_t qn[4],
+                               const HufDec &d, uint8_t *outp[4],
+                               const uint32_t cnt[4]) {
+  BackBits bb[4] = {{q[0], qn[0]}, {q[1], qn[1]}, {q[2], qn[2]},
+                    {q[3], qn[3]}};
+  for (int k = 0; k < 4; k++)
+    if (!bb[k].init()) return false;
+  const int log = d.log;
+  const uint32_t mask = (1u << log) - 1;
+  uint32_t i[4] = {0, 0, 0, 0};
+  for (;;) {
+    bool ok = true;
+    for (int k = 0; k < 4; k++)
+      ok &= (bb[k].bits >= 64) & (i[k] + 6 <= cnt[k]);
+    if (!ok) break;
+    uint64_t acc[4];
+    int64_t base[4];
+    for (int k = 0; k < 4; k++) {
+      int64_t b0 = (bb[k].bits >> 3) - 7;
+      std::memcpy(&acc[k], q[k] + b0, 8);
+      base[k] = b0 << 3;
+    }
+    // 4 rounds x 4 streams per window set (log <= 11 -> 44 bits < 56 ok)
+    for (int j = 0; j < 4; j++) {
+      for (int k = 0; k < 4; k++) {
+        uint32_t idx =
+            (uint32_t)(acc[k] >> (bb[k].bits - log - base[k])) & mask;
+        outp[k][i[k]++] = d.sym[idx];
+        bb[k].bits -= d.nb[idx];
+      }
+    }
+  }
+  bool good = true;
+  for (int k = 0; k < 4; k++) {
+    for (; i[k] < cnt[k]; i[k]++) {
+      uint32_t idx = bb[k].peek(log);
+      outp[k][i[k]] = d.sym[idx];
+      bb[k].bits -= d.nb[idx];
+    }
+    good &= bb[k].bits >= 0;
+  }
+  return good;
+}
+
 
 // ---- literals section -----------------------------------------------------
 
@@ -2553,11 +2622,11 @@ static int64_t decode_literals(const uint8_t *p, uint64_t n, uint8_t *lits,
     if (3 * r123 > rsize) return -1;     // stream 4 must be non-negative
     const uint8_t *q1 = q + 6, *q2 = q1 + s1, *q3 = q2 + s2, *q4 = q3 + s3;
     uint64_t s4 = rest - s1 - s2 - s3;
-    if (!huf_stream_decode(q1, s1, huf, lits, r123)) return -1;
-    if (!huf_stream_decode(q2, s2, huf, lits + r123, r123)) return -1;
-    if (!huf_stream_decode(q3, s3, huf, lits + 2 * r123, r123)) return -1;
-    if (!huf_stream_decode(q4, s4, huf, lits + 3 * r123, rsize - 3 * r123))
-      return -1;
+    const uint8_t *qs[4] = {q1, q2, q3, q4};
+    const uint64_t qns[4] = {s1, s2, s3, s4};
+    uint8_t *outs[4] = {lits, lits + r123, lits + 2 * r123, lits + 3 * r123};
+    const uint32_t cnts[4] = {r123, r123, r123, rsize - 3 * r123};
+    if (!huf_stream_decode4(qs, qns, huf, outs, cnts)) return -1;
   }
   *lit_n = rsize;
   return hdr + csize;
@@ -2696,15 +2765,53 @@ static int64_t decode_block(const uint8_t *p, uint64_t n, uint8_t *dst,
   if (bb.bits < 0) return -1;
 
   uint32_t lit_pos = 0;
+  // windowed fast reads: one 8-byte load per <=56-bit read group instead
+  // of a bounds-checked reload per field (the sequence loop was the
+  // decoder's second bottleneck after Huffman literals)
+  uint64_t w_acc = 0;
+  int64_t w_base = 0;
+  auto refill = [&]() {
+    int64_t b0 = (bb.bits >> 3) - 7;
+    std::memcpy(&w_acc, p + b0, 8);
+    w_base = b0 << 3;
+  };
+  auto rdf = [&](int nb) -> uint32_t {
+    bb.bits -= nb;
+    return (uint32_t)(w_acc >> (bb.bits - w_base)) &
+           (((uint32_t)1 << nb) - 1);
+  };
   for (uint32_t i = 0; i < nseq; i++) {
     uint8_t ofc = fc.of.t[s_of].sym;
     uint8_t mlc = fc.ml.t[s_ml].sym;
     uint8_t llc = fc.ll.t[s_ll].sym;
     if (ofc > 31 || mlc > 52 || llc > 35) return -1;
-    // extra-bit read order: OF, ML, LL (RFC 8878 §3.1.1.4)
-    uint64_t ofv = ((uint64_t)1 << ofc) + bb.read(ofc);
-    uint32_t ml = DML_BASE[mlc] + bb.read(DML_BITS[mlc]);
-    uint32_t ll = DLL_BASE[llc] + bb.read(DLL_BITS[llc]);
+    // bit order: OF, ML, LL extras (RFC 8878 §3.1.1.4), then the LL, ML,
+    // OF state updates — the rep logic between them consumes no bits, so
+    // both groups read together under one pair of window refills
+    uint64_t ofv;
+    uint32_t ml, ll;
+    uint32_t ns_ll = s_ll, ns_ml = s_ml, ns_of = s_of;
+    if (bb.bits >= 160) {
+      refill();                          // group 1: <= 31+16 = 47 bits
+      ofv = ((uint64_t)1 << ofc) + rdf(ofc);
+      ml = DML_BASE[mlc] + rdf(DML_BITS[mlc]);
+      refill();                          // group 2: <= 16+9+9+8 = 42 bits
+      ll = DLL_BASE[llc] + rdf(DLL_BITS[llc]);
+      if (i + 1 < nseq) {
+        ns_ll = fc.ll.t[s_ll].base + rdf(fc.ll.t[s_ll].nb);
+        ns_ml = fc.ml.t[s_ml].base + rdf(fc.ml.t[s_ml].nb);
+        ns_of = fc.of.t[s_of].base + rdf(fc.of.t[s_of].nb);
+      }
+    } else {
+      ofv = ((uint64_t)1 << ofc) + bb.read(ofc);
+      ml = DML_BASE[mlc] + bb.read(DML_BITS[mlc]);
+      ll = DLL_BASE[llc] + bb.read(DLL_BITS[llc]);
+      if (i + 1 < nseq) {
+        ns_ll = fc.ll.t[s_ll].base + bb.read(fc.ll.t[s_ll].nb);
+        ns_ml = fc.ml.t[s_ml].base + bb.read(fc.ml.t[s_ml].nb);
+        ns_of = fc.of.t[s_of].base + bb.read(fc.of.t[s_of].nb);
+      }
+    }
     if (bb.bits < 0) return -1;
 
     uint64_t offset;
@@ -2730,11 +2837,9 @@ static int64_t decode_block(const uint8_t *p, uint64_t n, uint8_t *dst,
       }
     }
 
-    if (i + 1 < nseq) {                  // state update order: LL, ML, OF
-      s_ll = fc.ll.t[s_ll].base + bb.read(fc.ll.t[s_ll].nb);
-      s_ml = fc.ml.t[s_ml].base + bb.read(fc.ml.t[s_ml].nb);
-      s_of = fc.of.t[s_of].base + bb.read(fc.of.t[s_of].nb);
-    }
+    s_ll = ns_ll;                        // states were read above, in order
+    s_ml = ns_ml;
+    s_of = ns_of;
 
     // execute: literals then match copy (overlap-aware)
     if (lit_pos + ll > lit_n || out + ll + ml > cap) return -1;
