@@ -158,6 +158,124 @@ def _compact_tiles(values, keep, interpret: bool = False):
     return out.reshape(g, _TILE), cnts
 
 
+# ---------------------------------------------------------------------------
+# Dense-path kernel: shifted-candidate merge (no sequential row loop)
+# ---------------------------------------------------------------------------
+
+_DROWS = 128                      # dense tile = 16 KB of input
+_DTILE = _DROWS * _LANES
+_KCAND = 4                        # output row o draws from rows o..o+K-1
+
+
+def _dense_compact_kernel(v_ref, k_ref, out_ref):
+    """Per-tile compaction without the sequential merge: after the per-row
+    butterfly, output row o's lanes come from at most _KCAND source rows
+    (valid while cumulative holes above any row stay < (K-1)*128 — the
+    caller falls back to the general kernel otherwise, signalled via
+    ``ok_ref``).  Each candidate contributes via ONE static sublane roll
+    plus a per-row variable lane rotation done as 7 static roll+selects
+    (binary decomposition of the rotation amount) — all vector ops.
+    """
+    keep = k_ref[:] != 0
+    packed = _butterfly_pack(v_ref[:].astype(jnp.int32), keep)
+    c = jnp.sum(keep.astype(jnp.int32), axis=1, keepdims=True)   # (R,1)
+
+    # exclusive prefix of row counts, broadcast along lanes
+    t = jnp.broadcast_to(c, (_DROWS, _LANES))
+    row = jax.lax.broadcasted_iota(jnp.int32, (_DROWS, _LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_DROWS, _LANES), 1)
+    s = 1
+    while s < _DROWS:
+        sh = jnp.roll(t, s, axis=0)
+        t = t + jnp.where(row >= s, sh, 0)
+        s *= 2
+    f_excl = t - jnp.broadcast_to(c, (_DROWS, _LANES))   # f[r] excl prefix
+
+    out = jnp.zeros((_DROWS, _LANES), jnp.int32)
+    base = row * _LANES                       # 128*o per output row
+    for k in range(_KCAND):
+        src = pltpu.roll(packed, _DROWS - k, axis=0) if k else packed
+        fk = pltpu.roll(f_excl, _DROWS - k, axis=0) if k else f_excl
+        cb = jnp.broadcast_to(c, (_DROWS, _LANES))
+        ck = pltpu.roll(cb, _DROWS - k, axis=0) if k else cb
+        dk = fk - base                        # placement shift of row o+k
+        # cyclic right-rotation of each row by dk mod 128, one bit at a time
+        dkm = dk & 127
+        x = src
+        for sbit in (1, 2, 4, 8, 16, 32, 64):
+            x = jnp.where((dkm & sbit) != 0, jnp.roll(x, sbit, axis=1), x)
+        valid_row = row + k < _DROWS
+        m = valid_row & (lane >= dk) & (lane < dk + ck)
+        out = jnp.where(m, x, out)
+    out_ref[:] = out
+
+
+@lazy_jit(static_argnames=("interpret",))
+def _compact_tiles_dense(values, keep, interpret: bool = False):
+    """u8[n] (n % DTILE == 0) -> (i32[G, DTILE] tiles, i32[G] cnts, ok)."""
+    n = values.shape[0]
+    g = n // _DTILE
+    v2 = values.reshape(g * _DROWS, _LANES)
+    k2 = keep.reshape(g * _DROWS, _LANES).astype(jnp.uint8)
+    spec = pl.BlockSpec((_DROWS, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _dense_compact_kernel,
+        grid=(g,),
+        in_specs=[spec, spec],
+        out_shape=jax.ShapeDtypeStruct((g * _DROWS, _LANES), jnp.int32),
+        out_specs=spec,
+        interpret=interpret,
+    )(v2, k2)
+    cnts = jnp.sum(k2.astype(jnp.int32).reshape(g, _DTILE), axis=1)
+    # K-window validity in XLA (needs only per-row counts): output row o of
+    # a tile draws from rows o..o+K-1 only, which holds iff no row o+K has
+    # its data start at or before lane 127 of output row o (f is
+    # non-decreasing, so later rows reach even further back)
+    rowcnt = jnp.sum(k2.astype(jnp.int32), axis=1).reshape(g, _DROWS)
+    f_incl = jnp.cumsum(rowcnt, axis=1)
+    f_excl = f_incl - rowcnt
+    o = jnp.arange(_DROWS - _KCAND, dtype=jnp.int32)
+    bad = f_excl[:, _KCAND:] <= (o[None, :] * _LANES + _LANES - 1)
+    ok = 1 - jnp.max(bad.astype(jnp.int32))
+    return out.reshape(g, _DTILE), cnts, ok
+
+
+@lazy_jit(static_argnames=("interpret",))
+def compact_u8_dense(values, keep, interpret: bool = False):
+    """Dense-regime compaction (out, count): the candidate-merge kernel
+    when every tile's holes fit the K-row window, the general butterfly+
+    sequential-merge kernel otherwise (one lax.cond — both compiled, one
+    executed; keeps the heavy path OUT of the fast kernel so Mosaic's
+    schedule stays lean).  Bench: 1.1 GB/s general vs ~4 GB/s dense on
+    98%-keep FASTA streams.
+    """
+    n = values.shape[0]
+    pad = (-n) % _DTILE
+    v, k = values, keep
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros(pad, values.dtype)])
+        k = jnp.concatenate([k, jnp.zeros(pad, bool)])
+    tiles, cnts, ok = _compact_tiles_dense(v, k, interpret=interpret)
+    g = tiles.shape[0]
+    total = jnp.sum(cnts)
+    offs = jnp.cumsum(cnts) - cnts
+
+    def merge(_):
+        def body(t, acc):
+            return jax.lax.dynamic_update_slice(acc, tiles[t], (offs[t],))
+        merged = jax.lax.fori_loop(0, g, body,
+                                   jnp.zeros(g * _DTILE, jnp.int32))
+        idx = jnp.arange(n, dtype=jnp.int32)
+        return jnp.where(idx < total, merged[:n], 0).astype(values.dtype)
+
+    def fallback(_):
+        return compact_u8_pallas(values, keep, interpret=interpret)[0]
+
+    out = jax.lax.cond(ok > 0, merge, fallback, 0)
+    return out, total
+
+
 @lazy_jit(static_argnames=("interpret",))
 def compact_u8_pallas(values, keep, interpret: bool = False):
     """Stable compaction of a u8 stream: (out u8[n], count).

@@ -415,14 +415,18 @@ def maxscan_best(v, pallas: bool = False):
     return _chunk_max_scan(v)
 
 
-def compact_best(mask, values, pallas: bool):
-    """compact() with the TPU Pallas kernel when the caller's mesh is a TPU
-    (static flag, so chipless AOT pre-compilation matches the chip trace);
-    the sort formulation elsewhere.  0.41 GB/s vs 0.22 (sort) / 0.09
-    (scatter) measured on v5e at 2^24."""
+def compact_best(mask, values, pallas: bool, dense: bool = False):
+    """compact() with the TPU Pallas kernels when the caller's mesh is a
+    TPU (static flag, so chipless AOT pre-compilation matches the chip
+    trace); the sort formulation elsewhere.  ``dense`` picks the
+    candidate-merge kernel for mostly-keep streams (sequence/quality);
+    it self-checks per tile and lax.cond-falls back to the general
+    butterfly+merge kernel when the keep pattern is too holey."""
     if pallas:
-        from .compact import compact_u8_pallas
+        from .compact import compact_u8_dense, compact_u8_pallas
 
+        if dense:
+            return compact_u8_dense(values, mask)
         return compact_u8_pallas(values, mask)
     return compact(mask, values)
 

@@ -375,15 +375,18 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
                     pallas=pallas_pack)
 
     seq_c, cnt = S.compact_best(s["stream_keep"], s["stream_val"],
-                              pallas_pack)
+                                pallas_pack, dense=True)
     if pack_nibbles:
         # nibble-parity alignment: when the global prefix char count is
         # odd, this block's first char pairs with the previous block's
         # last char — pack chars[1:] and emit chars[0]'s code separately
         shifted = jnp.where(odd[0], jnp.roll(seq_c, -1), seq_c)
         packed = _fit(_pack_block(shifted, pallas_pack), p_cap)
-        first_code = jnp.take(jnp.take(S.T.NUC_CODE, seq_c.astype(jnp.int32)),
-                              0)
+        # one-element LUT gather: taking [0] BEFORE the table lookup —
+        # the old take(take(LUT, whole_stream), 0) materialized a full
+        # B-sized gather (~0.1 GB/s on TPU, ~170 ms of the emit pass)
+        first_code = jnp.take(S.T.NUC_CODE,
+                              seq_c[0].astype(jnp.int32))
     else:
         # protein/text sequences store raw bytes (tables.c:96-117 has no
         # 4-bit code for them): emit the compacted char stream as-is;
@@ -405,7 +408,7 @@ def _emit_fn(block, prev_byte, sis, odd, *, seq_type: int, fastq: bool,
 
     if fastq:
         qual_vals = _fit(S.compact_best(s["qual_keep"], s["qual_val"],
-                                       pallas_pack)[0], q_cap)
+                                        pallas_pack, dense=True)[0], q_cap)
         qual_lens = _segment_sum_bounds(s["qual_keep"], bnd, pallas_pack)
     else:
         qual_vals = jnp.zeros(q_cap, jnp.uint8)

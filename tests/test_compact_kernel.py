@@ -97,3 +97,44 @@ def test_compact_matches_scan_compact():
     b_out, b_cnt = S.compact(k, v)
     assert int(a_cnt) == int(b_cnt)
     assert np.array_equal(np.asarray(a_out), np.asarray(b_out))
+
+
+# ---------------------------------------------------------------------------
+# Dense-path (candidate-merge) kernel
+# ---------------------------------------------------------------------------
+
+def test_dense_compact_matches_numpy():
+    import jax.numpy as jnp
+
+    from naf_tpu.ops.compact import compact_u8_dense
+
+    rng = np.random.default_rng(3)
+    for dens in (1.0, 0.99, 0.985, 0.9, 0.5, 0.05):
+        n = int(rng.integers(100, 3 * 128 * 128))
+        keep = rng.random(n) < dens
+        vals = rng.integers(0, 256, n, dtype=np.uint8)
+        out, cnt = compact_u8_dense(jnp.asarray(vals), jnp.asarray(keep),
+                                    interpret=True)
+        want = vals[keep]
+        assert int(cnt) == want.size, dens
+        assert np.array_equal(np.asarray(out)[:want.size], want), dens
+        assert not np.any(np.asarray(out)[want.size:]), dens
+
+
+def test_dense_compact_fasta_grid_and_hole_clusters():
+    import jax.numpy as jnp
+
+    from naf_tpu.ops.compact import compact_u8_dense
+
+    rng = np.random.default_rng(4)
+    pat = np.ones(71, bool)
+    pat[70] = False                       # FASTA 70-char lines
+    keep = np.tile(pat, 2000)
+    # one dense hole cluster that trips the K-candidate window in its tile
+    keep[40_000:41_000] = False
+    vals = rng.integers(0, 256, keep.size, dtype=np.uint8)
+    out, cnt = compact_u8_dense(jnp.asarray(vals), jnp.asarray(keep),
+                                interpret=True)
+    want = vals[keep]
+    assert int(cnt) == want.size
+    assert np.array_equal(np.asarray(out)[:want.size], want)
