@@ -210,3 +210,53 @@ def test_fasta_device_giant_record_falls_back(monkeypatch):
 
     monkeypatch.setattr(DV, "render_sharded", boom)
     assert _dec(blob).fasta_device(mesh=_mesh()) == host
+
+
+def test_render_kernel_matches_reference_formulation():
+    """The gather-minimal kernel is elementwise-identical to the reference
+    per-byte-gather formulation across modes/wraps/masking."""
+    import jax.numpy as jnp
+
+    from naf_tpu.parallel import decode as D
+
+    rng = np.random.default_rng(5)
+    for trial in range(6):
+        mode = D.MODE_FASTQ if trial % 3 == 2 else D.MODE_FASTA
+        L = [0, 60, 7][trial % 3] if mode == D.MODE_FASTA else 0
+        n_rec = int(rng.integers(1, 12))
+        slens = rng.integers(0 if mode == D.MODE_FASTA else 1, 200,
+                             n_rec).astype(np.int64)
+        hls = rng.integers(2, 30, n_rec).astype(np.int64)
+        if mode == D.MODE_FASTQ:
+            outs = hls + 2 * slens + 4
+        elif L > 0:
+            outs = hls + slens + (slens + L - 1) // L + (slens > 0)
+            outs = hls + slens + np.maximum((slens + L - 1) // L, 1)
+        else:
+            outs = hls + slens + 1
+        E = np.cumsum(slens).astype(np.int32)
+        O = np.cumsum(outs).astype(np.int32)
+        H = np.cumsum(hls).astype(np.int32)
+        hdr = rng.integers(65, 90, int(H[-1]), dtype=np.uint8)
+        total_chars = int(E[-1])
+        seq = rng.integers(0, 256, max(total_chars // 2 + 1, 1),
+                           dtype=np.uint8)
+        qual = rng.integers(33, 74, max(total_chars, 1), dtype=np.uint8)
+        masking = mode == D.MODE_FASTA and trial % 2 == 0
+        if masking:
+            nb = int(rng.integers(1, 6)) * 2
+            bounds = np.sort(rng.integers(0, max(total_chars, 1), nb)
+                             ).astype(np.int32)
+        else:
+            bounds = np.full(2, 1 << 30, np.int32)
+        Osz = int(O[-1])
+        args = (jnp.asarray(seq), jnp.asarray(qual),
+                jnp.asarray([0, 0, 0, 0], np.int32),
+                jnp.asarray(E), jnp.asarray(O), jnp.asarray(H),
+                jnp.asarray(hdr), jnp.asarray(bounds))
+        new = D._make_kernel(Osz, mode, L, False, True, False,
+                             masking)(*args)
+        ref = D._make_kernel_ref(Osz, mode, L, False, True, False,
+                                 masking)(*args)
+        assert np.array_equal(np.asarray(new), np.asarray(ref)), (
+            trial, mode, L, int((np.asarray(new) != np.asarray(ref)).sum()))
