@@ -6,9 +6,14 @@ it the TPU-native way:
 
   1. Pallas per-tile pack: each (ROWS, 128) tile left-packs its kept lanes.
      Within a 128-lane row the classic butterfly compaction runs fully
-     vectorized (7 static lane rolls, one per shift bit); rows then merge
-     into a tile-local staging row sequentially with a dynamic lane roll
-     (``pltpu.roll``) and dynamic-sublane stores — ~20 vector ops per row.
+     vectorized (7 static lane rolls, one per shift bit).  Two tile-merge
+     strategies: the GENERAL kernel merges rows into a staging group
+     sequentially (dynamic lane roll + dynamic-sublane stores, any keep
+     density), and the DENSE kernel (compact_u8_dense) places K=4 shifted
+     source-row candidates per output row with per-row variable lane
+     rotation by binary decomposition — no sequential loop — valid while
+     cumulative holes stay inside the K-row window (self-checked from
+     per-row counts; a lax.cond falls back to the general kernel).
   2. XLA epilogue: per-tile counts -> exclusive offsets (tiny cumsum), then
      a ``fori_loop`` of tile-sized ``dynamic_update_slice`` writes stitches
      the padded tiles into the final stream.  Ascending order makes each
