@@ -337,3 +337,47 @@ def test_make_blocks_fastq_rejects_cr_and_rare_eol():
     assert make_blocks_fastq(crlf, 2) is None
     vt = np.frombuffer(b"r\x0bx\nAC\n+\n!!\n", np.uint8)
     assert make_blocks_fastq(vt, 2) is None
+
+
+def test_packed_pass_abi_matches_tuple_api():
+    """stats/emit packed single-fetch rows unpack to exactly the tuple-API
+    outputs (the multihost/stream paths still consume the tuple API, so
+    the two must stay interchangeable)."""
+    from naf_tpu.parallel.block import (
+        emit_blocks_packed, emit_blocks_sharded, make_blocks,
+        stats_blocks_packed, stats_blocks_sharded, unpack_emit,
+        unpack_stats)
+
+    rng = np.random.default_rng(17)
+    data = _fasta(rng, n_rec=20, max_len=400)
+    body = np.frombuffer(data, np.uint8)[1:]
+    mesh = block_mesh(4)
+    blocks = make_blocks(body, 4)
+    import jax
+
+    from naf_tpu.parallel.mesh import block_sharding
+    sharding = block_sharding(mesh)
+    bd = jax.device_put(jnp.asarray(blocks.data), sharding)
+    pd = jax.device_put(jnp.asarray(blocks.prev), sharding)
+    sd = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
+
+    st = stats_blocks_sharded(bd, pd, sd, seq_type=0, fastq=False, mesh=mesh)
+    stp, odd_d = stats_blocks_packed(bd, pd, sd, seq_type=0, fastq=False,
+                                     mesh=mesh)
+    scalars, hists = unpack_stats(np.asarray(stp))
+    for i in range(9):
+        assert np.array_equal(scalars[i], np.asarray(st[i]).astype(
+            scalars[i].dtype)), i
+    for k in range(8):
+        assert np.array_equal(hists[k], np.asarray(st[9 + k])), k
+
+    caps = dict(p_cap=4096, id_cap=128, com_cap=128, r_cap=32, m_cap=64,
+                q_cap=16)
+    em = emit_blocks_sharded(bd, pd, sd, st[1], seq_type=0, fastq=False,
+                             mesh=mesh, **caps)
+    pay, meta = emit_blocks_packed(bd, pd, sd, odd_d, seq_type=0,
+                                   fastq=False, mesh=mesh, **caps)
+    em2 = unpack_emit(pay, meta, **caps)
+    for i in range(11):
+        a, b = np.asarray(em[i]), np.asarray(em2[i])
+        assert np.array_equal(a.astype(np.int64), b.astype(np.int64)), i
