@@ -967,12 +967,44 @@ def device_only_mode() -> None:
     except Exception as e:
         print(json.dumps({"note": f"device_kernels: {type(e).__name__}"}),
               flush=True)
-    if remaining() > 45:
+    if remaining() > 40:
+        try:
+            bench_device_fastq_e2e(env)
+        except Exception as e:
+            print(json.dumps({"note": f"device_fastq: {type(e).__name__}"}),
+                  flush=True)
+    if remaining() > 40:
         try:
             bench_device_engine()
         except Exception as e:
             print(json.dumps({"note": f"device_engine: {type(e).__name__}"}),
                   flush=True)
+
+
+def bench_device_fastq_e2e(env) -> None:
+    """BASELINE config 3 on device: sharded FASTQ (ids/seq/qual) e2e."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.parallel.pipeline import encode_sharded
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    fq = gen_fastq(int(os.environ.get("NAF_BENCH_FASTQ_E2E_READS", "40000")))
+    dmb = len(fq) / (1 << 20)
+    mesh = block_mesh(1)
+    opts = EncodeOptions(level=LEVEL, threads=os.cpu_count() or 0)
+    blob, _ = encode_sharded(fq, opts, mesh=mesh)      # warm-up + compile
+    host_blob, _ = encode(fq, opts)
+    assert blob == host_blob, "device FASTQ archive != host archive"
+    t, _ = _best(lambda: encode_sharded(fq, opts, mesh=mesh), reps=3)
+    v = round(dmb / t, 2)
+    emit({"metric": "device_encode_fastq_MBps", "value": v,
+          "input_mb": round(dmb, 1),
+          "note": "end-to-end sharded FASTQ encode, 1 real chip "
+                  "(incl. dev-tunnel transfer)"})
+    HEADLINE["device_encode_fastq_MBps"] = v
 
 
 def main() -> None:

@@ -161,7 +161,8 @@ def prewarm_e2e(topo) -> None:
     for f in ("naf_tpu/parallel/block.py", "naf_tpu/parallel/pipeline.py",
               "naf_tpu/parallel/decode.py", "naf_tpu/ops/scan.py",
               "naf_tpu/ops/scan_fused.py", "naf_tpu/ops/compact.py",
-              "naf_tpu/ops/pack.py", "bench.py"):
+              "naf_tpu/ops/pack.py", "bench.py",
+              "tools/prewarm_tpu_cache.py"):
         h.update((repo / f).read_bytes())
     meta_key = f"{mb}:{h.hexdigest()}"
     meta_path = Path(os.path.expanduser("~/.cache/naf_tpu_jax")) /         "prewarm_meta.json"
@@ -173,6 +174,7 @@ def prewarm_e2e(topo) -> None:
     except Exception:
         pass
 
+    cmesh = Mesh(np.asarray(jax.devices("cpu")[:1]), (BLOCK_AXIS,))
     if meta is None:
         data = gen_fasta(mb)
         fmt, marker = PP.detect_format(data)
@@ -180,7 +182,6 @@ def prewarm_e2e(topo) -> None:
         blocks = make_blocks(body, 1)
 
         # caps via a CPU trial of pass 1 (same math as encode_sharded)
-        cmesh = Mesh(np.asarray(jax.devices("cpu")[:1]), (BLOCK_AXIS,))
         st_packed, odd_d = stats_blocks_packed(
             jnp.asarray(blocks.data), jnp.asarray(blocks.prev),
             jnp.asarray(blocks.starts_in_seq),
@@ -227,6 +228,55 @@ def prewarm_e2e(topo) -> None:
     emit_blocks_packed.lower(a_blocks, a_prev, a_sis, a_odd, seq_type=0,
                              fastq=False, mesh=tmesh, **caps).compile()
     print(f"  e2e emit pass: {time.time() - t0:.1f}s")
+
+    # ---- FASTQ e2e passes (bench device child's last row) ----------------
+    from bench import gen_fastq
+    from naf_tpu.parallel.block import make_blocks_fastq
+
+    fq_meta = meta.get("fastq") if meta else None
+    if fq_meta is None:
+        fq = gen_fastq(int(os.environ.get("NAF_BENCH_FASTQ_E2E_READS",
+                                          "40000")))
+        fqbody = np.frombuffer(fq, np.uint8)[1:]
+        mb2 = make_blocks_fastq(fqbody, 1)
+        assert mb2 is not None
+        fqblocks, _ = mb2
+        st2, _odd2 = stats_blocks_packed(
+            jnp.asarray(fqblocks.data), jnp.asarray(fqblocks.prev),
+            jnp.asarray(fqblocks.starts_in_seq),
+            seq_type=0, fastq=True, mesh=cmesh)
+        (c2, _o2, i2, m2, q2, n2, r2, _f2, _l2), _h2 = unpack_stats(
+            np.asarray(st2))
+        fq_caps = dict(
+            p_cap=PL._bucket(int((c2 + 1).max(initial=2) // 2) + 1),
+            id_cap=PL._bucket(max(int(i2.max(initial=1)), 1)),
+            com_cap=PL._bucket(max(int(m2.max(initial=1)), 1)),
+            r_cap=PL._bucket(int(n2.max(initial=0)) + 1),
+            m_cap=PL._bucket(max(int(r2.max(initial=2)), 2)),
+            q_cap=PL._bucket(max(int(q2.max(initial=1)), 1)))
+        fq_meta = dict(caps=fq_caps,
+                       blocks=[list(fqblocks.data.shape), "uint8"],
+                       prev=[list(fqblocks.prev.shape),
+                             str(fqblocks.prev.dtype)],
+                       sis=[list(fqblocks.starts_in_seq.shape),
+                            str(fqblocks.starts_in_seq.dtype)],
+                       odd=[list(np.asarray(_odd2).shape),
+                            str(np.asarray(_odd2).dtype)])
+        shapes_meta["fastq"] = fq_meta
+    print(f"fastq e2e caps: {fq_meta['caps']}")
+    fa_blocks = sds(fq_meta["blocks"])
+    fa_prev = sds(fq_meta["prev"])
+    fa_sis = sds(fq_meta["sis"])
+    fa_odd = sds(fq_meta["odd"])
+    t0 = time.time()
+    stats_blocks_packed.lower(fa_blocks, fa_prev, fa_sis, seq_type=0,
+                              fastq=True, mesh=tmesh).compile()
+    print(f"  fastq stats pass: {time.time() - t0:.1f}s")
+    t0 = time.time()
+    emit_blocks_packed.lower(fa_blocks, fa_prev, fa_sis, fa_odd, seq_type=0,
+                             fastq=True, mesh=tmesh,
+                             **fq_meta["caps"]).compile()
+    print(f"  fastq emit pass: {time.time() - t0:.1f}s")
 
     # ---- device decode (render) buckets: replay on CPU, compile on topo ---
     from naf_tpu.parallel import decode as DD
