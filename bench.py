@@ -702,7 +702,10 @@ def bench_device_e2e(env) -> dict:
     blob, _ = encode_sharded(data, opts, mesh=mesh)   # warm-up + compile
     host_blob, _ = encode(data, opts)
     assert blob == host_blob, "device archive != host archive"
-    t_e, _ = _best(lambda: encode_sharded(data, opts, mesh=mesh), reps=3)
+    # congestion insurance: the shared tunnel's transfer rate swings 5x
+    # between runs; fewer reps beats losing the decode/kernel rows behind
+    t_e, _ = _best(lambda: encode_sharded(data, opts, mesh=mesh),
+                   reps=3 if remaining() > 120 else 2)
     out["device_encode_MBps"] = round(dmb / t_e, 2)
     HEADLINE.update(out)
     emit({"metric": "device_encode_MBps", "value": out["device_encode_MBps"],
@@ -717,7 +720,7 @@ def bench_device_e2e(env) -> dict:
     rendered = dec()                      # warm-up + compile
     assert rendered == Decoder(io.BytesIO(blob), DecodeOptions()).fasta(), \
         "device render != host render"
-    t_d, _ = _best(dec, reps=3)
+    t_d, _ = _best(dec, reps=3 if remaining() > 90 else 2)
     out["device_decode_MBps"] = round(dmb / t_d, 2)
     HEADLINE.update(out)
     emit({"metric": "device_decode_MBps", "value": out["device_decode_MBps"],
