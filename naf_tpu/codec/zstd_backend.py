@@ -236,7 +236,9 @@ def decompress_section_native(payload: bytes, uncompressed_size: int) -> bytes:
         lib._naf_zstd_dec_ready = True
     frame = ZSTD_FRAME_MAGIC + payload
     src = np.frombuffer(frame, np.uint8)
-    out = np.empty(max(uncompressed_size, 1), np.uint8)
+    # +32 slack: the decoder's wide match copies overshoot the logical cap
+    # by up to 15 bytes (overwritten or ignored; never returned)
+    out = np.empty(max(uncompressed_size, 1) + 32, np.uint8)
     w = lib.naf_zstd_decompress(
         src.ctypes.data_as(ct.c_void_p), src.size,
         out.ctypes.data_as(ct.c_void_p), uncompressed_size)

@@ -2852,12 +2852,32 @@ static int64_t decode_block(const uint8_t *p, uint64_t n, uint8_t *dst,
       uint8_t *mdst = dst + out;
       uint64_t rem = ml;
       if (offset >= 8) {
-        while (rem >= 8) {
+        // wide copy overshoots by up to 7 bytes — the `out + ll + ml`
+        // bound above reserves cap headroom and later writes overwrite
+        do {
           std::memcpy(mdst, msrc, 8);
-          mdst += 8; msrc += 8; rem -= 8;
+          mdst += 8; msrc += 8;
+        } while (rem > 8 && (rem -= 8));
+      } else {
+        // overlap (offset < 8): extend the pattern byte-wise to K = the
+        // smallest multiple of the period >= 8, then wide copies at
+        // distance K preserve the period — short rep matches on quality
+        // streams otherwise decode byte-at-a-time with a mispredicted
+        // branch per byte
+        uint64_t K = offset;
+        while (K < 8) K += offset;            // <= 14
+        uint64_t head = rem < K ? rem : K;
+        for (uint64_t i2 = 0; i2 < head; i2++) mdst[i2] = msrc[i2];
+        if (rem > K) {
+          uint8_t *w2 = mdst + K;
+          const uint8_t *s2 = mdst;
+          uint64_t done = K;
+          while (done < rem) {
+            std::memcpy(w2, s2, 8);
+            w2 += 8; s2 += 8; done += 8;
+          }
         }
       }
-      while (rem--) *mdst++ = *msrc++;
       out += ml;
     }
   }
