@@ -597,25 +597,10 @@ def bench_device_kernels() -> dict:
             best = dt if best is None else min(best, dt)
         return best / K
 
-    tp = t_iter(pack_loop, x)
-    out["device_pack_GBps"] = round(n / tp / 1e9, 2)
-    HEADLINE.update(out)
-    emit({"metric": "device_pack_GBps", "value": out["device_pack_GBps"],
-          "device": out["device"]})
-    if remaining() < 40:
-        return out
-
-    packed = pack_4bit_pallas(x)
-    tu = t_iter(unpack_loop, packed)
-    out["device_unpack_GBps"] = round(n / tu / 1e9, 2)
-    HEADLINE.update(out)
-    emit({"metric": "device_unpack_GBps", "value": out["device_unpack_GBps"]})
-    if remaining() < 40:
-        return out
-
-    # the full per-byte classify pass — the encode data plane (fused Pallas
-    # kernel, ops/scan_fused.py; the XLA formulation it replaced ran 1.39
-    # GB/s in BENCH_r03)
+    # the full per-byte classify pass FIRST — the encode data plane (fused
+    # Pallas kernel, ops/scan_fused.py; the XLA formulation it replaced ran
+    # 1.39 GB/s in BENCH_r03) — it is this round's kernel evidence, so it
+    # precedes pack/unpack in the starvation order
     from naf_tpu.ops.scan_fused import classify_fasta_fused
 
     KS = 32
@@ -648,6 +633,22 @@ def bench_device_kernels() -> dict:
     out["device_scan_GBps"] = round(n / ts / 1e9, 2)
     HEADLINE.update(out)
     emit({"metric": "device_scan_GBps", "value": out["device_scan_GBps"]})
+    if remaining() < 40:
+        return out
+
+    tp = t_iter(pack_loop, x)
+    out["device_pack_GBps"] = round(n / tp / 1e9, 2)
+    HEADLINE.update(out)
+    emit({"metric": "device_pack_GBps", "value": out["device_pack_GBps"],
+          "device": out["device"]})
+    if remaining() < 40:
+        return out
+
+    packed = pack_4bit_pallas(x)
+    tu = t_iter(unpack_loop, packed)
+    out["device_unpack_GBps"] = round(n / tu / 1e9, 2)
+    HEADLINE.update(out)
+    emit({"metric": "device_unpack_GBps", "value": out["device_unpack_GBps"]})
     return out
 
 
@@ -904,7 +905,10 @@ def device_sections_child(env) -> dict:
     them and folds the fields into the headline.  On timeout the child is
     killed and whatever rows it printed are kept.
     """
-    t_budget = max(60, min(remaining() - 185, 200))
+    # reserve less for the adaptive host configs: the child's first-call
+    # executable LOADS through the tunnel cost ~10-20 s per program, and
+    # the contract rows live here
+    t_budget = max(60, min(remaining() - 150, 240))
     # NAF_BENCH_PREWARMED rides env when the parent's prewarm succeeded;
     # otherwise the child retries its own (shorter) prewarm
     sub = dict(env, NAF_BENCH_DEVICE_ONLY="1",
@@ -965,17 +969,17 @@ def device_only_mode() -> None:
     except Exception as e:
         print(json.dumps({"note": f"device_e2e: {type(e).__name__}"}),
               flush=True)
-    try:
-        bench_device_kernels()
-    except Exception as e:
-        print(json.dumps({"note": f"device_kernels: {type(e).__name__}"}),
-              flush=True)
-    if remaining() > 40:
+    if remaining() > 35:
         try:
             bench_device_fastq_e2e(env)
         except Exception as e:
             print(json.dumps({"note": f"device_fastq: {type(e).__name__}"}),
                   flush=True)
+    try:
+        bench_device_kernels()
+    except Exception as e:
+        print(json.dumps({"note": f"device_kernels: {type(e).__name__}"}),
+              flush=True)
     if remaining() > 40:
         try:
             bench_device_engine()
