@@ -129,3 +129,62 @@ def test_chunked_device_encode_on_tpu(tpu):
                   chunk_size=8192, engine=eng)
     assert buf.getvalue() == ref
     assert eng.device_chunks > 0
+
+
+def test_fused_classify_compiled_on_tpu(tpu):
+    """Mosaic-compiled fused classify kernels (FASTA + FASTQ) bit-match the
+    XLA oracle on the chip."""
+    import jax.numpy as jnp
+
+    from naf_tpu.ops import scan as S
+    from naf_tpu.ops.scan_fused import scan_fasta_fused, scan_fastq_fused
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(40):
+        rows.append(b">r%d c\n" % i)
+        seq = rng.choice(np.frombuffer(b"ACGTacgtNnZz", np.uint8),
+                         size=int(rng.integers(100, 2000)))
+        rows.append(seq.tobytes() + b"\n")
+    body = np.frombuffer(b"".join(rows), np.uint8)[1:(1 << 16) + 1]
+    o = S.scan_fasta_block(jnp.asarray(body), jnp.asarray(np.uint8(ord(">"))))
+    f = scan_fasta_fused(jnp.asarray(body), jnp.asarray(np.uint8(ord(">"))))
+    for k in ("rec_start", "stream_keep", "stream_val", "seq_keep",
+              "is_eol", "id_keep", "com_keep"):
+        assert np.array_equal(np.asarray(o[k]), np.asarray(f[k])), k
+
+    fq = []
+    for i in range(200):
+        ln = int(rng.integers(1, 150))
+        s = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=ln).tobytes()
+        q = rng.integers(33, 94, size=ln, dtype=np.uint8).tobytes()
+        fq.append(b"@x%d c\n%s\n+\n%s\n" % (i, s, q))
+    qbody = np.frombuffer(b"".join(fq), np.uint8)[1:(1 << 16) + 1]
+    oq = S.scan_fastq_block(jnp.asarray(qbody),
+                            jnp.asarray(np.uint8(ord("@"))))
+    fqd = scan_fastq_fused(jnp.asarray(qbody),
+                           jnp.asarray(np.uint8(ord("@"))))
+    for k in ("rec_start", "stream_val", "seq_keep", "qual_keep",
+              "qual_val", "is_eol"):
+        assert np.array_equal(np.asarray(oq[k]), np.asarray(fqd[k])), k
+
+
+def test_scan_and_compact_kernels_compiled_on_tpu(tpu):
+    """Pallas prefix scans + dense compaction, Mosaic-compiled."""
+    import jax.numpy as jnp
+
+    from naf_tpu.ops.compact import compact_u8_dense
+    from naf_tpu.ops.scan_fused import cumsum_i32_pallas, maxscan_i32_pallas
+
+    rng = np.random.default_rng(2)
+    x = rng.integers(-100, 100, 1 << 17).astype(np.int32)
+    assert np.array_equal(np.asarray(cumsum_i32_pallas(jnp.asarray(x))),
+                          np.cumsum(x).astype(np.int32))
+    assert np.array_equal(np.asarray(maxscan_i32_pallas(jnp.asarray(x))),
+                          np.maximum.accumulate(x))
+    keep = rng.random(1 << 17) < 0.985
+    vals = rng.integers(0, 256, 1 << 17, dtype=np.uint8)
+    out, cnt = compact_u8_dense(jnp.asarray(vals), jnp.asarray(keep))
+    want = vals[keep]
+    assert int(cnt) == want.size
+    assert np.array_equal(np.asarray(out)[:want.size], want)
