@@ -1,0 +1,503 @@
+"""Single-pass fused FASTA emit kernel — classify + compact in one VMEM trip.
+
+Round-4's device pipeline ran the classify kernel (11.5 GB/s) and then paid
+~15 more full-size HBM passes: per-stream Pallas compactions (0.4-1.1 GB/s),
+prefix scans, and segment sums, capping the sharded emit at ~100 MB/s.  This
+kernel replaces ALL of them with ONE pass per tile:
+
+  1. branchless classify (the transition-monoid scan of ops.scan_fused)
+     keeps every mask in registers — no flags round trip;
+  2. two packed 16-bit-pair Hillis-Steele prefix sums (stream|seq counts)
+     and two max-scans (previous-kept case, last-EOL position) give every
+     per-byte coordinate the emit needs;
+  3. the kept stream is left-packed per 128-lane row by a butterfly, each
+     row is rotated to its destination lane offset (7 static roll+selects,
+     binary decomposition of the per-row rotation), and the cross-row merge
+     is a ONE-HOT SEGMENT MATMUL on the MXU: out[o, l] = sum_r H[r, o] *
+     contrib[r, l] with H[r, o] = (dest_row(r) == o).  Each output element
+     receives exactly one contribution (destination lane ranges of
+     consecutive rows are disjoint), so f32 accumulation is exact and the
+     merge needs no sequential loop, no validity window, and no fallback —
+     compaction at matrix-unit speed instead of vector-shuffle speed.
+  4. everything sparse — id bytes, comment bytes, record boundaries, and
+     mask-run case changes, four mutually disjoint byte classes — rides a
+     single tagged side stream compacted the same way into a small capped
+     block (default 1024 entries per 32 KiB tile; per-tile counts let the
+     caller detect overflow and fall back to the two-pass path).
+
+Per-record lengths and mask runs need no device segment sums at all: record
+entries carry the global kept-sequence prefix at their marker, change
+entries carry their index in the compacted stream, and the id/comment split
+is implied by tag order — O(records + runs) host arithmetic.
+
+Reference counterpart: the byte-at-a-time parse/append loops of
+ennaf/src/process.c:143-311 and the per-section buffers they fill.
+"""
+
+from __future__ import annotations
+
+import os as _os
+
+from ..utils.lazy import LazyModule, lazy_jit
+
+jax = LazyModule("jax")
+jnp = LazyModule("jax.numpy")
+pl = LazyModule("jax.experimental.pallas")
+pltpu = LazyModule("jax.experimental.pallas.tpu")
+
+from ..format import constants as C
+from . import tables as T
+from .scan_fused import (
+    _COM, _ID, _M_CID, _M_CSEQ, _M_IDENT, _M_SPACE, _SEQ,
+    _apply_map, _compose, _extract, _lut_bool_small, _shift1_rowmajor,
+)
+
+_GT = ord(">")
+_LANES = 128
+_ROWS = int(_os.environ.get("NAF_TPU_EMIT_ROWS", "256"))
+_TILE = _ROWS * _LANES
+#: sparse side-stream cap: rows of 128 tagged entries per tile
+_CS_ROWS = int(_os.environ.get("NAF_TPU_EMIT_SPARSE_ROWS", "8"))
+_CS_CAP = _CS_ROWS * _LANES
+
+_NEGBIG = -(1 << 30)
+
+# sparse stream tags (bits 8..9 of the tagged value)
+TAG_ID, TAG_COM, TAG_REC, TAG_CHG = 0, 1, 2, 3
+
+# carry slots (SMEM)
+_C_STATE, _C_PEOL, _C_CUMS, _C_CUMSEQ, _C_EOLBASE, _C_LONG, _C_ENC, \
+    _C_FLOW, _C_FSVAL = range(9)
+_NCARRY = 9
+
+# counts-row lanes (per tile)
+LANE_CNT, LANE_SEQ, LANE_NSP, LANE_UID, LANE_UCOM, LANE_USEQ, \
+    LANE_LONG, LANE_OPEN, LANE_FLOW, LANE_FSVAL = range(10)
+
+
+def _hs_sum(x):
+    """Row-major inclusive Hillis-Steele prefix sum over an (R, 128) tile."""
+    R = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
+    p = x
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        sh = jnp.roll(p, s, axis=1)
+        p = p + jnp.where(lane >= s, sh, 0)
+    t = jnp.broadcast_to(jax.lax.slice(p, (0, _LANES - 1), (R, _LANES)),
+                         (R, _LANES))
+    s = 1
+    while s < R:
+        sh = jnp.roll(t, s, axis=0)
+        t = t + jnp.where(row >= s, sh, 0)
+        s *= 2
+    rc = jnp.roll(t, 1, axis=0)
+    rc = jnp.where(row == 0, 0, rc)
+    return p + rc
+
+
+def _hs_max(x):
+    """Row-major inclusive prefix max over an (R, 128) i32 tile."""
+    R = x.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
+    p = x
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        sh = jnp.roll(p, s, axis=1)
+        p = jnp.maximum(p, jnp.where(lane >= s, sh, _NEGBIG))
+    t = jnp.broadcast_to(jax.lax.slice(p, (0, _LANES - 1), (R, _LANES)),
+                         (R, _LANES))
+    s = 1
+    while s < R:
+        sh = jnp.roll(t, s, axis=0)
+        t = jnp.maximum(t, jnp.where(row >= s, sh, _NEGBIG))
+        s *= 2
+    rc = jnp.roll(t, 1, axis=0)
+    rc = jnp.where(row == 0, _NEGBIG, rc)
+    return jnp.maximum(p, rc)
+
+
+def _lane_cumsum_excl(x):
+    """Exclusive prefix sum along the 128-lane axis (7 static rolls)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    acc = x
+    for s in (1, 2, 4, 8, 16, 32, 64):
+        sh = jnp.roll(acc, s, axis=-1)
+        acc = acc + jnp.where(lane >= s, sh, 0)
+    return acc - x
+
+
+def _row_prefix_excl(c):
+    """(R, 1) per-row counts -> (R, 128) broadcast exclusive row prefix."""
+    R = c.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
+    t = jnp.broadcast_to(c, (R, _LANES))
+    s = 1
+    while s < R:
+        sh = jnp.roll(t, s, axis=0)
+        t = t + jnp.where(row >= s, sh, 0)
+        s *= 2
+    return t - jnp.broadcast_to(c, (R, _LANES))
+
+
+def _butterfly_multi(keep, vals):
+    """Left-pack kept lanes within each row for several value arrays at once.
+
+    Same network as ops.compact._butterfly_pack, with the take/keep-here
+    controls computed once and applied to every array in ``vals``.
+    """
+    shift = jnp.where(keep, _lane_cumsum_excl((~keep).astype(jnp.int32)), 0)
+    live = keep.astype(jnp.int32)
+    xs = [jnp.where(keep, v, 0) for v in vals]
+    lane = jax.lax.broadcasted_iota(jnp.int32, keep.shape, keep.ndim - 1)
+    for j in range(7):
+        step = 1 << j
+        src_live = jnp.roll(live, -step, axis=-1)
+        src_shift = jnp.roll(shift, -step, axis=-1)
+        valid_src = lane + step < _LANES
+        take = valid_src & (src_live != 0) & ((src_shift & step) != 0)
+        keep_here = (live != 0) & ((shift & step) == 0)
+        xs = [jnp.where(take, jnp.roll(x, -step, axis=-1),
+                        jnp.where(keep_here, x, 0)) for x in xs]
+        shift = jnp.where(take, src_shift - step,
+                          jnp.where(keep_here, shift, 0))
+        live = (take | keep_here).astype(jnp.int32)
+    return xs
+
+
+def _var_lane_rot(xs, rot):
+    """Rotate each row of every array in ``xs`` right by rot[r] (mod 128):
+    binary decomposition into 7 static rolls, select masks shared."""
+    rm = rot & 127
+    out = list(xs)
+    for sbit in (1, 2, 4, 8, 16, 32, 64):
+        m = (rm & sbit) != 0
+        out = [jnp.where(m, jnp.roll(x, sbit, axis=1), x) for x in out]
+    return out
+
+
+def _seg_matmul(contribs, dst, out_rows):
+    """Cross-row merge: one-hot segment matmul on the MXU.
+
+    ``contribs`` are (main, wrap) pairs of f32 (R, 128) arrays whose rows
+    hold lane-rotated, masked row payloads; ``dst`` (R, 128, broadcast) is
+    each source row's destination row (wrap goes to dst+1).  Returns one
+    (out_rows, 128) f32 array per pair.  Every output element receives at
+    most one nonzero contribution, so f32 accumulation is exact.
+    """
+    R = dst.shape[0]
+    ocols = max(out_rows, _LANES)
+    o = jax.lax.broadcasted_iota(jnp.int32, (R, ocols), 1)
+    d = jnp.broadcast_to(jax.lax.slice(dst, (0, 0), (R, 1)), (R, ocols))
+    h_main = (o == d).astype(jnp.float32)
+    h_wrap = (o == d + 1).astype(jnp.float32)
+    dims = (((0,), (0,)), ((), ()))
+    outs = []
+    for main, wrap in contribs:
+        acc = jax.lax.dot_general(h_main, main, dims,
+                                  preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot_general(h_wrap, wrap, dims,
+                                        preferred_element_type=jnp.float32)
+        outs.append(acc[:out_rows] if ocols == out_rows else
+                    jax.lax.slice(acc, (0, 0), (out_rows, _LANES)))
+    return outs
+
+
+def _compact_rows(keep, vals, out_rows):
+    """Tile-level compaction of ``vals`` under ``keep`` into (out_rows, 128)
+    i32 arrays (butterfly rows -> per-row rotation -> segment matmul).
+
+    Values may exceed 2^24: they are split into 16-bit halves before the
+    f32 matmul and recombined after.  Entries beyond the tile's kept count
+    are exactly zero.
+    """
+    R = keep.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+    c = jnp.sum(keep.astype(jnp.int32), axis=1, keepdims=True)     # (R,1)
+    f = _row_prefix_excl(c)                                        # (R,128)
+    packed = _butterfly_multi(keep, vals)
+    rho = f & 127
+    dst = f >> 7
+    rotated = _var_lane_rot(packed, rho)
+    cb = jnp.broadcast_to(c, (R, _LANES))
+    main_m = (lane >= rho) & (lane < rho + cb)
+    wrap_m = lane < rho + cb - _LANES
+    pairs = []
+    for x in rotated:
+        for part in (x & 0xFFFF, (x >> 16) & 0xFFFF):
+            pf = part.astype(jnp.float32)
+            pairs.append((jnp.where(main_m, pf, 0.0),
+                          jnp.where(wrap_m, pf, 0.0)))
+    merged = _seg_matmul(pairs, dst, out_rows)
+    return [merged[2 * i].astype(jnp.int32)
+            | (merged[2 * i + 1].astype(jnp.int32) << 16)
+            for i in range(len(rotated))]
+
+
+def _make_emit_kernel(seq_type: int):
+    unex_seq_tab = T.UNEXPECTED_BY_TYPE[seq_type]
+    repl = C.REPLACEMENT_SEQ[seq_type]
+
+    def kernel(sc_ref, x_ref, sv_ref, cnts_ref, tv_ref, a_ref, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[_C_STATE] = sc_ref[0]
+            carry[_C_PEOL] = sc_ref[1]
+            carry[_C_CUMS] = 0
+            carry[_C_CUMSEQ] = 0
+            carry[_C_EOLBASE] = 0
+            carry[_C_LONG] = 0
+            carry[_C_ENC] = _NEGBIG
+            carry[_C_FLOW] = 0
+            carry[_C_FSVAL] = 0
+
+        b = x_ref[:].astype(jnp.int32)
+        R = _ROWS
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
+        lpos = row * _LANES + lane
+
+        # --- branchless classify (transition monoid of ops.scan_fused,
+        # reference char classes ennaf/src/tables.c:28-197) ---
+        is_eol = (b >= 0x0A) & (b <= 0x0D)
+        is_sp = is_eol | (b == 0x09) | (b == 0x20)
+        e = is_eol.astype(jnp.int32)
+        st0 = carry[_C_STATE]
+        pe = _shift1_rowmajor(e, carry[_C_PEOL]) != 0
+        marker = (b == _GT) & pe
+        space_nc = is_sp & ~is_eol
+        m = jnp.where(marker, _M_CID,
+                      jnp.where(is_eol, _M_CSEQ,
+                                jnp.where(space_nc, _M_SPACE, _M_IDENT)))
+        p = m
+        for s in (1, 2, 4, 8, 16, 32, 64):
+            sh = jnp.roll(p, s, axis=1)
+            sh = jnp.where(lane >= s, sh, _M_IDENT)
+            p = _compose(p, sh)
+        t = jnp.broadcast_to(
+            jax.lax.slice(p, (0, _LANES - 1), (R, _LANES)), (R, _LANES))
+        s = 1
+        while s < R:
+            shq = jnp.roll(t, s, axis=0)
+            shq = jnp.where(row >= s, shq, _M_IDENT)
+            t = _compose(t, shq)
+            s *= 2
+        rc = jnp.roll(t, 1, axis=0)
+        rc = jnp.where(row == 0, _M_IDENT, rc)
+        pfx = _compose(p, rc)
+        state = _apply_map(pfx, st0)
+        sb = _shift1_rowmajor(state, st0)
+
+        in_id = ~marker & (sb == _ID) & ~is_sp
+        in_com = ~marker & (sb == _COM) & ~is_eol
+        in_seq = ~marker & (sb == _SEQ)
+        unex_text_b = _lut_bool_small(b, T.IS_UNEXPECTED_TEXT)
+        unex_com_b = _lut_bool_small(b, T.IS_UNEXPECTED_COMMENT)
+        unex_seq_b = _lut_bool_small(b, unex_seq_tab)
+
+        id_unex = in_id & unex_text_b
+        id_keep = in_id & ~unex_text_b
+        com_unex = in_com & unex_com_b
+        seq_keep = in_seq & ~is_sp
+        seq_unex = seq_keep & unex_seq_b
+        stream_keep = seq_keep | id_unex
+        sval = jnp.where(id_unex, C.REPLACEMENT_NAME,
+                         jnp.where(seq_unex, repl, b))
+
+        carry[_C_STATE] = _extract(state, R - 1, _LANES - 1)
+        carry[_C_PEOL] = _extract(e, R - 1, _LANES - 1)
+
+        # --- prefix coordinates: one packed sum scan + two max scans ---
+        cum2 = _hs_sum(stream_keep.astype(jnp.int32)
+                       + (seq_keep.astype(jnp.int32) << 16))
+        cum_stream = (cum2 & 0xFFFF) + carry[_C_CUMS]      # global inclusive
+        cum_seq = (cum2 >> 16) + carry[_C_CUMSEQ]
+
+        lower = stream_keep & (sval >= 96)
+        enc = jnp.where(stream_keep,
+                        2 * lpos + lower.astype(jnp.int32), _NEGBIG)
+        menc = _hs_max(enc)
+        menc_x = _shift1_rowmajor(menc, carry[_C_ENC])
+        has_prev = menc_x >= -2
+        prev_lower = (menc_x & 1) == 1
+        chg = stream_keep & has_prev & (lower != prev_lower)
+        last_enc = _extract(menc, R - 1, _LANES - 1)
+        carry[_C_ENC] = jnp.where(last_enc >= 0, -2 + (last_enc & 1),
+                                  carry[_C_ENC])
+
+        # longest line (kept seq chars between EOLs; ops.scan counterpart
+        # longest_line_block)
+        aincl = _hs_max(jnp.where(is_eol, cum_seq, _NEGBIG))
+        aexcl = _shift1_rowmajor(aincl, carry[_C_EOLBASE])
+        # bytes before the tile's first EOL measure from the carried base
+        # (cum_seq at the block's last EOL so far; 0 at block start)
+        base = jnp.maximum(aexcl, carry[_C_EOLBASE])
+        line = jnp.where(is_eol, cum_seq - base, 0)
+        tile_long = jnp.max(line)
+        carry[_C_LONG] = jnp.maximum(carry[_C_LONG], tile_long)
+        last_a = _extract(aincl, R - 1, _LANES - 1)
+        carry[_C_EOLBASE] = jnp.maximum(carry[_C_EOLBASE],
+                                        jnp.maximum(last_a, 0))
+        cum_seq_end = _extract(cum_seq, R - 1, _LANES - 1)
+        cum_stream_end = _extract(cum_stream, R - 1, _LANES - 1)
+
+        # first kept byte of the block: case + value (for nibble parity)
+        cnt_tile = cum_stream_end - carry[_C_CUMS]
+        pmin = jnp.min(jnp.where(stream_keep, lpos, jnp.int32(1 << 30)))
+        at_first = stream_keep & (lpos == pmin)
+        first_low = jnp.sum(jnp.where(at_first, lower.astype(jnp.int32), 0))
+        first_sv = jnp.sum(jnp.where(at_first, sval, 0))
+        need_first = jnp.logical_and(carry[_C_FLOW] == 0, cnt_tile > 0)
+        carry[_C_FLOW] = jnp.where(need_first, 1 + first_low, carry[_C_FLOW])
+        carry[_C_FSVAL] = jnp.where(need_first, first_sv, carry[_C_FSVAL])
+
+        # --- dense stream compaction (butterfly + segment matmul) ---
+        sv_out = _compact_rows(stream_keep, [sval], _ROWS)[0]
+        sv_ref[:] = sv_out.astype(jnp.uint8)
+
+        # --- sparse tagged side stream ---
+        keep_sp = id_keep | in_com | marker | chg
+        tag = jnp.where(marker, TAG_REC,
+                        jnp.where(chg, TAG_CHG,
+                                  jnp.where(in_com, TAG_COM, TAG_ID)))
+        # id/com byte values: ids keep raw bytes (id_keep excludes unex),
+        # comments replace unexpected; rec/chg entries carry coordinates
+        spval = jnp.where(id_keep | in_com,
+                          jnp.where(com_unex, C.REPLACEMENT_NAME, b), 0)
+        tv = spval | (tag << 8)
+        # rec: global kept-seq prefix before the marker (marker not kept ->
+        # inclusive == exclusive); chg: index in the compacted stream
+        aval = jnp.where(marker, cum_seq,
+                         jnp.where(chg, cum_stream - 1, 0))
+        tv_c, a_c = _compact_rows(keep_sp, [tv, aval], _CS_ROWS)
+        tv_ref[:] = tv_c
+        a_ref[:] = a_c
+
+        # --- per-tile counts row ---
+        n_sp = jnp.sum(keep_sp.astype(jnp.int32))
+        scalars = [
+            (LANE_CNT, cnt_tile),
+            (LANE_SEQ, cum_seq_end - carry[_C_CUMSEQ]),
+            (LANE_NSP, n_sp),
+            (LANE_UID, jnp.sum(id_unex.astype(jnp.int32))),
+            (LANE_UCOM, jnp.sum(com_unex.astype(jnp.int32))),
+            (LANE_USEQ, jnp.sum(seq_unex.astype(jnp.int32))),
+            (LANE_LONG, carry[_C_LONG]),
+            (LANE_OPEN, cum_seq_end - carry[_C_EOLBASE]),
+            (LANE_FLOW, carry[_C_FLOW]),
+            (LANE_FSVAL, carry[_C_FSVAL]),
+        ]
+        crow = jnp.zeros((1, _LANES), jnp.int32)
+        l1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        for k, v in scalars:
+            crow = jnp.where(l1 == k, v, crow)
+        cnts_ref[:] = crow
+
+        carry[_C_CUMS] = cum_stream_end
+        carry[_C_CUMSEQ] = cum_seq_end
+
+    return kernel
+
+
+@lazy_jit(static_argnames=("seq_type", "interpret"))
+def emit_fasta_tiles(block, prev_byte, starts_in_seq=False, *,
+                     seq_type: int = C.SEQ_TYPE_DNA, interpret: bool = False):
+    """u8[B] -> per-tile fused emit outputs.
+
+    Returns (sv u8[gR,128] tile-compacted stream values, counts i32[g,128],
+    tv i32[g*CS,128] tagged sparse values, a i32[g*CS,128] coordinates).
+    ``prev_byte``/``starts_in_seq`` as ops.scan_fused.classify_fasta_fused.
+    """
+    B = block.shape[0]
+    pad = (-B) % _TILE
+    x = block
+    if pad:
+        x = jnp.concatenate([x, jnp.full(pad, 0x0A, jnp.uint8)])
+    g = x.shape[0] // _TILE
+    x2 = x.reshape(g * _ROWS, _LANES)
+
+    st0 = jnp.where(jnp.asarray(starts_in_seq), _SEQ, _ID)
+    pe0 = jnp.asarray(T.IS_EOL)[prev_byte.astype(jnp.int32)]
+    scalars = jnp.stack([st0.astype(jnp.int32), pe0.astype(jnp.int32)])
+
+    spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((_CS_ROWS, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    sv, cnts, tv, a = pl.pallas_call(
+        _make_emit_kernel(seq_type),
+        grid=(g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_shape=(jax.ShapeDtypeStruct((g * _ROWS, _LANES), jnp.uint8),
+                   jax.ShapeDtypeStruct((g, _LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((g * _CS_ROWS, _LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((g * _CS_ROWS, _LANES), jnp.int32)),
+        out_specs=(spec, cspec, sspec, sspec),
+        scratch_shapes=[pltpu.SMEM((_NCARRY,), jnp.int32)],
+        interpret=interpret,
+    )(scalars, x2)
+    return sv, cnts, tv, a
+
+
+@lazy_jit(static_argnames=("seq_type", "interpret"))
+def emit_fasta_fused(block, prev_byte, starts_in_seq=False, *,
+                     seq_type: int = C.SEQ_TYPE_DNA, interpret: bool = False):
+    """Fused single-pass FASTA emit for one block.
+
+    Returns a dict of device arrays:
+      sv u8[B']   block-compacted stream values (B' = B rounded up to tiles;
+                  entries >= cnt are zero)
+      cnt, cnt_seq, n_sp, unex_id/com/seq, longest, first_lower (0 none /
+                  1 upper / 2 lower), first_sval — i32 scalars
+      sp_tv, sp_a i32[g*CS_CAP] merged sparse stream (tight occupancy n_sp)
+      sp_ok       bool: no tile overflowed the sparse cap
+    """
+    sv_t, cnts, tv_t, a_t = emit_fasta_tiles(
+        block, prev_byte, starts_in_seq, seq_type=seq_type,
+        interpret=interpret)
+    g = cnts.shape[0]
+
+    c_t = cnts[:, LANE_CNT]
+    offs = jnp.cumsum(c_t) - c_t
+    sv_tiles = sv_t.reshape(g, _TILE)
+
+    def body(i, acc):
+        return jax.lax.dynamic_update_slice(acc, sv_tiles[i], (offs[i],))
+    sv = jax.lax.fori_loop(0, g, body, jnp.zeros(g * _TILE, jnp.uint8))
+    cnt = jnp.sum(c_t)
+    idx = jnp.arange(g * _TILE, dtype=jnp.int32)
+    sv = jnp.where(idx < cnt, sv, 0)
+
+    n_t = cnts[:, LANE_NSP]
+    sp_ok = jnp.all(n_t <= _CS_CAP)
+    soffs = jnp.cumsum(n_t) - n_t
+    tv_tiles = tv_t.reshape(g, _CS_CAP)
+    a_tiles = a_t.reshape(g, _CS_CAP)
+
+    def sbody(i, accs):
+        atv, aa = accs
+        return (jax.lax.dynamic_update_slice(atv, tv_tiles[i], (soffs[i],)),
+                jax.lax.dynamic_update_slice(aa, a_tiles[i], (soffs[i],)))
+    sp_tv, sp_a = jax.lax.fori_loop(
+        0, g, sbody, (jnp.zeros(g * _CS_CAP, jnp.int32),
+                      jnp.zeros(g * _CS_CAP, jnp.int32)))
+    n_sp = jnp.sum(jnp.minimum(n_t, _CS_CAP))
+    sidx = jnp.arange(g * _CS_CAP, dtype=jnp.int32)
+    sp_tv = jnp.where(sidx < n_sp, sp_tv, 0)
+    sp_a = jnp.where(sidx < n_sp, sp_a, 0)
+
+    return dict(
+        sv=sv, cnt=cnt, cnt_seq=jnp.sum(cnts[:, LANE_SEQ]),
+        n_sp=n_sp, sp_ok=sp_ok,
+        unex_id=jnp.sum(cnts[:, LANE_UID]),
+        unex_com=jnp.sum(cnts[:, LANE_UCOM]),
+        unex_seq=jnp.sum(cnts[:, LANE_USEQ]),
+        longest=jnp.maximum(cnts[g - 1, LANE_LONG], cnts[g - 1, LANE_OPEN]),
+        first_lower=cnts[g - 1, LANE_FLOW],
+        first_sval=cnts[g - 1, LANE_FSVAL],
+        sp_tv=sp_tv, sp_a=sp_a,
+    )
