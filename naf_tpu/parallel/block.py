@@ -300,6 +300,51 @@ def stats_blocks_packed(blocks, prev_bytes, starts_in_seq, *,
     )(blocks, prev_bytes, starts_in_seq)
 
 
+@functools.partial(jax.jit, static_argnames=("seq_type", "mesh", "interpret"))
+def fused_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
+                         seq_type: int, mesh: Mesh, interpret: bool = False):
+    """Single-pass fused FASTA emit over the mesh (nucleotide, plain format).
+
+    ONE device pass replaces stats+emit: the fused kernel
+    (ops.emit_fused) classifies, compacts, and extracts the sparse record/
+    mask/header tables per tile; the only collective is the all_gather of
+    stream counts that decides each block's nibble parity before packing.
+
+    Returns (packed u8[D, B'//2+1], scal i32[D, 10], sp_tv i32[D, S],
+    sp_a i32[D, S]) where scal rows are [cnt, cnt_seq, n_sp, sp_ok,
+    unex_id, unex_com, unex_seq, longest, first_lower, first_sval] and the
+    sparse arrays hold the tagged side stream (tight occupancy n_sp).
+    """
+    from ..ops.emit_fused import emit_fasta_fused
+
+    pallas_pack = mesh.devices.flat[0].platform == "tpu"
+
+    def fn(block, prev, sis):
+        r = emit_fasta_fused(block[0], prev[0], sis[0], seq_type=seq_type,
+                             interpret=interpret)
+        cnt = r["cnt"]
+        counts = jax.lax.all_gather(cnt, BLOCK_AXIS)
+        my = jax.lax.axis_index(BLOCK_AXIS)
+        prefix = jnp.sum(jnp.where(jnp.arange(counts.shape[0]) < my,
+                                   counts, 0))
+        odd = (prefix % 2) == 1
+        sv = r["sv"]
+        shifted = jnp.where(odd, jnp.roll(sv, -1), sv)
+        packed = _fit(_pack_block(shifted, pallas_pack),
+                      sv.shape[0] // 2 + 1)
+        scal = jnp.stack([
+            cnt, r["cnt_seq"], r["n_sp"], r["sp_ok"].astype(jnp.int32),
+            r["unex_id"], r["unex_com"], r["unex_seq"], r["longest"],
+            r["first_lower"], r["first_sval"]]).astype(jnp.int32)
+        return packed[None], scal[None], r["sp_tv"][None], r["sp_a"][None]
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),) * 3,
+        out_specs=(P(BLOCK_AXIS),) * 4, check_vma=False,
+    )(blocks, prev_bytes, starts_in_seq)
+
+
 def unpack_stats(packed_np: np.ndarray):
     """i32[D, _STATS_ROW] -> the tuple layout of stats_blocks_sharded."""
     p = np.asarray(packed_np)

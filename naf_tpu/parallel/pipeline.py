@@ -79,6 +79,97 @@ def _merge_hist(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return h
 
 
+def _try_encode_fused(blocks, opts, mesh, fmt, fallback):
+    """Single-pass fused device encode (nucleotide FASTA, plain sections).
+
+    Returns the (blob, stats) tuple, or None when the input needs the
+    two-pass path: a tile overflowed the sparse cap (mask-run changes /
+    header bytes denser than ~1 per 32 input bytes) or unexpected
+    characters exist (their histograms come from the two-pass stats).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import tables as T
+    from .block import fused_blocks_sharded
+    from .mesh import block_sharding
+
+    D = mesh.devices.size
+    interpret = mesh.devices.flat[0].platform != "tpu"
+    sharding = block_sharding(mesh)
+    blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
+    prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
+    sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
+
+    packed_d, scal_d, tv_d, a_d = fused_blocks_sharded(
+        blocks_d, prev_d, sis_d, seq_type=opts.seq_type, mesh=mesh,
+        interpret=interpret)
+    scal = np.asarray(scal_d)                     # (D, 10) — one small fetch
+    if not scal[:, 3].all() or scal[:, 4:7].any():
+        return None                               # overflow / unexpected
+
+    counts = scal[:, 0].astype(np.int64)
+    cnt_seq = scal[:, 1].astype(np.int64)
+    n_sp = scal[:, 2].astype(np.int64)
+    longest = np.full(D, int(scal[:, 7].max()))
+    first_lower = scal[:, 8] == 2
+    first_codes = np.asarray(T.NUC_CODE)[scal[:, 9]]
+
+    # sliced fetches: only used prefixes cross the host<->device link
+    p_used = max(int((counts.max(initial=1) + 1) // 2) + 1, 1)
+    packed = np.asarray(packed_d[:, :p_used])
+    m_sp = max(int(n_sp.max(initial=1)), 1)
+    tv = np.asarray(tv_d[:, :m_sp])
+    av = np.asarray(a_d[:, :m_sp])
+
+    # host-side sparse parse: O(records + runs + header bytes)
+    id_vals_l, com_vals_l = [], []
+    seq_lens_l, id_lens_l, com_lens_l, run_lens_l = [], [], [], []
+    n_rec = np.zeros(D, np.int64)
+    n_runs = np.zeros(D, np.int64)
+    for k in range(D):
+        t = tv[k, :n_sp[k]] >> 8
+        v = (tv[k, :n_sp[k]] & 0xFF).astype(np.uint8)
+        a = av[k, :n_sp[k]].astype(np.int64)
+        id_vals_l.append(v[t == 0])
+        com_vals_l.append(v[t == 1])
+        rec = t == 2
+        n_rec[k] = int(rec.sum())
+        bounds = np.concatenate([[0], a[rec], [cnt_seq[k]]])
+        seq_lens_l.append(np.diff(bounds))
+        at = np.flatnonzero(rec)
+        for tag, sink in ((0, id_lens_l), (1, com_lens_l)):
+            c = np.cumsum(t == tag)
+            mid = c[at] if at.size else np.zeros(0, np.int64)
+            sink.append(np.diff(np.concatenate(
+                [[0], mid, [int((t == tag).sum())]])))
+        j = a[t == 3]
+        run_lens_l.append(np.diff(np.concatenate([[0], j, [counts[k]]]))
+                          if counts[k] > 0 else np.zeros(0, np.int64))
+        n_runs[k] = (j.size + 1) if counts[k] > 0 else 0
+
+    def pad2d(rows, dtype=np.int32):
+        w = max(max((r.size for r in rows), default=0), 1)
+        out = np.zeros((D, w), dtype)
+        for k, r in enumerate(rows):
+            out[k, :r.size] = r
+        return out
+
+    em_np = [packed, first_codes, counts,
+             pad2d(id_vals_l, np.uint8), pad2d(com_vals_l, np.uint8),
+             np.zeros((D, 1), np.uint8),
+             pad2d(seq_lens_l), pad2d(id_lens_l), pad2d(com_lens_l),
+             np.zeros((D, int(n_rec.max()) + 1), np.int64),
+             pad2d(run_lens_l, np.int64)]
+    id_bytes = np.array([r.size for r in id_vals_l], np.int64)
+    com_bytes = np.array([r.size for r in com_vals_l], np.int64)
+    zero_hists = [np.zeros((1, 256), np.uint32) for _ in range(8)]
+    return _stitch_and_build(
+        D, fmt, opts, counts, id_bytes, com_bytes, np.zeros(D, np.int64),
+        n_rec, n_runs, first_lower, longest, zero_hists, em_np,
+        fallback=fallback)
+
+
 def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
                    mesh=None, n_blocks: Optional[int] = None
                    ) -> tuple[bytes, EncodeStats]:
@@ -129,6 +220,33 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
         blocks, _ = mb
     else:
         blocks = make_blocks(body, D)
+
+    # single-pass fused path (ops.emit_fused): nucleotide plain-format FASTA
+    # on a real TPU mesh (or under NAF_TPU_FUSED=1 for interpret-mode CPU
+    # tests).  Returns None -> two-pass path (sparse-cap overflow, or
+    # unexpected chars whose histograms need the stats pass).
+    import os as _os
+
+    text_like = opts.seq_type >= C.SEQ_TYPE_PROTEIN
+    fused_on = _os.environ.get("NAF_TPU_NO_FUSED") != "1" and (
+        mesh.devices.flat[0].platform == "tpu"
+        or _os.environ.get("NAF_TPU_FUSED") == "1")
+    if fused_on and not fastq and not text_like:
+        try:
+            out = _try_encode_fused(blocks, opts, mesh, fmt,
+                                    fallback=lambda: host_encode(data, opts))
+            if out is not None:
+                return out
+        except P.InputError:
+            raise
+        except Exception as e:
+            import warnings
+
+            if _os.environ.get("NAF_TPU_NO_FALLBACK") == "1":
+                raise
+            warnings.warn(
+                f"naf_tpu: fused device encode failed ({type(e).__name__}: "
+                f"{e}); falling back to the two-pass pipeline")
 
     try:
         sharding = block_sharding(mesh)
