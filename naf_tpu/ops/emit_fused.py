@@ -47,17 +47,17 @@ pltpu = LazyModule("jax.experimental.pallas.tpu")
 
 from ..format import constants as C
 from . import tables as T
-from .scan_fused import (
-    _COM, _ID, _M_CID, _M_CSEQ, _M_IDENT, _M_SPACE, _SEQ,
-    _apply_map, _compose, _extract, _lut_bool_small, _shift1_rowmajor,
-)
+from . import scan_fused as F
+from .scan_fused import _ID, _SEQ, _extract, _shift1_rowmajor
 
 _GT = ord(">")
 _LANES = 128
-_ROWS = int(_os.environ.get("NAF_TPU_EMIT_ROWS", "256"))
+#: tile rows MUST match ops.scan_fused's (the classify kernel is reused
+#: verbatim as phase 1, writing flags/svals into VMEM scratch)
+_ROWS = F._ROWS
 _TILE = _ROWS * _LANES
 #: sparse side-stream cap: rows of 128 tagged entries per tile
-_CS_ROWS = int(_os.environ.get("NAF_TPU_EMIT_SPARSE_ROWS", "8"))
+_CS_ROWS = int(_os.environ.get("NAF_TPU_EMIT_SPARSE_ROWS", "16"))
 _CS_CAP = _CS_ROWS * _LANES
 
 _NEGBIG = -(1 << 30)
@@ -65,10 +65,9 @@ _NEGBIG = -(1 << 30)
 # sparse stream tags (bits 8..9 of the tagged value)
 TAG_ID, TAG_COM, TAG_REC, TAG_CHG = 0, 1, 2, 3
 
-# carry slots (SMEM)
-_C_STATE, _C_PEOL, _C_CUMS, _C_CUMSEQ, _C_EOLBASE, _C_LONG, _C_ENC, \
-    _C_FLOW, _C_FSVAL = range(9)
-_NCARRY = 9
+# carry slots (SMEM; the classify phase keeps its own 2-slot carry)
+_C_CUMS, _C_CUMSEQ, _C_EOLBASE, _C_LONG, _C_ENC, _C_FLOW, _C_FSVAL = range(7)
+_NCARRY = 7
 
 # counts-row lanes (per tile)
 LANE_CNT, LANE_SEQ, LANE_NSP, LANE_UID, LANE_UCOM, LANE_USEQ, \
@@ -192,11 +191,16 @@ def _seg_matmul(contribs, dst, out_rows):
     h_main = (o == d).astype(jnp.float32)
     h_wrap = (o == d + 1).astype(jnp.float32)
     dims = (((0,), (0,)), ((), ()))
+    # HIGHEST: the MXU's default bf16 single-pass rounds 16-bit integer
+    # halves (7-bit mantissa); the bf16x3 decomposition is exact for the
+    # <2^24 integer domain here (verified: default precision corrupts
+    # real-chip archives, interpret mode hides it)
+    prec = jax.lax.Precision.HIGHEST
     outs = []
     for main, wrap in contribs:
-        acc = jax.lax.dot_general(h_main, main, dims,
+        acc = jax.lax.dot_general(h_main, main, dims, precision=prec,
                                   preferred_element_type=jnp.float32)
-        acc = acc + jax.lax.dot_general(h_wrap, wrap, dims,
+        acc = acc + jax.lax.dot_general(h_wrap, wrap, dims, precision=prec,
                                         preferred_element_type=jnp.float32)
         outs.append(acc[:out_rows] if ocols == out_rows else
                     jax.lax.slice(acc, (0, 0), (out_rows, _LANES)))
@@ -234,17 +238,17 @@ def _compact_rows(keep, vals, out_rows):
             for i in range(len(rotated))]
 
 
-def _make_emit_kernel(seq_type: int):
-    unex_seq_tab = T.UNEXPECTED_BY_TYPE[seq_type]
-    repl = C.REPLACEMENT_SEQ[seq_type]
+def _make_emit_kernel(seq_type: int, stage: str = "full"):
+    """``stage`` < 'full' early-outs after that phase (perf attribution via
+    tools/emit_kernel_variants.py; production always passes 'full')."""
+    classify = F._make_fasta_kernel(seq_type)
 
-    def kernel(sc_ref, x_ref, sv_ref, cnts_ref, tv_ref, a_ref, carry):
+    def kernel(sc_ref, x_ref, sv_ref, cnts_ref, tv_ref, a_ref,
+               flags_scr, sval_scr, ccarry, carry):
         i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            carry[_C_STATE] = sc_ref[0]
-            carry[_C_PEOL] = sc_ref[1]
             carry[_C_CUMS] = 0
             carry[_C_CUMSEQ] = 0
             carry[_C_EOLBASE] = 0
@@ -253,67 +257,37 @@ def _make_emit_kernel(seq_type: int):
             carry[_C_FLOW] = 0
             carry[_C_FSVAL] = 0
 
-        b = x_ref[:].astype(jnp.int32)
+        # --- phase 1: the production classify kernel, verbatim (its
+        # sequence-tile fast path skips the transition-monoid scan, which
+        # measures ~20x slower than the fast path when run branchlessly) ---
+        classify(sc_ref, x_ref, flags_scr, sval_scr, ccarry)
+
         R = _ROWS
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
         lpos = row * _LANES + lane
 
-        # --- branchless classify (transition monoid of ops.scan_fused,
-        # reference char classes ennaf/src/tables.c:28-197) ---
-        is_eol = (b >= 0x0A) & (b <= 0x0D)
-        is_sp = is_eol | (b == 0x09) | (b == 0x20)
-        e = is_eol.astype(jnp.int32)
-        st0 = carry[_C_STATE]
-        pe = _shift1_rowmajor(e, carry[_C_PEOL]) != 0
-        marker = (b == _GT) & pe
-        space_nc = is_sp & ~is_eol
-        m = jnp.where(marker, _M_CID,
-                      jnp.where(is_eol, _M_CSEQ,
-                                jnp.where(space_nc, _M_SPACE, _M_IDENT)))
-        p = m
-        for s in (1, 2, 4, 8, 16, 32, 64):
-            sh = jnp.roll(p, s, axis=1)
-            sh = jnp.where(lane >= s, sh, _M_IDENT)
-            p = _compose(p, sh)
-        t = jnp.broadcast_to(
-            jax.lax.slice(p, (0, _LANES - 1), (R, _LANES)), (R, _LANES))
-        s = 1
-        while s < R:
-            shq = jnp.roll(t, s, axis=0)
-            shq = jnp.where(row >= s, shq, _M_IDENT)
-            t = _compose(t, shq)
-            s *= 2
-        rc = jnp.roll(t, 1, axis=0)
-        rc = jnp.where(row == 0, _M_IDENT, rc)
-        pfx = _compose(p, rc)
-        state = _apply_map(pfx, st0)
-        sb = _shift1_rowmajor(state, st0)
-
-        in_id = ~marker & (sb == _ID) & ~is_sp
-        in_com = ~marker & (sb == _COM) & ~is_eol
-        in_seq = ~marker & (sb == _SEQ)
-        unex_text_b = _lut_bool_small(b, T.IS_UNEXPECTED_TEXT)
-        unex_com_b = _lut_bool_small(b, T.IS_UNEXPECTED_COMMENT)
-        unex_seq_b = _lut_bool_small(b, unex_seq_tab)
-
-        id_unex = in_id & unex_text_b
-        id_keep = in_id & ~unex_text_b
-        com_unex = in_com & unex_com_b
-        seq_keep = in_seq & ~is_sp
-        seq_unex = seq_keep & unex_seq_b
+        # --- phase 2 (unbranched): masks from the flag bits ---
+        f = flags_scr[:].astype(jnp.int32)
+        sval = sval_scr[:].astype(jnp.int32)
+        marker = (f & 1) != 0
+        seq_unex = (f & 2) != 0
+        seq_keep = (f & 4) != 0
+        is_eol = (f & 8) != 0
+        id_keep = (f & 16) != 0
+        id_unex = (f & 32) != 0
+        in_com = (f & 64) != 0
+        com_unex = (f & 128) != 0
         stream_keep = seq_keep | id_unex
-        sval = jnp.where(id_unex, C.REPLACEMENT_NAME,
-                         jnp.where(seq_unex, repl, b))
 
-        carry[_C_STATE] = _extract(state, R - 1, _LANES - 1)
-        carry[_C_PEOL] = _extract(e, R - 1, _LANES - 1)
+        if stage == "classify":
+            sv_ref[:] = sval.astype(jnp.uint8)
+            return
 
-        # --- prefix coordinates: one packed sum scan + two max scans ---
-        cum2 = _hs_sum(stream_keep.astype(jnp.int32)
-                       + (seq_keep.astype(jnp.int32) << 16))
-        cum_stream = (cum2 & 0xFFFF) + carry[_C_CUMS]      # global inclusive
-        cum_seq = (cum2 >> 16) + carry[_C_CUMSEQ]
+        # --- prefix coordinates: two sum scans + two max scans (a 16-bit
+        # packed pair would wrap at a full 64 KiB tile of kept bytes) ---
+        cum_stream = _hs_sum(stream_keep.astype(jnp.int32)) + carry[_C_CUMS]
+        cum_seq = _hs_sum(seq_keep.astype(jnp.int32)) + carry[_C_CUMSEQ]
 
         lower = stream_keep & (sval >= 96)
         enc = jnp.where(stream_keep,
@@ -353,9 +327,16 @@ def _make_emit_kernel(seq_type: int):
         carry[_C_FLOW] = jnp.where(need_first, 1 + first_low, carry[_C_FLOW])
         carry[_C_FSVAL] = jnp.where(need_first, first_sv, carry[_C_FSVAL])
 
+        if stage == "scans":
+            sv_ref[:] = (sval ^ (menc & 1) ^ (aincl & 1)).astype(jnp.uint8)
+            return
+
         # --- dense stream compaction (butterfly + segment matmul) ---
         sv_out = _compact_rows(stream_keep, [sval], _ROWS)[0]
         sv_ref[:] = sv_out.astype(jnp.uint8)
+
+        if stage == "dense":
+            return
 
         # --- sparse tagged side stream ---
         keep_sp = id_keep | in_com | marker | chg
@@ -364,8 +345,10 @@ def _make_emit_kernel(seq_type: int):
                                   jnp.where(in_com, TAG_COM, TAG_ID)))
         # id/com byte values: ids keep raw bytes (id_keep excludes unex),
         # comments replace unexpected; rec/chg entries carry coordinates
+        # sval holds raw bytes at id/com positions (classify only replaces
+        # id_unex/seq_unex); comments replace their unexpected bytes here
         spval = jnp.where(id_keep | in_com,
-                          jnp.where(com_unex, C.REPLACEMENT_NAME, b), 0)
+                          jnp.where(com_unex, C.REPLACEMENT_NAME, sval), 0)
         tv = spval | (tag << 8)
         # rec: global kept-seq prefix before the marker (marker not kept ->
         # inclusive == exclusive); chg: index in the compacted stream
@@ -389,8 +372,9 @@ def _make_emit_kernel(seq_type: int):
             (LANE_FLOW, carry[_C_FLOW]),
             (LANE_FSVAL, carry[_C_FSVAL]),
         ]
-        crow = jnp.zeros((1, _LANES), jnp.int32)
-        l1 = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+        # (8, 128) block: Mosaic requires >=8 sublanes; consumers read row 0
+        crow = jnp.zeros((8, _LANES), jnp.int32)
+        l1 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
         for k, v in scalars:
             crow = jnp.where(l1 == k, v, crow)
         cnts_ref[:] = crow
@@ -424,7 +408,7 @@ def emit_fasta_tiles(block, prev_byte, starts_in_seq=False, *,
 
     spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    cspec = pl.BlockSpec((1, _LANES), lambda i: (i, 0),
+    cspec = pl.BlockSpec((8, _LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((_CS_ROWS, _LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -433,14 +417,17 @@ def emit_fasta_tiles(block, prev_byte, starts_in_seq=False, *,
         grid=(g,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
         out_shape=(jax.ShapeDtypeStruct((g * _ROWS, _LANES), jnp.uint8),
-                   jax.ShapeDtypeStruct((g, _LANES), jnp.int32),
+                   jax.ShapeDtypeStruct((g * 8, _LANES), jnp.int32),
                    jax.ShapeDtypeStruct((g * _CS_ROWS, _LANES), jnp.int32),
                    jax.ShapeDtypeStruct((g * _CS_ROWS, _LANES), jnp.int32)),
         out_specs=(spec, cspec, sspec, sspec),
-        scratch_shapes=[pltpu.SMEM((_NCARRY,), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((_ROWS, _LANES), jnp.uint8),
+                        pltpu.VMEM((_ROWS, _LANES), jnp.uint8),
+                        pltpu.SMEM((2,), jnp.int32),
+                        pltpu.SMEM((_NCARRY,), jnp.int32)],
         interpret=interpret,
     )(scalars, x2)
-    return sv, cnts, tv, a
+    return sv, cnts.reshape(g, 8, _LANES)[:, 0, :], tv, a
 
 
 @lazy_jit(static_argnames=("seq_type", "interpret"))

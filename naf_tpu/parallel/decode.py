@@ -411,6 +411,183 @@ def _compiled_step(mesh, Osz: int, mode: int, line_len: int, rna: bool,
 
 
 # ---------------------------------------------------------------------------
+# Uniform-record-group fast path
+# ---------------------------------------------------------------------------
+#
+# Rendering is an EXPANSION, and when record shapes repeat it degenerates to
+# pure layout ops: a group of records with identical (header_len, seq_len)
+# renders as reshape+concat — chars (n, sl) -> full lines (n, k, L) + a
+# newline column + tail, prefixed by headers (n, hl).  Uniform groups cover
+# the production regimes (fixed-length FASTQ reads, single chr-scale FASTA
+# records, equal-length multi-FASTA); ragged archives keep the gather path
+# below.  Reshapes/concats run at copy speed on TPU — no per-byte gathers.
+
+_REG_MAX_GROUPS = int(__import__("os").environ.get(
+    "NAF_TPU_DECODE_REG_GROUPS", "24"))
+
+
+@functools.lru_cache(maxsize=128)
+def _regular_group_step(mode: int, hl: int, sl: int, L: int, nrec: int):
+    """jit: render `nrec` records of identical shape -> u8[nrec*(hl+blen)]."""
+    import jax
+    import jax.numpy as jnp
+
+    def fn(chars, hdr, qual, c0, h0):
+        hd = jax.lax.dynamic_slice(hdr, (h0,), (nrec * hl,)).reshape(
+            nrec, hl)
+        nl = jnp.full((nrec, 1), 0x0A, jnp.uint8)
+        if sl > 0:
+            ch = jax.lax.dynamic_slice(chars, (c0,), (nrec * sl,)).reshape(
+                nrec, sl)
+        else:
+            ch = jnp.zeros((nrec, 0), jnp.uint8)
+        if mode == MODE_FASTQ:
+            q = (jax.lax.dynamic_slice(qual, (c0,), (nrec * sl,)).reshape(
+                nrec, sl) if sl > 0 else ch)
+            sep = jnp.tile(jnp.asarray(np.frombuffer(b"\n+\n", np.uint8)),
+                           (nrec, 1))
+            out = jnp.concatenate([hd, ch, sep, q, nl], axis=1)
+        else:
+            parts = [hd]
+            if sl > 0:
+                if L > 0:
+                    kf, tail = divmod(sl, L)
+                    if kf:
+                        full = ch[:, :kf * L].reshape(nrec, kf, L)
+                        full = jnp.concatenate(
+                            [full, jnp.full((nrec, kf, 1), 0x0A, jnp.uint8)],
+                            axis=2).reshape(nrec, kf * (L + 1))
+                        parts.append(full)
+                    if tail:
+                        parts.append(jnp.concatenate([ch[:, kf * L:], nl],
+                                                     axis=1))
+                else:
+                    parts.append(jnp.concatenate([ch, nl], axis=1))
+            out = jnp.concatenate(parts, axis=1)
+        return out.reshape(-1)
+
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _prep_chars_step(packed: bool, upper: bool, rna: bool, masking: bool,
+                     pallas: bool):
+    """jit: section bytes -> rendered char stream (unpack + mask case)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import scan as S
+
+    def fn(seq_bytes, bounds):
+        if packed:
+            if pallas:
+                from ..ops.unpack import unpack_4bit_pallas
+
+                chars = unpack_4bit_pallas(seq_bytes, rna=rna)
+            else:
+                from ..ops.unpack import unpack_4bit_xla
+
+                chars = unpack_4bit_xla(seq_bytes, rna=rna)
+        else:
+            chars = seq_bytes
+            if upper:
+                ci = chars.astype(jnp.int32)
+                is_lo = (ci >= ord("a")) & (ci <= ord("z"))
+                chars = jnp.where(is_lo, ci - 32, ci).astype(jnp.uint8)
+        if masking:
+            tog = jnp.zeros(chars.shape[0], jnp.int32).at[bounds].add(
+                1, mode="drop")
+            parity = S.cumsum_best(tog, pallas) & 1
+            chars = (chars.astype(jnp.int32) + 32 * parity).astype(jnp.uint8)
+        return chars
+
+    return jax.jit(fn)
+
+
+def render_regular(plan: RenderPlan, seq_bytes: np.ndarray,
+                   qual_bytes: Optional[np.ndarray], *, mesh
+                   ) -> Optional[bytes]:
+    """Uniform-group render, or None when the archive is too ragged.
+
+    Single-device only (the gather path shards ragged work; a 1-chip mesh
+    is the bench/production decode unit).  Byte-identical to the gather
+    path and the host renderer by construction — group widths are exactly
+    the plan's body lengths, asserted before any fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if mesh is not None and int(mesh.devices.size) != 1:
+        return None
+    n = plan.slens.size
+    if n == 0 or plan.total_out == 0:
+        return b""
+    if plan.total_out >= (1 << 31):
+        return None
+    hlens = np.diff(plan.H, prepend=np.int64(0))
+    slens = plan.slens.astype(np.int64)
+    if n > 1:
+        change = np.flatnonzero((hlens[1:] != hlens[:-1])
+                                | (slens[1:] != slens[:-1])) + 1
+    else:
+        change = np.zeros(0, np.int64)
+    starts = np.concatenate([[0], change]).astype(np.int64)
+    ends = np.append(starts[1:], n)
+    if starts.size > _REG_MAX_GROUPS:
+        return None
+
+    L = plan.line_len
+    blens = (2 * slens + 4 if plan.mode == MODE_FASTQ
+             else body_length(slens, L))
+    if int((hlens + blens).sum()) != plan.total_out:
+        return None                       # spill/quirk archive: gather path
+
+    pallas = mesh is not None and mesh.devices.flat[0].platform == "tpu"
+    masking = plan.bounds.size > 0
+    sb = np.ascontiguousarray(seq_bytes, np.uint8)
+    pad = (-sb.size) % 256
+    if pad:
+        sb = np.pad(sb, (0, pad))
+    M = _bucket(max(plan.bounds.size, 2), 2)
+    bounds = np.full(M, 1 << 30, np.int64)
+    bounds[:plan.bounds.size] = plan.bounds
+    prep = _prep_chars_step(plan.packed, plan.upper, plan.rna, masking,
+                            pallas)
+    if _COMPILE_LOG is not None:
+        _COMPILE_LOG.append((
+            ("prep", plan.packed, plan.upper, plan.rna, masking),
+            ((sb.shape, "uint8"), ((M,), "int32"))))
+    chars = prep(jnp.asarray(sb), jnp.asarray(bounds.astype(np.int32)))
+    hdr_d = jnp.asarray(plan.hdr)
+    if plan.mode == MODE_FASTQ and qual_bytes is not None:
+        qual_d = jnp.asarray(np.ascontiguousarray(qual_bytes, np.uint8))
+    else:
+        qual_d = jnp.zeros(1, jnp.uint8)
+
+    outs = []
+    sizes = []
+    for r0, r1 in zip(starts, ends):
+        hl = int(hlens[r0])
+        sl = int(slens[r0])
+        nrec = int(r1 - r0)
+        c0 = int(plan.E[r0 - 1]) if r0 > 0 else 0
+        h0 = int(plan.H[r0 - 1]) if r0 > 0 else 0
+        step = _regular_group_step(plan.mode, hl, sl, L, nrec)
+        if _COMPILE_LOG is not None:
+            _COMPILE_LOG.append((
+                ("regular", plan.mode, hl, sl, L, nrec),
+                ((chars.shape, "uint8"), (hdr_d.shape, "uint8"),
+                 (qual_d.shape, "uint8"))))
+        outs.append(step(chars, hdr_d, qual_d, jnp.int32(c0),
+                         jnp.int32(h0)))
+        sizes.append(nrec * (hl + int(blens[r0])))
+    total = sum(sizes)
+    if total != plan.total_out:
+        return None
+    return b"".join(np.asarray(o).tobytes() for o in outs)
+
+
+# ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
 
@@ -418,6 +595,12 @@ def render_sharded(plan: RenderPlan, seq_bytes: np.ndarray,
                    qual_bytes: Optional[np.ndarray], *, mesh,
                    out_batch: int = 0) -> bytes:
     """Render the full output over the mesh in bounded batches."""
+    import os as _os
+
+    if _os.environ.get("NAF_TPU_NO_REGULAR") != "1":
+        out = render_regular(plan, seq_bytes, qual_bytes, mesh=mesh)
+        if out is not None:
+            return out
     from .mesh import block_sharding, replicated
 
     D = int(mesh.devices.size)

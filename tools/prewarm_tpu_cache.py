@@ -161,8 +161,8 @@ def prewarm_e2e(topo) -> None:
     for f in ("naf_tpu/parallel/block.py", "naf_tpu/parallel/pipeline.py",
               "naf_tpu/parallel/decode.py", "naf_tpu/ops/scan.py",
               "naf_tpu/ops/scan_fused.py", "naf_tpu/ops/compact.py",
-              "naf_tpu/ops/pack.py", "bench.py",
-              "tools/prewarm_tpu_cache.py"):
+              "naf_tpu/ops/pack.py", "naf_tpu/ops/emit_fused.py",
+              "bench.py", "tools/prewarm_tpu_cache.py"):
         h.update((repo / f).read_bytes())
     meta_key = f"{mb}:{h.hexdigest()}"
     meta_path = Path(os.path.expanduser("~/.cache/naf_tpu_jax")) /         "prewarm_meta.json"
@@ -228,6 +228,13 @@ def prewarm_e2e(topo) -> None:
     emit_blocks_packed.lower(a_blocks, a_prev, a_sis, a_odd, seq_type=0,
                              fastq=False, mesh=tmesh, **caps).compile()
     print(f"  e2e emit pass: {time.time() - t0:.1f}s")
+
+    from naf_tpu.parallel.block import fused_blocks_sharded
+
+    t0 = time.time()
+    fused_blocks_sharded.lower(a_blocks, a_prev, a_sis, seq_type=0,
+                               mesh=tmesh, interpret=False).compile()
+    print(f"  e2e fused pass: {time.time() - t0:.1f}s")
 
     # ---- FASTQ e2e passes (bench device child's last row) ----------------
     from bench import gen_fastq
