@@ -20,7 +20,10 @@
 
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 
 extern "C" {
 
@@ -151,6 +154,17 @@ struct BitW {
     // >= 8 bytes of headroom past its bound checks).  The invariant
     // nbits <= 7 on entry keeps acc within 64 bits for bits <= 32.
     acc |= (uint64_t)(val & ((bits < 32 ? (1u << bits) : 0u) - 1)) << nbits;
+    nbits += bits;
+    std::memcpy(out + pos, &acc, 8);
+    int fl = nbits >> 3;
+    pos += fl;
+    acc >>= fl * 8;
+    nbits &= 7;
+  }
+  inline void add64(uint64_t val, int bits) {
+    // up to 51 payload bits per accumulate (nbits <= 7 on entry keeps the
+    // top within 64): one acc chain step per symbol QUAD instead of pair
+    acc |= (val & (((uint64_t)1 << bits) - 1)) << nbits;
     nbits += bits;
     std::memcpy(out + pos, &acc, 8);
     int fl = nbits >> 3;
@@ -461,7 +475,17 @@ static uint64_t huf_stream(const uint8_t *src, uint32_t n,
                            const HufCode *codes, uint8_t *dst) {
   BitW bw{dst};
   int i = (int)n - 1;
-  for (; i >= 1; i -= 2) {   // pair symbols: one accumulate per 2 codes
+  for (; i >= 3; i -= 4) {   // quad symbols: one accumulate per 4 codes
+    const HufCode &c1 = codes[src[i]];
+    const HufCode &c2 = codes[src[i - 1]];
+    const HufCode &c3 = codes[src[i - 2]];
+    const HufCode &c4 = codes[src[i - 3]];
+    int n1 = c1.nbits, n12 = n1 + c2.nbits, n123 = n12 + c3.nbits;
+    uint64_t v = (uint64_t)c1.val | ((uint64_t)c2.val << n1)
+                 | ((uint64_t)c3.val << n12) | ((uint64_t)c4.val << n123);
+    bw.add64(v, n123 + c4.nbits);
+  }
+  for (; i >= 1; i -= 2) {   // pair tail
     const HufCode &c1 = codes[src[i]];
     const HufCode &c2 = codes[src[i - 1]];
     bw.add((uint32_t)c1.val | ((uint32_t)c2.val << c1.nbits),
@@ -474,12 +498,43 @@ static uint64_t huf_stream(const uint8_t *src, uint32_t n,
   return bw.close();
 }
 
+// NAF_ZSTD_DEC_STATS=1 also times the encoder's stages (shared dump)
+static thread_local uint64_t g_enc_ns_hist = 0, g_enc_ns_huf = 0,
+    g_enc_ns_match = 0;
+bool nz_stats_on();                      // fwd (defined with the dec stats)
+uint64_t nz_now_ns();
+
 // write a full Compressed_Literals_Block; returns bytes or 0 if raw is better
 static uint64_t write_huf_literals(const uint8_t *lits, uint32_t n,
                                    uint8_t *dst, uint64_t cap) {
   if (n < 64) return 0;
-  uint32_t count[256] = {0};
-  for (uint32_t i = 0; i < n; i++) count[lits[i]]++;
+  uint64_t t0 = nz_stats_on() ? nz_now_ns() : 0;
+  // 4-way split histogram over 8-byte loads: a single count[] serializes
+  // on same-counter increments (store->load forwarding) on skewed data
+  uint32_t c4[4][256] = {{0}};
+  {
+    uint32_t i = 0;
+    for (; i + 8 <= n; i += 8) {
+      uint64_t v;
+      std::memcpy(&v, lits + i, 8);
+      c4[0][(uint8_t)v]++;
+      c4[1][(uint8_t)(v >> 8)]++;
+      c4[2][(uint8_t)(v >> 16)]++;
+      c4[3][(uint8_t)(v >> 24)]++;
+      c4[0][(uint8_t)(v >> 32)]++;
+      c4[1][(uint8_t)(v >> 40)]++;
+      c4[2][(uint8_t)(v >> 48)]++;
+      c4[3][(uint8_t)(v >> 56)]++;
+    }
+    for (; i < n; i++) c4[0][lits[i]]++;
+  }
+  uint32_t count[256];
+  for (int s = 0; s < 256; s++)
+    count[s] = c4[0][s] + c4[1][s] + c4[2][s] + c4[3][s];
+  if (t0) {
+    g_enc_ns_hist += nz_now_ns() - t0;
+    t0 = nz_now_ns();
+  }
   HufCode codes[256];
   int max_bits;
   int alphabet = huf_build(count, codes, &max_bits);
@@ -531,6 +586,7 @@ static uint64_t write_huf_literals(const uint8_t *lits, uint32_t n,
     }
     comp = off + 6;                // + jump table
   }
+  if (t0) g_enc_ns_huf += nz_now_ns() - t0;
   uint64_t total_comp = (uint64_t)tree_n + comp;
 
   uint64_t w = 0;
@@ -2357,9 +2413,16 @@ static int64_t read_ncount(const uint8_t *p, uint64_t n, int16_t *norm,
 // ---- Huffman decode table -------------------------------------------------
 
 struct HufDec {
-  uint8_t sym[1 << HUF_MAX_BITS];
-  uint8_t nb[1 << HUF_MAX_BITS];
+  // fused entry: symbol | nbits << 8 — one load per decoded symbol instead
+  // of two dependent ones (the literals loop is the decoder's hot spot)
+  uint16_t e[1 << HUF_MAX_BITS];
+  // pair table (libzstd X2 idea): for short-code tables (maxbits <= 6)
+  // index by 2*maxbits bits and emit TWO symbols per lookup — halves the
+  // load->shift dependency chain the literals loop is bound by.
+  // e2[v] = s1 | s2 << 8 | (nb1 + nb2) << 16; table <= 16 KiB (L1-resident)
+  uint32_t e2[1 << 12];
   int log = 0;
+  int log2x = 0;                         // 2 * log when the pair table is on
   bool valid = false;
 };
 
@@ -2396,14 +2459,23 @@ static bool huf_dec_build(const uint8_t *w, int n, HufDec &d) {
     uint8_t ws = (s < n) ? w[s] : wlast;
     if (ws == 0) continue;
     uint32_t len = 1u << (ws - 1);
-    uint8_t nb = (uint8_t)(maxbits + 1 - ws);
-    for (uint32_t i = 0; i < len; i++) {
-      d.sym[start[ws] + i] = (uint8_t)s;
-      d.nb[start[ws] + i] = nb;
-    }
+    uint16_t en = (uint16_t)(s | ((maxbits + 1 - ws) << 8));
+    for (uint32_t i = 0; i < len; i++) d.e[start[ws] + i] = en;
     start[ws] += len;
   }
   d.log = maxbits;
+  d.log2x = 0;
+  if (maxbits <= 6) {
+    int L = maxbits, mask1 = (1 << L) - 1;
+    for (uint32_t v = 0; v < (1u << (2 * L)); v++) {
+      uint16_t e1 = d.e[v >> L];
+      int nb1 = e1 >> 8;
+      uint16_t e2 = d.e[(v >> (L - nb1)) & mask1];
+      d.e2[v] = (uint32_t)(uint8_t)e1 | ((uint32_t)(uint8_t)e2 << 8)
+                | ((uint32_t)(nb1 + (e2 >> 8)) << 16);
+    }
+    d.log2x = 2 * L;
+  }
   d.valid = true;
   return true;
 }
@@ -2476,15 +2548,15 @@ static bool huf_stream_decode(const uint8_t *p, uint64_t n, const HufDec &d,
     const int64_t base = b0 << 3;
     const int64_t floor_bits = base + log;
     while (bb.bits >= floor_bits && i < count) {
-      uint32_t idx = (uint32_t)(acc >> (bb.bits - log - base)) & mask;
-      out[i++] = d.sym[idx];
-      bb.bits -= d.nb[idx];
+      uint16_t en = d.e[(uint32_t)(acc >> (bb.bits - log - base)) & mask];
+      out[i++] = (uint8_t)en;
+      bb.bits -= en >> 8;
     }
   }
   for (; i < count; i++) {               // tail: bounds-checked path
-    uint32_t idx = bb.peek(log);
-    out[i] = d.sym[idx];
-    bb.bits -= d.nb[idx];
+    uint16_t en = d.e[bb.peek(log)];
+    out[i] = (uint8_t)en;
+    bb.bits -= en >> 8;
   }
   return bb.bits >= 0;
 }
@@ -2501,35 +2573,121 @@ static bool huf_stream_decode4(const uint8_t *q[4], const uint64_t qn[4],
     if (!bb[k].init()) return false;
   const int log = d.log;
   const uint32_t mask = (1u << log) - 1;
-  uint32_t i[4] = {0, 0, 0, 0};
-  for (;;) {
-    bool ok = true;
-    for (int k = 0; k < 4; k++)
-      ok &= (bb[k].bits >= 64) & (i[k] + 6 <= cnt[k]);
-    if (!ok) break;
-    uint64_t acc[4];
-    int64_t base[4];
-    for (int k = 0; k < 4; k++) {
-      int64_t b0 = (bb[k].bits >> 3) - 7;
-      std::memcpy(&acc[k], q[k] + b0, 8);
-      base[k] = b0 << 3;
+  const uint16_t *E = d.e;
+  // named per-stream registers: an indexed acc[4]/cur[4] formulation makes
+  // g++ spill the dependency chain to the stack, putting a store+load in
+  // series with every symbol — named locals keep the four chains in
+  // registers (the same reason libzstd's 4X loop is macro-unrolled)
+  uint64_t a0 = 0, a1 = 0, a2 = 0, a3 = 0;
+  int64_t c0 = 0, c1 = 0, c2 = 0, c3 = 0;
+  uint8_t *o0 = outp[0], *o1 = outp[1], *o2 = outp[2], *o3 = outp[3];
+  // rounds per reload: 4 pair lookups (8 symbols, <= 48 bits) via the X2
+  // table, 8 short-code symbols (log <= 7; 8*7 = 56 exactly fits the
+  // usable window), or 4 tall ones (44 + 11 < 56)
+  if (d.log2x) {
+    const int L2 = d.log2x;
+    const uint32_t m2 = (1u << L2) - 1;
+    const uint32_t *E2 = d.e2;
+    const uint8_t *f0 = o0 + (cnt[0] > 10 ? cnt[0] - 10 : 0);
+    const uint8_t *f1 = o1 + (cnt[1] > 10 ? cnt[1] - 10 : 0);
+    const uint8_t *f2 = o2 + (cnt[2] > 10 ? cnt[2] - 10 : 0);
+    const uint8_t *f3 = o3 + (cnt[3] > 10 ? cnt[3] - 10 : 0);
+    while (bb[0].bits >= 64 && bb[1].bits >= 64 && bb[2].bits >= 64 &&
+           bb[3].bits >= 64 && o0 <= f0 && o1 <= f1 && o2 <= f2 &&
+           o3 <= f3) {
+      int64_t b;
+      b = (bb[0].bits >> 3) - 7; std::memcpy(&a0, q[0] + b, 8);
+      c0 = bb[0].bits - (b << 3);
+      b = (bb[1].bits >> 3) - 7; std::memcpy(&a1, q[1] + b, 8);
+      c1 = bb[1].bits - (b << 3);
+      b = (bb[2].bits >> 3) - 7; std::memcpy(&a2, q[2] + b, 8);
+      c2 = bb[2].bits - (b << 3);
+      b = (bb[3].bits >> 3) - 7; std::memcpy(&a3, q[3] + b, 8);
+      c3 = bb[3].bits - (b << 3);
+#define NZ_PSTEP(A, C, O)                                              \
+  {                                                                    \
+    uint32_t en = E2[(uint32_t)(A >> (C - L2)) & m2];                  \
+    uint16_t two = (uint16_t)en;                                       \
+    std::memcpy(O, &two, 2);                                           \
+    O += 2;                                                            \
+    C -= en >> 16;                                                     \
+  }
+#define NZ_PROUND NZ_PSTEP(a0, c0, o0) NZ_PSTEP(a1, c1, o1)            \
+                  NZ_PSTEP(a2, c2, o2) NZ_PSTEP(a3, c3, o3)
+      NZ_PROUND NZ_PROUND NZ_PROUND NZ_PROUND
+#undef NZ_PROUND
+#undef NZ_PSTEP
+      bb[0].bits = (((bb[0].bits >> 3) - 7) << 3) + c0;
+      bb[1].bits = (((bb[1].bits >> 3) - 7) << 3) + c1;
+      bb[2].bits = (((bb[2].bits >> 3) - 7) << 3) + c2;
+      bb[3].bits = (((bb[3].bits >> 3) - 7) << 3) + c3;
     }
-    // 4 rounds x 4 streams per window set (log <= 11 -> 44 bits < 56 ok)
-    for (int j = 0; j < 4; j++) {
-      for (int k = 0; k < 4; k++) {
-        uint32_t idx =
-            (uint32_t)(acc[k] >> (bb[k].bits - log - base[k])) & mask;
-        outp[k][i[k]++] = d.sym[idx];
-        bb[k].bits -= d.nb[idx];
-      }
+  } else if (log <= 7) {
+    const uint8_t *f0 = o0 + (cnt[0] > 10 ? cnt[0] - 10 : 0);
+    const uint8_t *f1 = o1 + (cnt[1] > 10 ? cnt[1] - 10 : 0);
+    const uint8_t *f2 = o2 + (cnt[2] > 10 ? cnt[2] - 10 : 0);
+    const uint8_t *f3 = o3 + (cnt[3] > 10 ? cnt[3] - 10 : 0);
+    while (bb[0].bits >= 64 && bb[1].bits >= 64 && bb[2].bits >= 64 &&
+           bb[3].bits >= 64 && o0 <= f0 && o1 <= f1 && o2 <= f2 &&
+           o3 <= f3) {
+      int64_t b;
+      b = (bb[0].bits >> 3) - 7; std::memcpy(&a0, q[0] + b, 8);
+      c0 = bb[0].bits - (b << 3);
+      b = (bb[1].bits >> 3) - 7; std::memcpy(&a1, q[1] + b, 8);
+      c1 = bb[1].bits - (b << 3);
+      b = (bb[2].bits >> 3) - 7; std::memcpy(&a2, q[2] + b, 8);
+      c2 = bb[2].bits - (b << 3);
+      b = (bb[3].bits >> 3) - 7; std::memcpy(&a3, q[3] + b, 8);
+      c3 = bb[3].bits - (b << 3);
+#define NZ_STEP(A, C, O)                                               \
+  {                                                                    \
+    uint16_t en = E[(uint32_t)(A >> (C - log)) & mask];                \
+    *O++ = (uint8_t)en;                                                \
+    C -= en >> 8;                                                      \
+  }
+#define NZ_ROUND NZ_STEP(a0, c0, o0) NZ_STEP(a1, c1, o1)               \
+                 NZ_STEP(a2, c2, o2) NZ_STEP(a3, c3, o3)
+      NZ_ROUND NZ_ROUND NZ_ROUND NZ_ROUND
+      NZ_ROUND NZ_ROUND NZ_ROUND NZ_ROUND
+      bb[0].bits = (((bb[0].bits >> 3) - 7) << 3) + c0;
+      bb[1].bits = (((bb[1].bits >> 3) - 7) << 3) + c1;
+      bb[2].bits = (((bb[2].bits >> 3) - 7) << 3) + c2;
+      bb[3].bits = (((bb[3].bits >> 3) - 7) << 3) + c3;
+    }
+  } else {
+    const uint8_t *f0 = o0 + (cnt[0] > 6 ? cnt[0] - 6 : 0);
+    const uint8_t *f1 = o1 + (cnt[1] > 6 ? cnt[1] - 6 : 0);
+    const uint8_t *f2 = o2 + (cnt[2] > 6 ? cnt[2] - 6 : 0);
+    const uint8_t *f3 = o3 + (cnt[3] > 6 ? cnt[3] - 6 : 0);
+    while (bb[0].bits >= 64 && bb[1].bits >= 64 && bb[2].bits >= 64 &&
+           bb[3].bits >= 64 && o0 <= f0 && o1 <= f1 && o2 <= f2 &&
+           o3 <= f3) {
+      int64_t b;
+      b = (bb[0].bits >> 3) - 7; std::memcpy(&a0, q[0] + b, 8);
+      c0 = bb[0].bits - (b << 3);
+      b = (bb[1].bits >> 3) - 7; std::memcpy(&a1, q[1] + b, 8);
+      c1 = bb[1].bits - (b << 3);
+      b = (bb[2].bits >> 3) - 7; std::memcpy(&a2, q[2] + b, 8);
+      c2 = bb[2].bits - (b << 3);
+      b = (bb[3].bits >> 3) - 7; std::memcpy(&a3, q[3] + b, 8);
+      c3 = bb[3].bits - (b << 3);
+      NZ_ROUND NZ_ROUND NZ_ROUND NZ_ROUND
+#undef NZ_ROUND
+#undef NZ_STEP
+      bb[0].bits = (((bb[0].bits >> 3) - 7) << 3) + c0;
+      bb[1].bits = (((bb[1].bits >> 3) - 7) << 3) + c1;
+      bb[2].bits = (((bb[2].bits >> 3) - 7) << 3) + c2;
+      bb[3].bits = (((bb[3].bits >> 3) - 7) << 3) + c3;
     }
   }
+  uint32_t i[4] = {(uint32_t)(o0 - outp[0]), (uint32_t)(o1 - outp[1]),
+                   (uint32_t)(o2 - outp[2]), (uint32_t)(o3 - outp[3])};
   bool good = true;
   for (int k = 0; k < 4; k++) {
     for (; i[k] < cnt[k]; i[k]++) {
-      uint32_t idx = bb[k].peek(log);
-      outp[k][i[k]] = d.sym[idx];
-      bb[k].bits -= d.nb[idx];
+      uint16_t en = d.e[bb[k].peek(log)];
+      outp[k][i[k]] = (uint8_t)en;
+      bb[k].bits -= en >> 8;
     }
     good &= bb[k].bits >= 0;
   }
@@ -2537,15 +2695,97 @@ static bool huf_stream_decode4(const uint8_t *q[4], const uint64_t qn[4],
 }
 
 
+// NAF_ZSTD_DEC_STATS=1: accumulate per-stage wall time + volume counters
+// (stderr dump from naf_zstd_dec_stats_dump) — decode-path tuning aid only.
+static thread_local uint64_t g_dec_ns_lits = 0, g_dec_ns_seq = 0;
+static thread_local uint64_t g_dec_lit_bytes = 0, g_dec_nseq = 0,
+    g_dec_match_bytes = 0;
+static thread_local uint64_t g_dec_ns_table = 0, g_dec_lit1 = 0;
+static bool dec_stats_on() {
+  static int on = -1;
+  if (on < 0) {
+    const char *e = getenv("NAF_ZSTD_DEC_STATS");
+    on = (e && *e == '1') ? 1 : 0;
+  }
+  return on == 1;
+}
+static inline uint64_t now_ns() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (uint64_t)ts.tv_sec * 1000000000ull + ts.tv_nsec;
+}
+bool nz_stats_on() { return dec_stats_on(); }
+uint64_t nz_now_ns() { return now_ns(); }
+extern "C" void naf_zstd_dec_stats_dump() {
+  fprintf(stderr,
+          "dec stats: lits %.1f ms (%llu B, %llu single-stream, table "
+          "%.1f ms), seq %.1f ms (%llu seqs, %llu match B)\n",
+          g_dec_ns_lits / 1e6, (unsigned long long)g_dec_lit_bytes,
+          (unsigned long long)g_dec_lit1, g_dec_ns_table / 1e6,
+          g_dec_ns_seq / 1e6, (unsigned long long)g_dec_nseq,
+          (unsigned long long)g_dec_match_bytes);
+  g_dec_ns_lits = g_dec_ns_seq = 0;
+  g_dec_lit_bytes = g_dec_nseq = g_dec_match_bytes = 0;
+  g_dec_ns_table = g_dec_lit1 = 0;
+  fprintf(stderr, "enc stats: hist %.1f ms, huf streams %.1f ms\n",
+          g_enc_ns_hist / 1e6, g_enc_ns_huf / 1e6);
+  g_enc_ns_hist = g_enc_ns_huf = g_enc_ns_match = 0;
+}
+
 // ---- literals section -----------------------------------------------------
 
 static const uint32_t LITS_MAX = 1u << 17;   // 128 KB block maximum
 
+// Size in bytes of the whole literals section at `p` WITHOUT decoding it
+// (header parse only), or -1.  Lets decode_block peek the sequence count
+// first and decode literal-only blocks straight into the destination —
+// skipping the lits-buffer round trip that otherwise copies every byte
+// twice (literal-only blocks dominate low-redundancy sections).
+static int64_t lits_section_size(const uint8_t *p, uint64_t n) {
+  if (n < 1) return -1;
+  uint8_t b0 = p[0];
+  int type = b0 & 3;
+  int sf = (b0 >> 2) & 3;
+  if (type <= 1) {
+    uint32_t rsize;
+    int64_t hdr;
+    if (sf == 0 || sf == 2) { rsize = b0 >> 3; hdr = 1; }
+    else if (sf == 1) {
+      if (n < 2) return -1;
+      rsize = (b0 >> 4) | ((uint32_t)p[1] << 4);
+      hdr = 2;
+    } else {
+      if (n < 3) return -1;
+      rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | ((uint32_t)p[2] << 12);
+      hdr = 3;
+    }
+    return type == 0 ? hdr + rsize : hdr + 1;
+  }
+  uint32_t csize;
+  int64_t hdr;
+  if (sf == 0 || sf == 1) {
+    if (n < 3) return -1;
+    csize = ((uint32_t)p[1] >> 6) | ((uint32_t)p[2] << 2);
+    hdr = 3;
+  } else if (sf == 2) {
+    if (n < 4) return -1;
+    csize = ((uint32_t)p[2] >> 2) | ((uint32_t)p[3] << 6);
+    hdr = 4;
+  } else {
+    if (n < 5) return -1;
+    csize = ((uint32_t)p[2] >> 6) | ((uint32_t)p[3] << 2)
+            | ((uint32_t)p[4] << 10);
+    hdr = 5;
+  }
+  return hdr + csize;
+}
+
 // Decode the literals section at `p` (within a compressed block of size n).
-// Fills `lits`/`lit_n`; updates the frame Huffman table.  Returns bytes
-// consumed or -1.
+// Fills `lits`/`lit_n` (writing at most `out_cap` bytes); updates the frame
+// Huffman table.  Returns bytes consumed or -1.
 static int64_t decode_literals(const uint8_t *p, uint64_t n, uint8_t *lits,
-                               uint32_t *lit_n, HufDec &huf) {
+                               uint32_t *lit_n, HufDec &huf,
+                               uint64_t out_cap = ~(uint64_t)0) {
   if (n < 1) return -1;
   uint8_t b0 = p[0];
   int type = b0 & 3;
@@ -2563,7 +2803,7 @@ static int64_t decode_literals(const uint8_t *p, uint64_t n, uint8_t *lits,
       rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | ((uint32_t)p[2] << 12);
       hdr = 3;
     }
-    if (rsize > LITS_MAX) return -1;
+    if (rsize > LITS_MAX || rsize > out_cap) return -1;
     if (type == 0) {
       if ((uint64_t)hdr + rsize > n) return -1;
       std::memcpy(lits, p + hdr, rsize);
@@ -2598,11 +2838,14 @@ static int64_t decode_literals(const uint8_t *p, uint64_t n, uint8_t *lits,
             | ((uint32_t)p[4] << 10);
     hdr = 5;
   }
-  if (rsize > LITS_MAX || (uint64_t)hdr + csize > n) return -1;
+  if (rsize > LITS_MAX || rsize > out_cap || (uint64_t)hdr + csize > n)
+    return -1;
   const uint8_t *q = p + hdr;
   uint64_t qn = csize;
   if (type == 2) {                       // new Huffman table
+    uint64_t tt0 = dec_stats_on() ? now_ns() : 0;
     int64_t tree = huf_read_table(q, qn, huf);
+    if (tt0) g_dec_ns_table += now_ns() - tt0;
     if (tree < 0 || (uint64_t)tree > qn) return -1;
     q += tree;
     qn -= tree;
@@ -2611,6 +2854,7 @@ static int64_t decode_literals(const uint8_t *p, uint64_t n, uint8_t *lits,
   }
   if (streams == 1) {
     if (!huf_stream_decode(q, qn, huf, lits, rsize)) return -1;
+    g_dec_lit1 += rsize;
   } else {
     if (qn < 6) return -1;
     uint32_t s1 = q[0] | ((uint32_t)q[1] << 8);
@@ -2712,7 +2956,30 @@ static int64_t decode_block(const uint8_t *p, uint64_t n, uint8_t *dst,
                             DecFrameCtx &fc) {
   static thread_local uint8_t lits[LITS_MAX + 64];
   uint32_t lit_n = 0;
+  const bool st = dec_stats_on();
+  uint64_t t0 = st ? now_ns() : 0;
+
+  // literal-only fast path: peek the sequence count past the (undecoded)
+  // literals section; nseq == 0 lets literals decode STRAIGHT into dst,
+  // dropping the lits-buffer round trip (a full extra copy per block)
+  int64_t lsec = lits_section_size(p, n);
+  if (lsec >= 0 && (uint64_t)lsec < n && p[lsec] == 0) {
+    int64_t used0 = decode_literals(p, n, dst + pos, &lit_n, fc.huf,
+                                    cap - pos);
+    if (st) {
+      g_dec_ns_lits += now_ns() - t0;
+      g_dec_lit_bytes += lit_n;
+    }
+    if (used0 != lsec) return -1;
+    return (int64_t)lit_n;
+  }
+
   int64_t used = decode_literals(p, n, lits, &lit_n, fc.huf);
+  if (st) {
+    g_dec_ns_lits += now_ns() - t0;
+    g_dec_lit_bytes += lit_n;
+    t0 = now_ns();
+  }
   if (used < 0) return -1;
   p += used;
   n -= used;
@@ -2886,6 +3153,11 @@ static int64_t decode_block(const uint8_t *p, uint64_t n, uint8_t *dst,
   if (out + tail > cap) return -1;
   std::memcpy(dst + out, lits + lit_pos, tail);
   out += tail;
+  if (st) {
+    g_dec_ns_seq += now_ns() - t0;
+    g_dec_nseq += nseq;
+    g_dec_match_bytes += (out - pos) - lit_n;
+  }
   return (int64_t)(out - pos);
 }
 

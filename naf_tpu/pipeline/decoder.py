@@ -727,6 +727,21 @@ class Decoder:
         if not self.h.has_sequence:
             return b""
         masking = self.masking if masking is None else masking
+        built = self._fasta_plan(masking)
+        if built is None:
+            return self.fasta(masking)
+        plan, raw = built
+        from ..parallel import decode as DV
+
+        try:
+            return DV.render_sharded(plan, raw, None, mesh=self._mesh(mesh),
+                                     out_batch=out_batch)
+        except DV.RenderOverflow:
+            return self.fasta(masking)   # multi-GB single record: host path
+
+    def _fasta_plan(self, masking: bool):
+        """(RenderPlan, raw section bytes) for device render, or None when
+        the archive has spill quirks only the host renderer reproduces."""
         n = self.r.n_sequences
         line_len = self.r.line_length
         if self.opts.line_length is not None:
@@ -734,7 +749,7 @@ class Decoder:
         ids, com, merged, spans, _, _ = self._batch_metadata(masking)
         total, raw = self._load_seq_raw()
         if int(merged.astype(np.int64).sum()) != total or n == 0:
-            return self.fasta(masking)
+            return None
         from ..parallel import decode as DV
 
         plan = DV.build_plan(
@@ -746,11 +761,7 @@ class Decoder:
             ids_blob=ids.tobytes() if ids is not None else None,
             comments_blob=com.tobytes() if com is not None else None,
             name_sep=self.h.name_separator.encode(), mask_spans=spans)
-        try:
-            return DV.render_sharded(plan, raw, None, mesh=self._mesh(mesh),
-                                     out_batch=out_batch)
-        except DV.RenderOverflow:
-            return self.fasta(masking)   # multi-GB single record: host path
+        return plan, raw
 
     def fastq_device(self, *, mesh=None, out_batch: int = 0) -> bytes:
         """FASTQ render over a device mesh; byte-identical to ``fastq()``.

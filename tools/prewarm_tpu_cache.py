@@ -295,10 +295,14 @@ def prewarm_e2e(topo) -> None:
         from naf_tpu.pipeline.encoder import EncodeOptions, encode
 
         blob, _ = encode(data, EncodeOptions(level=1))
+        fqblob, _ = encode(gen_fastq(int(os.environ.get(
+            "NAF_BENCH_FASTQ_E2E_READS", "40000"))), EncodeOptions(level=1))
         DD._COMPILE_LOG = log = []
         try:
             Decoder(io.BytesIO(blob),
                     DecodeOptions()).fasta_device(mesh=cmesh)
+            Decoder(io.BytesIO(fqblob),
+                    DecodeOptions()).fastq_device(mesh=cmesh)
         finally:
             DD._COMPILE_LOG = None
         entries = list(dict.fromkeys(log))
@@ -316,13 +320,27 @@ def prewarm_e2e(topo) -> None:
     shard = NamedSharding(tmesh, P(BLOCK_AXIS))
     repl = NamedSharding(tmesh, P())
     for key, shapes in entries:
-        avals = [jax.ShapeDtypeStruct(tuple(s), jnp.dtype(d),
-                                      sharding=shard if i < 3 else repl)
-                 for i, (s, d) in enumerate(shapes)]
         t0 = time.time()
-        step = DD._compiled_step(tmesh, *key)
-        step.lower(*avals).compile()
-        print(f"  render bucket {key}: {time.time() - t0:.1f}s")
+        if key[0] == "prep":
+            # regular-path char prep: compile the pallas=True (TPU) variant
+            fn = DD._prep_chars_step(*(bool(k) for k in key[1:]), True)
+            avals = [jax.ShapeDtypeStruct(tuple(s), jnp.dtype(d),
+                                          sharding=repl)
+                     for s, d in shapes]
+            fn.lower(*avals).compile()
+        elif key[0] == "regular":
+            fn = DD._regular_group_step(*(int(k) for k in key[1:]))
+            avals = [jax.ShapeDtypeStruct(tuple(s), jnp.dtype(d),
+                                          sharding=repl)
+                     for s, d in shapes]
+            sc = jax.ShapeDtypeStruct((), jnp.int32, sharding=repl)
+            fn.lower(*avals, sc, sc).compile()
+        else:
+            avals = [jax.ShapeDtypeStruct(tuple(s), jnp.dtype(d),
+                                          sharding=shard if i < 3 else repl)
+                     for i, (s, d) in enumerate(shapes)]
+            DD._compiled_step(tmesh, *key).lower(*avals).compile()
+        print(f"  render bucket {tuple(key)}: {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":
