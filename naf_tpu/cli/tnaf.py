@@ -55,11 +55,14 @@ Options:
                        index for parallel + seekable decode (NOT readable
                        by the reference unnaf; flag bit 0x80, spec 2.4)
   --block-size N     - Extended-format block size in MB (default 4)
-  --engine NAME      - Entropy engine: 'zstd' (library, default),
+  --engine NAME      - Entropy engine: 'zstd' (library, default) or
                        'native' (tnaf's own RFC 8878 encoder; honors -# and
-                       --long), or 'device' (JAX match-finding kernel +
-                       native serializer); all archives remain decodable by
-                       the reference unnaf
+                       --long); all archives remain decodable by the
+                       reference unnaf.  'device' is accepted but routes to
+                       'native': the JAX match-finder measured a strict
+                       loss on v5e (slower AND larger; BENCH device_engine
+                       row) — per-element sorts/gathers don't fit the TPU
+                       cost model, so the judgment is recorded, not shipped
   --threads N        - zstd worker threads per section (default: all
                        cores; 0 = single-threaded). The output is still
                        one reference-decodable frame per section
@@ -211,10 +214,21 @@ def main(argv: list[str] | None = None) -> int:
                     if argv[i] not in ("zstd", "native", "device"):
                         _die(f'unknown engine "{argv[i]}"')
                     opts.engine = argv[i]
+                    if opts.engine == "device":
+                        # measured strict loss on v5e (slower AND larger;
+                        # BENCH device_engine row) — route to the native
+                        # engine rather than ship a known regression
+                        sys.stderr.write(
+                            "tnaf: --engine device is demoted to 'native' "
+                            "(measured loss on TPU; see README)\n")
+                        opts.engine = "native"
                     i += 1
                     continue
                 if a == "--device":
                     use_device = True
+                    from ..utils.jaxenv import quiet_device_logs
+
+                    quiet_device_logs()   # stderr is a golden contract
                     i += 1
                     continue
                 if a == "--threads" and i < n - 1:

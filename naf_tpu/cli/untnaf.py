@@ -143,6 +143,9 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 if a == "--device":
                     use_device = True
+                    from ..utils.jaxenv import quiet_device_logs
+
+                    quiet_device_logs()   # stderr is a golden contract
                     i += 1
                     continue
                 if a == "--engine" and i < n - 1:

@@ -188,3 +188,85 @@ def test_scan_and_compact_kernels_compiled_on_tpu(tpu):
     want = vals[keep]
     assert int(cnt) == want.size
     assert np.array_equal(np.asarray(out)[:want.size], want)
+
+
+def test_fused_emit_kernel_on_tpu(tpu):
+    """The single-pass fused emit kernel (classify + butterfly + segment
+    matmul) compiles via Mosaic and is bit-exact on chip — including the
+    Precision.HIGHEST merge matmuls (the default bf16 pass corrupts 16-bit
+    halves ONLY on real hardware; interpret mode can't catch it)."""
+    import jax.numpy as jnp
+
+    from naf_tpu.ops import scan as S
+    from naf_tpu.ops.emit_fused import emit_fasta_fused
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(8):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=40_000)
+        for s in rng.integers(0, 39_000, size=12):
+            seq[s:s + 500] |= 32
+        body = b"\n".join(seq[j:j + 70].tobytes()
+                          for j in range(0, seq.size, 70))
+        rows.append(b">r%d c%d\n" % (i, i) + body + b"\n")
+    body = np.frombuffer(b"".join(rows), np.uint8)[1:]
+    r = emit_fasta_fused(jnp.asarray(body), jnp.asarray(np.uint8(ord(">"))),
+                         False, seq_type=0)
+    assert bool(np.asarray(r["sp_ok"]))
+    s = S.scan_fasta_block(jnp.asarray(body),
+                           jnp.asarray(np.uint8(ord(">"))))
+    keep = np.asarray(s["stream_keep"])
+    expect = np.asarray(s["stream_val"])[keep]
+    cnt = int(np.asarray(r["cnt"]))
+    assert cnt == int(keep.sum())
+    assert np.array_equal(np.asarray(r["sv"])[:cnt], expect)
+    # sparse coordinates: record boundaries + mask-run changes exact
+    n_sp = int(np.asarray(r["n_sp"]))
+    tv = np.asarray(r["sp_tv"])[:n_sp]
+    assert int((tv >> 8 == 2).sum()) == int(np.asarray(
+        s["rec_start"]).sum())
+
+
+def test_fused_sharded_encode_on_tpu(tpu):
+    """encode_sharded routes through the fused pipeline on the chip and
+    produces byte-identical archives to the host encoder."""
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.parallel.pipeline import encode_sharded
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    rng = np.random.default_rng(8)
+    seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=2_000_000)
+    seq[100_000:400_000] |= 32
+    data = b">chrA\n" + b"\n".join(
+        seq[j:j + 80].tobytes() for j in range(0, seq.size, 80)) + b"\n"
+    os.environ["NAF_TPU_NO_FALLBACK"] = "1"
+    try:
+        blob, _ = encode_sharded(data, EncodeOptions(level=1),
+                                 mesh=block_mesh(1))
+    finally:
+        os.environ.pop("NAF_TPU_NO_FALLBACK", None)
+    host, _ = encode(data, EncodeOptions(level=1))
+    assert blob == host
+
+
+def test_regular_render_fastq_on_tpu(tpu):
+    """Uniform-group FASTQ decode (reshape/concat render) on the chip."""
+    import io
+
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.pipeline.decoder import Decoder, DecodeOptions
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    rng = np.random.default_rng(9)
+    out = []
+    for i in range(2000):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=100)
+        qual = rng.integers(35, 74, size=100, dtype=np.uint8)
+        out.append(b"@read%04d/1\n%s\n+\n%s\n"
+                   % (i, seq.tobytes(), qual.tobytes()))
+    data = b"".join(out)
+    blob, _ = encode(data, EncodeOptions(level=1))
+    host = Decoder(io.BytesIO(blob), DecodeOptions()).fastq()
+    dev = Decoder(io.BytesIO(blob), DecodeOptions()).fastq_device(
+        mesh=block_mesh(1))
+    assert dev == host
