@@ -1168,6 +1168,46 @@ def bench_device_fastq_e2e(env) -> None:
     dmb = len(fq) / (1 << 20)
     mesh = block_mesh(1)
     opts = EncodeOptions(level=LEVEL, threads=os.cpu_count() or 0)
+
+    # device-resident fused FASTQ pipeline rate (transfer-excluded,
+    # amortized — same methodology as device_pipeline_MBps)
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from naf_tpu.parallel.block import (fused_blocks_fastq_sharded,
+                                            make_blocks_fastq)
+        from naf_tpu.parallel.mesh import block_sharding
+
+        body = np.frombuffer(fq, np.uint8)[1:]
+        mbq = make_blocks_fastq(body, 1)
+        if mbq is not None:
+            blocks, _nrec = mbq
+            sh = block_sharding(mesh)
+            bd = jax.device_put(jnp.asarray(blocks.data), sh)
+            pd = jax.device_put(jnp.asarray(blocks.prev), sh)
+
+            def one():
+                return fused_blocks_fastq_sharded(
+                    bd, pd, seq_type=0, mesh=mesh)[3][:1, :1]
+
+            np.asarray(one())
+            N = int(os.environ.get("NAF_BENCH_PIPE_AMORT", "16"))
+
+            def passes():
+                for _ in range(N - 1):
+                    one()
+                return np.asarray(one())
+
+            t, _ = _best(passes, reps=3)
+            v = round(dmb / (t / N), 2)
+            emit({"metric": "device_pipeline_fastq_MBps", "value": v,
+                  "note": "fused single-pass FASTQ encode on "
+                          "device-resident blocks (transfer-excluded)"})
+            HEADLINE["device_pipeline_fastq_MBps"] = v
+    except Exception as e:
+        emit({"note": f"device_pipeline_fastq: {type(e).__name__}"})
+
     blob, _ = encode_sharded(fq, opts, mesh=mesh)      # warm-up + compile
     host_blob, _ = encode(fq, opts)
     assert blob == host_blob, "device FASTQ archive != host archive"

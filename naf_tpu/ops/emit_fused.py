@@ -488,3 +488,258 @@ def emit_fasta_fused(block, prev_byte, starts_in_seq=False, *,
         first_sval=cnts[g - 1, LANE_FSVAL],
         sp_tv=sp_tv, sp_a=sp_a,
     )
+
+
+# ---------------------------------------------------------------------------
+# FASTQ variant: same single-pass design; ids are DENSE here (headers are a
+# fixed fraction of every record, far past the sparse cap), so the kernel
+# runs three dense butterfly+matmul compactions (stream, quality, ids) and
+# keeps the tagged sparse channel for record boundaries, mask-run changes,
+# and the rare comment bytes.  Record entries carry THREE coordinates
+# (kept-seq / kept-qual / kept-id prefixes) so every per-record length is
+# host diff arithmetic.  Reference counterpart: the FASTQ parse/append
+# loops of ennaf/src/process.c:358-476.
+# ---------------------------------------------------------------------------
+
+#: FASTQ tiles are half-height: three dense compactions + a four-array
+#: sparse channel exceed the 16 MiB scoped-VMEM budget at 512 rows
+_ROWS_Q = int(_os.environ.get("NAF_TPU_EMIT_FASTQ_ROWS", "256"))
+_TILE_Q = _ROWS_Q * _LANES
+
+LANE_QUAL, LANE_ID, LANE_UQUAL = 10, 11, 12
+_CQ_CUMQ, _CQ_CUMID = 7, 8
+_NCARRY_Q = 9
+
+
+def _make_emit_fastq_kernel(seq_type: int):
+    classify = F._make_fastq_kernel(seq_type)
+
+    def kernel(sc_ref, x_ref, sv_ref, qv_ref, iv_ref, cnts_ref, tv_ref,
+               a_ref, b_ref, c_ref, flags_scr, sval_scr, ccarry, carry):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            carry[_C_CUMS] = 0
+            carry[_C_CUMSEQ] = 0
+            carry[_C_EOLBASE] = 0
+            carry[_C_LONG] = 0
+            carry[_C_ENC] = _NEGBIG
+            carry[_C_FLOW] = 0
+            carry[_C_FSVAL] = 0
+            carry[_CQ_CUMQ] = 0
+            carry[_CQ_CUMID] = 0
+
+        classify(sc_ref, x_ref, flags_scr, sval_scr, ccarry)
+
+        R = _ROWS_Q
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, _LANES), 0)
+        lpos = row * _LANES + lane
+
+        f = flags_scr[:].astype(jnp.int32)
+        sval = sval_scr[:].astype(jnp.int32)
+        rec_start = (f & 1) != 0
+        seq_unex = (f & 2) != 0
+        seq_keep = (f & 4) != 0
+        is_eol = (f & 8) != 0
+        b45 = (f & 16) != 0
+        b5 = (f & 32) != 0
+        in_com = (f & 64) != 0
+        qual_line = (f & 128) != 0
+        id_keep = b45 & ~qual_line
+        qual_keep = b45 & qual_line
+        id_unex = b5 & ~in_com & ~qual_line
+        com_unex = b5 & in_com
+        qual_unex = b5 & qual_line
+        stream_keep = seq_keep | id_unex
+
+        cum_stream = _hs_sum(stream_keep.astype(jnp.int32)) + carry[_C_CUMS]
+        cum_seq = _hs_sum(seq_keep.astype(jnp.int32)) + carry[_C_CUMSEQ]
+        cum_qual = _hs_sum(qual_keep.astype(jnp.int32)) + carry[_CQ_CUMQ]
+        cum_id = _hs_sum(id_keep.astype(jnp.int32)) + carry[_CQ_CUMID]
+
+        lower = stream_keep & (sval >= 96)
+        enc = jnp.where(stream_keep,
+                        2 * lpos + lower.astype(jnp.int32), _NEGBIG)
+        menc = _hs_max(enc)
+        menc_x = _shift1_rowmajor(menc, carry[_C_ENC])
+        has_prev = menc_x >= -2
+        prev_lower = (menc_x & 1) == 1
+        chg = stream_keep & has_prev & (lower != prev_lower)
+        last_enc = _extract(menc, R - 1, _LANES - 1)
+        carry[_C_ENC] = jnp.where(last_enc >= 0, -2 + (last_enc & 1),
+                                  carry[_C_ENC])
+
+        aincl = _hs_max(jnp.where(is_eol, cum_seq, _NEGBIG))
+        aexcl = _shift1_rowmajor(aincl, carry[_C_EOLBASE])
+        base = jnp.maximum(aexcl, carry[_C_EOLBASE])
+        line = jnp.where(is_eol, cum_seq - base, 0)
+        carry[_C_LONG] = jnp.maximum(carry[_C_LONG], jnp.max(line))
+        last_a = _extract(aincl, R - 1, _LANES - 1)
+        carry[_C_EOLBASE] = jnp.maximum(carry[_C_EOLBASE],
+                                        jnp.maximum(last_a, 0))
+        cum_seq_end = _extract(cum_seq, R - 1, _LANES - 1)
+        cum_stream_end = _extract(cum_stream, R - 1, _LANES - 1)
+        cum_qual_end = _extract(cum_qual, R - 1, _LANES - 1)
+        cum_id_end = _extract(cum_id, R - 1, _LANES - 1)
+
+        cnt_tile = cum_stream_end - carry[_C_CUMS]
+        pmin = jnp.min(jnp.where(stream_keep, lpos, jnp.int32(1 << 30)))
+        at_first = stream_keep & (lpos == pmin)
+        first_low = jnp.sum(jnp.where(at_first, lower.astype(jnp.int32), 0))
+        first_sv = jnp.sum(jnp.where(at_first, sval, 0))
+        need_first = jnp.logical_and(carry[_C_FLOW] == 0, cnt_tile > 0)
+        carry[_C_FLOW] = jnp.where(need_first, 1 + first_low, carry[_C_FLOW])
+        carry[_C_FSVAL] = jnp.where(need_first, first_sv, carry[_C_FSVAL])
+
+        sv_ref[:] = _compact_rows(stream_keep, [sval],
+                                  _ROWS_Q)[0].astype(jnp.uint8)
+        qv_ref[:] = _compact_rows(qual_keep, [sval],
+                                  _ROWS_Q)[0].astype(jnp.uint8)
+        iv_ref[:] = _compact_rows(id_keep, [sval],
+                                  _ROWS_Q)[0].astype(jnp.uint8)
+
+        keep_sp = in_com | rec_start | chg
+        tag = jnp.where(rec_start, TAG_REC,
+                        jnp.where(chg, TAG_CHG, TAG_COM))
+        spval = jnp.where(in_com,
+                          jnp.where(com_unex, C.REPLACEMENT_NAME, sval), 0)
+        tv = spval | (tag << 8)
+        aval = jnp.where(rec_start, cum_seq,
+                         jnp.where(chg, cum_stream - 1, 0))
+        # rec_start is the '@' byte: not counted in any stream, so the
+        # inclusive prefixes here ARE the exclusive boundary coordinates
+        bval = jnp.where(rec_start, cum_qual, 0)
+        cval = jnp.where(rec_start, cum_id, 0)
+        tv_c, a_c, b_c, c_c = _compact_rows(keep_sp, [tv, aval, bval, cval],
+                                            _CS_ROWS)
+        tv_ref[:] = tv_c
+        a_ref[:] = a_c
+        b_ref[:] = b_c
+        c_ref[:] = c_c
+
+        n_sp = jnp.sum(keep_sp.astype(jnp.int32))
+        scalars = [
+            (LANE_CNT, cnt_tile),
+            (LANE_SEQ, cum_seq_end - carry[_C_CUMSEQ]),
+            (LANE_NSP, n_sp),
+            (LANE_UID, jnp.sum(id_unex.astype(jnp.int32))),
+            (LANE_UCOM, jnp.sum(com_unex.astype(jnp.int32))),
+            (LANE_USEQ, jnp.sum(seq_unex.astype(jnp.int32))),
+            (LANE_LONG, carry[_C_LONG]),
+            (LANE_OPEN, cum_seq_end - carry[_C_EOLBASE]),
+            (LANE_FLOW, carry[_C_FLOW]),
+            (LANE_FSVAL, carry[_C_FSVAL]),
+            (LANE_QUAL, cum_qual_end - carry[_CQ_CUMQ]),
+            (LANE_ID, cum_id_end - carry[_CQ_CUMID]),
+            (LANE_UQUAL, jnp.sum(qual_unex.astype(jnp.int32))),
+        ]
+        crow = jnp.zeros((8, _LANES), jnp.int32)
+        l1 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+        for k, v in scalars:
+            crow = jnp.where(l1 == k, v, crow)
+        cnts_ref[:] = crow
+
+        carry[_C_CUMS] = cum_stream_end
+        carry[_C_CUMSEQ] = cum_seq_end
+        carry[_CQ_CUMQ] = cum_qual_end
+        carry[_CQ_CUMID] = cum_id_end
+
+    return kernel
+
+
+@lazy_jit(static_argnames=("seq_type", "interpret"))
+def emit_fastq_tiles(block, prev_byte, *, seq_type: int = C.SEQ_TYPE_DNA,
+                     interpret: bool = False):
+    """u8[B] -> per-tile fused FASTQ emit outputs (see the kernel)."""
+    B = block.shape[0]
+    pad = (-B) % _TILE_Q
+    x = block
+    if pad:
+        x = jnp.concatenate([x, jnp.full(pad, 0x0A, jnp.uint8)])
+    g = x.shape[0] // _TILE_Q
+    x2 = x.reshape(g * _ROWS_Q, _LANES)
+
+    pe0 = jnp.asarray(T.IS_EOL)[prev_byte.astype(jnp.int32)]
+    scalars = jnp.stack([jnp.int32(_ID), pe0.astype(jnp.int32),
+                         jnp.int32(0)])
+
+    spec = pl.BlockSpec((_ROWS_Q, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((8, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((_CS_ROWS, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    u8t = jax.ShapeDtypeStruct((g * _ROWS_Q, _LANES), jnp.uint8)
+    i32s = jax.ShapeDtypeStruct((g * _CS_ROWS, _LANES), jnp.int32)
+    sv, qv, iv, cnts, tv, a, b, c = pl.pallas_call(
+        _make_emit_fastq_kernel(seq_type),
+        grid=(g,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), spec],
+        out_shape=(u8t, u8t, u8t,
+                   jax.ShapeDtypeStruct((g * 8, _LANES), jnp.int32),
+                   i32s, i32s, i32s, i32s),
+        out_specs=(spec, spec, spec, cspec, sspec, sspec, sspec, sspec),
+        scratch_shapes=[pltpu.VMEM((_ROWS_Q, _LANES), jnp.uint8),
+                        pltpu.VMEM((_ROWS_Q, _LANES), jnp.uint8),
+                        pltpu.SMEM((3,), jnp.int32),
+                        pltpu.SMEM((_NCARRY_Q,), jnp.int32)],
+        interpret=interpret,
+    )(scalars, x2)
+    return (sv, qv, iv, cnts.reshape(g, 8, _LANES)[:, 0, :], tv, a, b, c)
+
+
+@lazy_jit(static_argnames=("seq_type", "interpret"))
+def emit_fastq_fused(block, prev_byte, *, seq_type: int = C.SEQ_TYPE_DNA,
+                     interpret: bool = False):
+    """Fused single-pass FASTQ emit for one block (dict of device arrays;
+    sv/qv/iv are block-compacted stream/quality/id values, sp_* the merged
+    tagged sparse channel with three record coordinates)."""
+    sv_t, qv_t, iv_t, cnts, tv_t, a_t, b_t, c_t = emit_fastq_tiles(
+        block, prev_byte, seq_type=seq_type, interpret=interpret)
+    g = cnts.shape[0]
+
+    def merge_u8(tiles2d, counts):
+        offs = jnp.cumsum(counts) - counts
+        tiles = tiles2d.reshape(g, _TILE_Q)
+
+        def body(i, acc):
+            return jax.lax.dynamic_update_slice(acc, tiles[i], (offs[i],))
+        out = jax.lax.fori_loop(0, g, body,
+                                jnp.zeros(g * _TILE_Q, jnp.uint8))
+        total = jnp.sum(counts)
+        idx = jnp.arange(g * _TILE_Q, dtype=jnp.int32)
+        return jnp.where(idx < total, out, 0), total
+
+    sv, cnt = merge_u8(sv_t, cnts[:, LANE_CNT])
+    qv, cnt_q = merge_u8(qv_t, cnts[:, LANE_QUAL])
+    iv, cnt_i = merge_u8(iv_t, cnts[:, LANE_ID])
+
+    n_t = cnts[:, LANE_NSP]
+    sp_ok = jnp.all(n_t <= _CS_CAP)
+    soffs = jnp.cumsum(n_t) - n_t
+    sp = []
+    for t2 in (tv_t, a_t, b_t, c_t):
+        tiles = t2.reshape(g, _CS_CAP)
+
+        def sbody(i, acc, tiles=tiles):
+            return jax.lax.dynamic_update_slice(acc, tiles[i], (soffs[i],))
+        sp.append(jax.lax.fori_loop(0, g, sbody,
+                                    jnp.zeros(g * _CS_CAP, jnp.int32)))
+    n_sp = jnp.sum(jnp.minimum(n_t, _CS_CAP))
+    sidx = jnp.arange(g * _CS_CAP, dtype=jnp.int32)
+    sp = [jnp.where(sidx < n_sp, x, 0) for x in sp]
+
+    return dict(
+        sv=sv, qv=qv, iv=iv, cnt=cnt, cnt_seq=jnp.sum(cnts[:, LANE_SEQ]),
+        cnt_qual=cnt_q, cnt_id=cnt_i, n_sp=n_sp, sp_ok=sp_ok,
+        unex_id=jnp.sum(cnts[:, LANE_UID]),
+        unex_com=jnp.sum(cnts[:, LANE_UCOM]),
+        unex_seq=jnp.sum(cnts[:, LANE_USEQ]),
+        unex_qual=jnp.sum(cnts[:, LANE_UQUAL]),
+        longest=jnp.maximum(cnts[g - 1, LANE_LONG], cnts[g - 1, LANE_OPEN]),
+        first_lower=cnts[g - 1, LANE_FLOW],
+        first_sval=cnts[g - 1, LANE_FSVAL],
+        sp_tv=sp[0], sp_a=sp[1], sp_b=sp[2], sp_c=sp[3],
+    )

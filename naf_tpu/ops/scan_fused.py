@@ -141,6 +141,8 @@ def _make_fasta_kernel(seq_type: int):
 
     def kernel(sc_ref, x_ref, flags_ref, sval_ref, carry):
         i = pl.program_id(0)
+        _ROWS = x_ref.shape[0]            # shape-generic: emit kernels
+                                          # reuse this body at other tiles
 
         @pl.when(i == 0)
         def _():
@@ -377,6 +379,7 @@ def _make_fastq_kernel(seq_type: int):
 
     def kernel(sc_ref, x_ref, flags_ref, sval_ref, carry):
         i = pl.program_id(0)
+        _ROWS = x_ref.shape[0]            # shape-generic (see FASTA kernel)
 
         @pl.when(i == 0)
         def _():

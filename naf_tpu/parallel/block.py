@@ -345,6 +345,50 @@ def fused_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
     )(blocks, prev_bytes, starts_in_seq)
 
 
+@functools.partial(jax.jit, static_argnames=("seq_type", "mesh", "interpret"))
+def fused_blocks_fastq_sharded(blocks, prev_bytes, *, seq_type: int,
+                               mesh: Mesh, interpret: bool = False):
+    """Single-pass fused FASTQ emit over the mesh (ops.emit_fused FASTQ
+    kernel: stream/quality/id dense compactions + tagged sparse channel).
+
+    Returns (packed u8[D, B'//2+1], qv u8[D, B'], iv u8[D, B'],
+    scal i32[D, 13], sp_tv, sp_a, sp_b, sp_c i32[D, S]); scal rows are
+    [cnt, cnt_seq, n_sp, sp_ok, unex_id, unex_com, unex_seq, longest,
+    first_lower, first_sval, cnt_qual, cnt_id, unex_qual].
+    """
+    from ..ops.emit_fused import emit_fastq_fused
+
+    pallas_pack = mesh.devices.flat[0].platform == "tpu"
+
+    def fn(block, prev):
+        r = emit_fastq_fused(block[0], prev[0], seq_type=seq_type,
+                             interpret=interpret)
+        cnt = r["cnt"]
+        counts = jax.lax.all_gather(cnt, BLOCK_AXIS)
+        my = jax.lax.axis_index(BLOCK_AXIS)
+        prefix = jnp.sum(jnp.where(jnp.arange(counts.shape[0]) < my,
+                                   counts, 0))
+        odd = (prefix % 2) == 1
+        sv = r["sv"]
+        shifted = jnp.where(odd, jnp.roll(sv, -1), sv)
+        packed = _fit(_pack_block(shifted, pallas_pack),
+                      sv.shape[0] // 2 + 1)
+        scal = jnp.stack([
+            cnt, r["cnt_seq"], r["n_sp"], r["sp_ok"].astype(jnp.int32),
+            r["unex_id"], r["unex_com"], r["unex_seq"], r["longest"],
+            r["first_lower"], r["first_sval"], r["cnt_qual"], r["cnt_id"],
+            r["unex_qual"]]).astype(jnp.int32)
+        return (packed[None], r["qv"][None], r["iv"][None], scal[None],
+                r["sp_tv"][None], r["sp_a"][None], r["sp_b"][None],
+                r["sp_c"][None])
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),) * 2,
+        out_specs=(P(BLOCK_AXIS),) * 8, check_vma=False,
+    )(blocks, prev_bytes)
+
+
 def unpack_stats(packed_np: np.ndarray):
     """i32[D, _STATS_ROW] -> the tuple layout of stats_blocks_sharded."""
     p = np.asarray(packed_np)

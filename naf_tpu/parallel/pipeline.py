@@ -170,6 +170,94 @@ def _try_encode_fused(blocks, opts, mesh, fmt, fallback):
         fallback=fallback)
 
 
+def _try_encode_fused_fastq(blocks, opts, mesh, fmt, fallback):
+    """Single-pass fused FASTQ device encode; None -> two-pass path."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import tables as T
+    from .block import fused_blocks_fastq_sharded
+    from .mesh import block_sharding
+
+    D = mesh.devices.size
+    interpret = mesh.devices.flat[0].platform != "tpu"
+    sharding = block_sharding(mesh)
+    blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
+    prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
+
+    (packed_d, qv_d, iv_d, scal_d, tv_d, a_d, b_d, c_d) = \
+        fused_blocks_fastq_sharded(blocks_d, prev_d,
+                                   seq_type=opts.seq_type, mesh=mesh,
+                                   interpret=interpret)
+    scal = np.asarray(scal_d)                 # (D, 13) — one small fetch
+    if not scal[:, 3].all() or scal[:, 4:7].any() or scal[:, 12].any():
+        return None                           # overflow / unexpected
+
+    counts = scal[:, 0].astype(np.int64)
+    cnt_seq = scal[:, 1].astype(np.int64)
+    n_sp = scal[:, 2].astype(np.int64)
+    longest = np.full(D, int(scal[:, 7].max()))
+    first_lower = scal[:, 8] == 2
+    first_codes = np.asarray(T.NUC_CODE)[scal[:, 9]]
+    qual_bytes = scal[:, 10].astype(np.int64)
+    id_bytes = scal[:, 11].astype(np.int64)
+
+    p_used = max(int((counts.max(initial=1) + 1) // 2) + 1, 1)
+    packed = np.asarray(packed_d[:, :p_used])
+    qual_vals = np.asarray(qv_d[:, :max(int(qual_bytes.max(initial=1)), 1)])
+    id_vals = np.asarray(iv_d[:, :max(int(id_bytes.max(initial=1)), 1)])
+    m_sp = max(int(n_sp.max(initial=1)), 1)
+    tv = np.asarray(tv_d[:, :m_sp])
+    av = np.asarray(a_d[:, :m_sp])
+    bv = np.asarray(b_d[:, :m_sp])
+    cv = np.asarray(c_d[:, :m_sp])
+
+    com_vals_l = []
+    seq_lens_l, qual_lens_l, id_lens_l, com_lens_l, run_lens_l = \
+        [], [], [], [], []
+    n_rec = np.zeros(D, np.int64)
+    n_runs = np.zeros(D, np.int64)
+    for k in range(D):
+        t = tv[k, :n_sp[k]] >> 8
+        v = (tv[k, :n_sp[k]] & 0xFF).astype(np.uint8)
+        com_vals_l.append(v[t == 1])
+        rec = t == 2
+        n_rec[k] = int(rec.sum())
+        for arr, total, sink in (
+                (av, cnt_seq[k], seq_lens_l),
+                (bv, qual_bytes[k], qual_lens_l),
+                (cv, id_bytes[k], id_lens_l)):
+            x = arr[k, :n_sp[k]].astype(np.int64)
+            sink.append(np.diff(np.concatenate([[0], x[rec], [total]])))
+        at = np.flatnonzero(rec)
+        ccom = np.cumsum(t == 1)
+        mid = ccom[at] if at.size else np.zeros(0, np.int64)
+        com_lens_l.append(np.diff(np.concatenate(
+            [[0], mid, [int((t == 1).sum())]])))
+        j = av[k, :n_sp[k]].astype(np.int64)[t == 3]
+        run_lens_l.append(np.diff(np.concatenate([[0], j, [counts[k]]]))
+                          if counts[k] > 0 else np.zeros(0, np.int64))
+        n_runs[k] = (j.size + 1) if counts[k] > 0 else 0
+
+    def pad2d(rows, dtype=np.int32):
+        w = max(max((r.size for r in rows), default=0), 1)
+        out = np.zeros((D, w), dtype)
+        for k, r in enumerate(rows):
+            out[k, :r.size] = r
+        return out
+
+    em_np = [packed, first_codes, counts,
+             id_vals, pad2d(com_vals_l, np.uint8), qual_vals,
+             pad2d(seq_lens_l), pad2d(id_lens_l), pad2d(com_lens_l),
+             pad2d(qual_lens_l), pad2d(run_lens_l, np.int64)]
+    com_bytes = np.array([r.size for r in com_vals_l], np.int64)
+    zero_hists = [np.zeros((1, 256), np.uint32) for _ in range(8)]
+    return _stitch_and_build(
+        D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes,
+        n_rec, n_runs, first_lower, longest, zero_hists, em_np,
+        fallback=fallback)
+
+
 def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
                    mesh=None, n_blocks: Optional[int] = None
                    ) -> tuple[bytes, EncodeStats]:
@@ -231,10 +319,12 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
     fused_on = _os.environ.get("NAF_TPU_NO_FUSED") != "1" and (
         mesh.devices.flat[0].platform == "tpu"
         or _os.environ.get("NAF_TPU_FUSED") == "1")
-    if fused_on and not fastq and not text_like:
+    if fused_on and not text_like:
         try:
-            out = _try_encode_fused(blocks, opts, mesh, fmt,
-                                    fallback=lambda: host_encode(data, opts))
+            attempt = (_try_encode_fused_fastq if fastq
+                       else _try_encode_fused)
+            out = attempt(blocks, opts, mesh, fmt,
+                          fallback=lambda: host_encode(data, opts))
             if out is not None:
                 return out
         except P.InputError:

@@ -195,3 +195,111 @@ def test_fuzz_small_blocks():
         n = int(rng.integers(1, 1500))
         body = rng.choice(pool, size=n)
         _assert_match(body, ord(">"))
+
+
+# ---------------------------------------------------------------------------
+# FASTQ variant
+# ---------------------------------------------------------------------------
+
+def _oracle_fastq(body: np.ndarray, prev: int, seq_type: int = 0) -> dict:
+    s = S.scan_fastq_block(jnp.asarray(body), jnp.asarray(np.uint8(prev)),
+                           seq_type=seq_type)
+    keep = np.asarray(s["stream_keep"])
+    sval = np.asarray(s["stream_val"])
+    seq_keep = np.asarray(s["seq_keep"])
+    id_keep = np.asarray(s["id_keep"])
+    qual_keep = np.asarray(s["qual_keep"])
+    qual_val = np.asarray(s["qual_val"])
+    com_keep = np.asarray(s["com_keep"])
+    com_val = np.asarray(s["com_val"])
+    rec_start = np.asarray(s["rec_start"])
+
+    sv_c = sval[keep]
+    cnt = int(keep.sum())
+    lower = sv_c >= 96
+    chg_j = (np.flatnonzero(lower[1:] != lower[:-1]) + 1
+             if cnt else np.zeros(0, np.int64))
+    kept_pos = np.flatnonzero(keep)
+    chg_pos = kept_pos[chg_j] if cnt else chg_j
+    cseq = np.cumsum(seq_keep)
+    cqual = np.cumsum(qual_keep)
+    cid = np.cumsum(id_keep)
+    entries = []
+    for p in np.flatnonzero(com_keep):
+        entries.append((p, E.TAG_COM, int(com_val[p]), 0, 0, 0))
+    for p in np.flatnonzero(rec_start):
+        entries.append((p, E.TAG_REC, 0, int(cseq[p]), int(cqual[p]),
+                        int(cid[p])))
+    for p, j in zip(chg_pos, chg_j):
+        entries.append((int(p), E.TAG_CHG, 0, int(j), 0, 0))
+    entries.sort()
+    return dict(
+        sv=sv_c, qv=qual_val[qual_keep], iv=body[id_keep],
+        cnt=cnt, cnt_seq=int(seq_keep.sum()),
+        cnt_qual=int(qual_keep.sum()), cnt_id=int(id_keep.sum()),
+        tags=np.array([e[1] for e in entries], np.int64),
+        vals=np.array([e[2] for e in entries], np.int64),
+        avals=np.array([e[3] for e in entries], np.int64),
+        bvals=np.array([e[4] for e in entries], np.int64),
+        cvals=np.array([e[5] for e in entries], np.int64),
+    )
+
+
+def _assert_match_fastq(body: np.ndarray, prev: int = ord("@"),
+                        seq_type: int = 0):
+    o = _oracle_fastq(body, prev, seq_type)
+    f = E.emit_fastq_fused(jnp.asarray(body), jnp.asarray(np.uint8(prev)),
+                           seq_type=seq_type, interpret=True)
+    f = {k: np.asarray(v) for k, v in f.items()}
+    if not bool(f["sp_ok"]):
+        assert o["tags"].size > E._CS_CAP
+        return
+    for key in ("cnt", "cnt_seq", "cnt_qual", "cnt_id"):
+        assert int(f[key]) == o[key], key
+    for key in ("sv", "qv", "iv"):
+        n = o[key].size
+        assert np.array_equal(f[key][:n], o[key]), key
+        assert not f[key][n:].any(), key
+    n_sp = int(f["n_sp"])
+    assert n_sp == o["tags"].size
+    tv = f["sp_tv"][:n_sp]
+    assert np.array_equal(tv >> 8, o["tags"])
+    assert np.array_equal(tv & 0xFF, o["vals"])
+    assert np.array_equal(f["sp_a"][:n_sp], o["avals"])
+    assert np.array_equal(f["sp_b"][:n_sp], o["bvals"])
+    assert np.array_equal(f["sp_c"][:n_sp], o["cvals"])
+
+
+def _gen_fastq(rng, n_reads=300, read_len=90, masked=True):
+    out = []
+    for i in range(n_reads):
+        seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=read_len)
+        if masked and i % 3 == 0:
+            seq[10:60] |= 32
+        qual = rng.integers(35, 74, size=read_len, dtype=np.uint8)
+        com = b" len%d" % read_len if i % 4 else b""
+        out.append(b"@rd%04d%s\n%s\n+\n%s\n"
+                   % (i, com, seq.tobytes(), qual.tobytes()))
+    return np.frombuffer(b"".join(out), np.uint8)[1:]
+
+
+def test_fastq_fused_multi_tile():
+    rng = np.random.default_rng(20)
+    _assert_match_fastq(_gen_fastq(rng, n_reads=900, read_len=120))
+
+
+def test_fastq_fused_tiny_and_unexpected():
+    body = np.frombuffer(
+        b"r1 c\nACGT\n+\n!!!!\n@r2\nNNZA\n+\n!!\x7f!\n", np.uint8)
+    _assert_match_fastq(body)
+
+
+def test_fastq_fused_varied_lengths():
+    rng = np.random.default_rng(21)
+    out = []
+    for i in range(200):
+        ln = int(rng.integers(1, 200))
+        seq = rng.choice(np.frombuffer(b"ACGTacgt", np.uint8), size=ln)
+        qual = rng.integers(33, 100, size=ln, dtype=np.uint8)
+        out.append(b"@x%d\n%s\n+\n%s\n" % (i, seq.tobytes(), qual.tobytes()))
+    _assert_match_fastq(np.frombuffer(b"".join(out), np.uint8)[1:])

@@ -91,3 +91,66 @@ def test_encode_sharded_routes_fused(monkeypatch):
     host, _ = encode(data, EncodeOptions())
     blob, _ = PL.encode_sharded(data, EncodeOptions(), mesh=block_mesh(4))
     assert blob == host
+
+
+def _gen_fq(n_reads=400, read_len=100, seed=5):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_reads):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=read_len)
+        if i % 3 == 0:
+            seq[10:60] |= 32
+        qual = rng.integers(35, 74, size=read_len, dtype=np.uint8)
+        com = b" x" if i % 4 else b""
+        out.append(b"@read%04d/1%s\n%s\n+\n%s\n"
+                   % (i, com, seq.tobytes(), qual.tobytes()))
+    return b"".join(out)
+
+
+def _fused_fastq_direct(data: bytes, opts=None, D=4):
+    from naf_tpu.parallel.block import make_blocks_fastq
+
+    opts = opts or EncodeOptions()
+    mesh = block_mesh(D)
+    body = np.frombuffer(data, np.uint8)[1:]
+    mb = make_blocks_fastq(body, D)
+    assert mb is not None
+    blocks, _ = mb
+    return PL._try_encode_fused_fastq(
+        blocks, opts, mesh, C.IN_FORMAT_FASTQ,
+        fallback=lambda: encode(data, opts))
+
+
+def test_fastq_fused_pipeline(monkeypatch):
+    monkeypatch.setenv("NAF_TPU_FUSED", "1")
+    data = _gen_fq()
+    host, _ = encode(data, EncodeOptions())
+    out = _fused_fastq_direct(data)
+    assert out is not None
+    assert out[0] == host
+
+
+def test_fastq_fused_varied_reads(monkeypatch):
+    monkeypatch.setenv("NAF_TPU_FUSED", "1")
+    rng = np.random.default_rng(6)
+    out = []
+    for i in range(300):
+        ln = int(rng.integers(1, 250))
+        seq = rng.choice(np.frombuffer(b"ACGTN", np.uint8), size=ln)
+        qual = rng.integers(33, 100, size=ln, dtype=np.uint8)
+        out.append(b"@v%d\n%s\n+\n%s\n" % (i, seq.tobytes(),
+                                           qual.tobytes()))
+    data = b"".join(out)
+    host, _ = encode(data, EncodeOptions())
+    r = _fused_fastq_direct(data)
+    assert r is not None
+    assert r[0] == host
+
+
+def test_fastq_encode_sharded_routes_fused(monkeypatch):
+    monkeypatch.setenv("NAF_TPU_FUSED", "1")
+    monkeypatch.setenv("NAF_TPU_NO_FALLBACK", "1")
+    data = _gen_fq(n_reads=600, read_len=64, seed=7)
+    host, _ = encode(data, EncodeOptions())
+    blob, _ = PL.encode_sharded(data, EncodeOptions(), mesh=block_mesh(4))
+    assert blob == host

@@ -270,3 +270,30 @@ def test_regular_render_fastq_on_tpu(tpu):
     dev = Decoder(io.BytesIO(blob), DecodeOptions()).fastq_device(
         mesh=block_mesh(1))
     assert dev == host
+
+
+def test_fastq_fused_sharded_encode_on_tpu(tpu):
+    """FASTQ encode_sharded routes through the fused FASTQ kernel on the
+    chip and matches the host encoder byte-for-byte."""
+    from naf_tpu.parallel.mesh import block_mesh
+    from naf_tpu.parallel.pipeline import encode_sharded
+    from naf_tpu.pipeline.encoder import EncodeOptions, encode
+
+    rng = np.random.default_rng(10)
+    out = []
+    for i in range(4000):
+        seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=100)
+        if i % 3 == 0:
+            seq[20:70] |= 32
+        qual = rng.integers(35, 74, size=100, dtype=np.uint8)
+        out.append(b"@read%05d/1\n%s\n+\n%s\n"
+                   % (i, seq.tobytes(), qual.tobytes()))
+    data = b"".join(out)
+    os.environ["NAF_TPU_NO_FALLBACK"] = "1"
+    try:
+        blob, _ = encode_sharded(data, EncodeOptions(level=1),
+                                 mesh=block_mesh(1))
+    finally:
+        os.environ.pop("NAF_TPU_NO_FALLBACK", None)
+    host, _ = encode(data, EncodeOptions(level=1))
+    assert blob == host

@@ -285,6 +285,13 @@ def prewarm_e2e(topo) -> None:
                              **fq_meta["caps"]).compile()
     print(f"  fastq emit pass: {time.time() - t0:.1f}s")
 
+    from naf_tpu.parallel.block import fused_blocks_fastq_sharded
+
+    t0 = time.time()
+    fused_blocks_fastq_sharded.lower(fa_blocks, fa_prev, seq_type=0,
+                                     mesh=tmesh, interpret=False).compile()
+    print(f"  fastq fused pass: {time.time() - t0:.1f}s")
+
     # ---- device decode (render) buckets: replay on CPU, compile on topo ---
     from naf_tpu.parallel import decode as DD
 
