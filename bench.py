@@ -788,8 +788,12 @@ def _device_pipeline_rate(data: bytes, mesh) -> dict:
     prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
     sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
 
+    pbase = jax.device_put(jnp.zeros(1, jnp.int32),
+                           jax.sharding.NamedSharding(
+                               mesh, jax.sharding.PartitionSpec()))
+
     def one():
-        return fused_blocks_sharded(blocks_d, prev_d, sis_d,
+        return fused_blocks_sharded(blocks_d, prev_d, sis_d, pbase,
                                     seq_type=0, mesh=mesh)[1][:1, :1]
 
     # amortized timing: a host fetch of even one scalar costs ~25-28 ms of
@@ -1187,9 +1191,13 @@ def bench_device_fastq_e2e(env) -> None:
             bd = jax.device_put(jnp.asarray(blocks.data), sh)
             pd = jax.device_put(jnp.asarray(blocks.prev), sh)
 
+            pbase = jax.device_put(jnp.zeros(1, jnp.int32),
+                                   jax.sharding.NamedSharding(
+                                       mesh, jax.sharding.PartitionSpec()))
+
             def one():
                 return fused_blocks_fastq_sharded(
-                    bd, pd, seq_type=0, mesh=mesh)[3][:1, :1]
+                    bd, pd, pbase, seq_type=0, mesh=mesh)[3][:1, :1]
 
             np.asarray(one())
             N = int(os.environ.get("NAF_BENCH_PIPE_AMORT", "16"))

@@ -301,7 +301,7 @@ def stats_blocks_packed(blocks, prev_bytes, starts_in_seq, *,
 
 
 @functools.partial(jax.jit, static_argnames=("seq_type", "mesh", "interpret"))
-def fused_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
+def fused_blocks_sharded(blocks, prev_bytes, starts_in_seq, parity_base, *,
                          seq_type: int, mesh: Mesh, interpret: bool = False):
     """Single-pass fused FASTA emit over the mesh (nucleotide, plain format).
 
@@ -309,6 +309,9 @@ def fused_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
     (ops.emit_fused) classifies, compacts, and extracts the sparse record/
     mask/header tables per tile; the only collective is the all_gather of
     stream counts that decides each block's nibble parity before packing.
+    ``parity_base`` (i32[1] per device, identical values) carries the
+    global char-count parity of everything BEFORE this call — 0 for whole
+    inputs, the chunk carry for the streaming engine.
 
     Returns (packed u8[D, B'//2+1], scal i32[D, 10], sp_tv i32[D, S],
     sp_a i32[D, S]) where scal rows are [cnt, cnt_seq, n_sp, sp_ok,
@@ -319,7 +322,7 @@ def fused_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
 
     pallas_pack = mesh.devices.flat[0].platform == "tpu"
 
-    def fn(block, prev, sis):
+    def fn(block, prev, sis, pbase):
         r = emit_fasta_fused(block[0], prev[0], sis[0], seq_type=seq_type,
                              interpret=interpret)
         cnt = r["cnt"]
@@ -327,7 +330,7 @@ def fused_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
         my = jax.lax.axis_index(BLOCK_AXIS)
         prefix = jnp.sum(jnp.where(jnp.arange(counts.shape[0]) < my,
                                    counts, 0))
-        odd = (prefix % 2) == 1
+        odd = ((prefix + pbase[0]) % 2) == 1
         sv = r["sv"]
         shifted = jnp.where(odd, jnp.roll(sv, -1), sv)
         packed = _fit(_pack_block(shifted, pallas_pack),
@@ -340,14 +343,15 @@ def fused_blocks_sharded(blocks, prev_bytes, starts_in_seq, *,
 
     return shard_map(
         fn, mesh=mesh,
-        in_specs=(P(BLOCK_AXIS),) * 3,
+        in_specs=(P(BLOCK_AXIS),) * 3 + (P(),),
         out_specs=(P(BLOCK_AXIS),) * 4, check_vma=False,
-    )(blocks, prev_bytes, starts_in_seq)
+    )(blocks, prev_bytes, starts_in_seq, parity_base)
 
 
 @functools.partial(jax.jit, static_argnames=("seq_type", "mesh", "interpret"))
-def fused_blocks_fastq_sharded(blocks, prev_bytes, *, seq_type: int,
-                               mesh: Mesh, interpret: bool = False):
+def fused_blocks_fastq_sharded(blocks, prev_bytes, parity_base, *,
+                               seq_type: int, mesh: Mesh,
+                               interpret: bool = False):
     """Single-pass fused FASTQ emit over the mesh (ops.emit_fused FASTQ
     kernel: stream/quality/id dense compactions + tagged sparse channel).
 
@@ -360,7 +364,7 @@ def fused_blocks_fastq_sharded(blocks, prev_bytes, *, seq_type: int,
 
     pallas_pack = mesh.devices.flat[0].platform == "tpu"
 
-    def fn(block, prev):
+    def fn(block, prev, pbase):
         r = emit_fastq_fused(block[0], prev[0], seq_type=seq_type,
                              interpret=interpret)
         cnt = r["cnt"]
@@ -368,7 +372,7 @@ def fused_blocks_fastq_sharded(blocks, prev_bytes, *, seq_type: int,
         my = jax.lax.axis_index(BLOCK_AXIS)
         prefix = jnp.sum(jnp.where(jnp.arange(counts.shape[0]) < my,
                                    counts, 0))
-        odd = (prefix % 2) == 1
+        odd = ((prefix + pbase[0]) % 2) == 1
         sv = r["sv"]
         shifted = jnp.where(odd, jnp.roll(sv, -1), sv)
         packed = _fit(_pack_block(shifted, pallas_pack),
@@ -384,9 +388,9 @@ def fused_blocks_fastq_sharded(blocks, prev_bytes, *, seq_type: int,
 
     return shard_map(
         fn, mesh=mesh,
-        in_specs=(P(BLOCK_AXIS),) * 2,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P()),
         out_specs=(P(BLOCK_AXIS),) * 8, check_vma=False,
-    )(blocks, prev_bytes)
+    )(blocks, prev_bytes, parity_base)
 
 
 def unpack_stats(packed_np: np.ndarray):

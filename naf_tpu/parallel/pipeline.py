@@ -31,7 +31,8 @@ from ..format import constants as C
 from ..pipeline import parser as P
 from ..pipeline.encoder import EncodeOptions, EncodeStats, build_archive
 from .block import (
-    blob_from_lens, emit_blocks_packed, make_blocks, make_blocks_fastq,
+    blob_from_lens, emit_blocks_packed, fused_blocks_fastq_sharded,
+    fused_blocks_sharded, make_blocks, make_blocks_fastq,
     stats_blocks_packed, stitch_lengths, stitch_packed, stitch_runs,
     unpack_emit, unpack_stats,
 )
@@ -90,8 +91,6 @@ def _try_encode_fused(blocks, opts, mesh, fmt, fallback):
     import jax
     import jax.numpy as jnp
 
-    from ..ops import tables as T
-    from .block import fused_blocks_sharded
     from .mesh import block_sharding
 
     D = mesh.devices.size
@@ -102,17 +101,42 @@ def _try_encode_fused(blocks, opts, mesh, fmt, fallback):
     sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
 
     packed_d, scal_d, tv_d, a_d = fused_blocks_sharded(
-        blocks_d, prev_d, sis_d, seq_type=opts.seq_type, mesh=mesh,
-        interpret=interpret)
-    scal = np.asarray(scal_d)                     # (D, 10) — one small fetch
-    if not scal[:, 3].all() or scal[:, 4:7].any():
+        blocks_d, prev_d, sis_d, jnp.zeros(1, jnp.int32),
+        seq_type=opts.seq_type, mesh=mesh, interpret=interpret)
+    parsed = parse_fused_fasta(D, np.asarray(scal_d), packed_d, tv_d, a_d)
+    if parsed is None:
         return None                               # overflow / unexpected
+    zero_hists = [np.zeros((1, 256), np.uint32) for _ in range(8)]
+    return _stitch_and_build(
+        D, fmt, opts, parsed["counts"], parsed["id_bytes"],
+        parsed["com_bytes"], np.zeros(D, np.int64), parsed["n_rec"],
+        parsed["n_runs"], parsed["first_lower"], parsed["longest"],
+        zero_hists, parsed["em_np"], fallback=fallback)
+
+
+def _pad2d(D, rows, dtype=np.int32):
+    w = max(max((r.size for r in rows), default=0), 1)
+    out = np.zeros((D, w), dtype)
+    for k, r in enumerate(rows):
+        out[k, :r.size] = r
+    return out
+
+
+def parse_fused_fasta(D, scal, packed_d, tv_d, a_d):
+    """Host parse of the fused FASTA outputs -> the em_np layout of the
+    two-pass protocol (shared by encode_sharded and the streaming engine).
+    Returns None when a tile overflowed the sparse cap or unexpected
+    characters exist (their histograms need the stats pass)."""
+    if not scal[:, 3].all() or scal[:, 4:7].any():
+        return None
 
     counts = scal[:, 0].astype(np.int64)
     cnt_seq = scal[:, 1].astype(np.int64)
     n_sp = scal[:, 2].astype(np.int64)
     longest = np.full(D, int(scal[:, 7].max()))
     first_lower = scal[:, 8] == 2
+    from ..ops import tables as T
+
     first_codes = np.asarray(T.NUC_CODE)[scal[:, 9]]
 
     # sliced fetches: only used prefixes cross the host<->device link
@@ -148,26 +172,19 @@ def _try_encode_fused(blocks, opts, mesh, fmt, fallback):
                           if counts[k] > 0 else np.zeros(0, np.int64))
         n_runs[k] = (j.size + 1) if counts[k] > 0 else 0
 
-    def pad2d(rows, dtype=np.int32):
-        w = max(max((r.size for r in rows), default=0), 1)
-        out = np.zeros((D, w), dtype)
-        for k, r in enumerate(rows):
-            out[k, :r.size] = r
-        return out
-
     em_np = [packed, first_codes, counts,
-             pad2d(id_vals_l, np.uint8), pad2d(com_vals_l, np.uint8),
+             _pad2d(D, id_vals_l, np.uint8), _pad2d(D, com_vals_l, np.uint8),
              np.zeros((D, 1), np.uint8),
-             pad2d(seq_lens_l), pad2d(id_lens_l), pad2d(com_lens_l),
+             _pad2d(D, seq_lens_l), _pad2d(D, id_lens_l),
+             _pad2d(D, com_lens_l),
              np.zeros((D, int(n_rec.max()) + 1), np.int64),
-             pad2d(run_lens_l, np.int64)]
-    id_bytes = np.array([r.size for r in id_vals_l], np.int64)
-    com_bytes = np.array([r.size for r in com_vals_l], np.int64)
-    zero_hists = [np.zeros((1, 256), np.uint32) for _ in range(8)]
-    return _stitch_and_build(
-        D, fmt, opts, counts, id_bytes, com_bytes, np.zeros(D, np.int64),
-        n_rec, n_runs, first_lower, longest, zero_hists, em_np,
-        fallback=fallback)
+             _pad2d(D, run_lens_l, np.int64)]
+    return dict(
+        counts=counts,
+        id_bytes=np.array([r.size for r in id_vals_l], np.int64),
+        com_bytes=np.array([r.size for r in com_vals_l], np.int64),
+        n_rec=n_rec, n_runs=n_runs, first_lower=first_lower,
+        longest=longest, em_np=em_np)
 
 
 def _try_encode_fused_fastq(blocks, opts, mesh, fmt, fallback):
@@ -175,8 +192,6 @@ def _try_encode_fused_fastq(blocks, opts, mesh, fmt, fallback):
     import jax
     import jax.numpy as jnp
 
-    from ..ops import tables as T
-    from .block import fused_blocks_fastq_sharded
     from .mesh import block_sharding
 
     D = mesh.devices.size
@@ -185,19 +200,34 @@ def _try_encode_fused_fastq(blocks, opts, mesh, fmt, fallback):
     blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
     prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
 
-    (packed_d, qv_d, iv_d, scal_d, tv_d, a_d, b_d, c_d) = \
-        fused_blocks_fastq_sharded(blocks_d, prev_d,
-                                   seq_type=opts.seq_type, mesh=mesh,
-                                   interpret=interpret)
-    scal = np.asarray(scal_d)                 # (D, 13) — one small fetch
-    if not scal[:, 3].all() or scal[:, 4:7].any() or scal[:, 12].any():
+    outs = fused_blocks_fastq_sharded(
+        blocks_d, prev_d, jnp.zeros(1, jnp.int32),
+        seq_type=opts.seq_type, mesh=mesh, interpret=interpret)
+    parsed = parse_fused_fastq(D, np.asarray(outs[3]), outs)
+    if parsed is None:
         return None                           # overflow / unexpected
+    zero_hists = [np.zeros((1, 256), np.uint32) for _ in range(8)]
+    return _stitch_and_build(
+        D, fmt, opts, parsed["counts"], parsed["id_bytes"],
+        parsed["com_bytes"], parsed["qual_bytes"], parsed["n_rec"],
+        parsed["n_runs"], parsed["first_lower"], parsed["longest"],
+        zero_hists, parsed["em_np"], fallback=fallback)
+
+
+def parse_fused_fastq(D, scal, outs):
+    """Host parse of the fused FASTQ outputs (shared with the streaming
+    engine); None on sparse-cap overflow or unexpected characters."""
+    packed_d, qv_d, iv_d, _scal_d, tv_d, a_d, b_d, c_d = outs
+    if not scal[:, 3].all() or scal[:, 4:7].any() or scal[:, 12].any():
+        return None
 
     counts = scal[:, 0].astype(np.int64)
     cnt_seq = scal[:, 1].astype(np.int64)
     n_sp = scal[:, 2].astype(np.int64)
     longest = np.full(D, int(scal[:, 7].max()))
     first_lower = scal[:, 8] == 2
+    from ..ops import tables as T
+
     first_codes = np.asarray(T.NUC_CODE)[scal[:, 9]]
     qual_bytes = scal[:, 10].astype(np.int64)
     id_bytes = scal[:, 11].astype(np.int64)
@@ -239,23 +269,17 @@ def _try_encode_fused_fastq(blocks, opts, mesh, fmt, fallback):
                           if counts[k] > 0 else np.zeros(0, np.int64))
         n_runs[k] = (j.size + 1) if counts[k] > 0 else 0
 
-    def pad2d(rows, dtype=np.int32):
-        w = max(max((r.size for r in rows), default=0), 1)
-        out = np.zeros((D, w), dtype)
-        for k, r in enumerate(rows):
-            out[k, :r.size] = r
-        return out
-
     em_np = [packed, first_codes, counts,
-             id_vals, pad2d(com_vals_l, np.uint8), qual_vals,
-             pad2d(seq_lens_l), pad2d(id_lens_l), pad2d(com_lens_l),
-             pad2d(qual_lens_l), pad2d(run_lens_l, np.int64)]
-    com_bytes = np.array([r.size for r in com_vals_l], np.int64)
-    zero_hists = [np.zeros((1, 256), np.uint32) for _ in range(8)]
-    return _stitch_and_build(
-        D, fmt, opts, counts, id_bytes, com_bytes, qual_bytes,
-        n_rec, n_runs, first_lower, longest, zero_hists, em_np,
-        fallback=fallback)
+             id_vals, _pad2d(D, com_vals_l, np.uint8), qual_vals,
+             _pad2d(D, seq_lens_l), _pad2d(D, id_lens_l),
+             _pad2d(D, com_lens_l), _pad2d(D, qual_lens_l),
+             _pad2d(D, run_lens_l, np.int64)]
+    return dict(
+        counts=counts,
+        id_bytes=id_bytes,
+        com_bytes=np.array([r.size for r in com_vals_l], np.int64),
+        qual_bytes=qual_bytes, n_rec=n_rec, n_runs=n_runs,
+        first_lower=first_lower, longest=longest, em_np=em_np)
 
 
 def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,

@@ -33,7 +33,8 @@ from .. import native
 from ..format import constants as C
 from ..ops.mask import runs_to_units
 from .block import (
-    blob_from_lens, emit_blocks_sharded, make_blocks, make_blocks_fastq,
+    blob_from_lens, emit_blocks_sharded, fused_blocks_fastq_sharded,
+    fused_blocks_sharded, make_blocks, make_blocks_fastq,
     stats_blocks_sharded, stitch_lengths, stitch_runs,
 )
 
@@ -210,6 +211,8 @@ class DeviceScanEngine:
 
     def _passes(self, blocks, *, fastq: bool, seq_type: int,
                 parity_odd_in: bool):
+        import os
+
         import jax
         import jax.numpy as jnp
 
@@ -227,6 +230,23 @@ class DeviceScanEngine:
         blocks_d = jax.device_put(jnp.asarray(data), sharding)
         prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
         sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
+
+        # fused single-pass protocol first (same gating as encode_sharded);
+        # a None parse (sparse overflow / unexpected chars) or any device
+        # fault falls through to the two-pass path below
+        fused_on = os.environ.get("NAF_TPU_NO_FUSED") != "1" and (
+            self.mesh.devices.flat[0].platform == "tpu"
+            or os.environ.get("NAF_TPU_FUSED") == "1")
+        if fused_on and seq_type <= C.SEQ_TYPE_RNA:
+            try:
+                out = self._passes_fused(
+                    blocks_d, prev_d, sis_d, fastq=fastq,
+                    seq_type=seq_type, parity_odd_in=parity_odd_in)
+                if out is not None:
+                    return out
+            except Exception:
+                if os.environ.get("NAF_TPU_NO_FALLBACK") == "1":
+                    raise
 
         st = stats_blocks_sharded(blocks_d, prev_d, sis_d,
                                   seq_type=seq_type, fastq=fastq,
@@ -260,6 +280,42 @@ class DeviceScanEngine:
         em_np = [np.asarray(o) for o in em]
         return (counts, id_bytes, com_bytes, qual_bytes, n_rec, n_runs,
                 first_lower, longest, hists, em_np)
+
+    def _passes_fused(self, blocks_d, prev_d, sis_d, *, fastq: bool,
+                      seq_type: int, parity_odd_in: bool):
+        """Single-pass fused chunk encode -> the _passes result tuple, or
+        None when the chunk needs the two-pass path."""
+        import jax
+        import jax.numpy as jnp
+
+        from .mesh import replicated
+        from .pipeline import parse_fused_fasta, parse_fused_fastq
+
+        D = self.D
+        interpret = self.mesh.devices.flat[0].platform != "tpu"
+        pbase = jax.device_put(
+            jnp.asarray([int(parity_odd_in)], jnp.int32),
+            replicated(self.mesh))
+        zero_hists = [np.zeros((1, 256), np.uint32) for _ in range(8)]
+        if fastq:
+            outs = fused_blocks_fastq_sharded(
+                blocks_d, prev_d, pbase, seq_type=seq_type, mesh=self.mesh,
+                interpret=interpret)
+            parsed = parse_fused_fastq(D, np.asarray(outs[3]), outs)
+        else:
+            packed_d, scal_d, tv_d, a_d = fused_blocks_sharded(
+                blocks_d, prev_d, sis_d, pbase, seq_type=seq_type,
+                mesh=self.mesh, interpret=interpret)
+            parsed = parse_fused_fasta(D, np.asarray(scal_d), packed_d,
+                                       tv_d, a_d)
+        if parsed is None:
+            return None
+        qual_bytes = parsed.get("qual_bytes",
+                                np.zeros(D, np.int64))
+        return (parsed["counts"], parsed["id_bytes"], parsed["com_bytes"],
+                qual_bytes, parsed["n_rec"], parsed["n_runs"],
+                parsed["first_lower"], parsed["longest"], zero_hists,
+                parsed["em_np"])
 
     # -- stitching into a NativeScan-shaped result ----------------------------
 

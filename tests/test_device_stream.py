@@ -201,6 +201,8 @@ class TestPerBlockRetry:
             raise RuntimeError("injected device fault")
 
         monkeypatch.setattr(PS, "stats_blocks_sharded", boom)
+        monkeypatch.setattr(PS, "fused_blocks_sharded", boom)
+        monkeypatch.setattr(PS, "fused_blocks_fastq_sharded", boom)
         eng = engine_cls()
         with pytest.warns(UserWarning, match="requeued to host scanner"):
             got = stream_bytes(data, chunk_size=300, engine=eng)
@@ -215,16 +217,24 @@ class TestPerBlockRetry:
         rng = np.random.default_rng(61)
         data = rand_fasta(rng, 60)
         ref, _ = encode(data, EncodeOptions())
-        real = PS.stats_blocks_sharded
-        calls = {"n": 0}
+        def once_flaky(real):
+            calls = {"n": 0}
 
-        def flaky(*a, **k):
-            calls["n"] += 1
-            if calls["n"] == 1:
-                raise RuntimeError("injected transient fault")
-            return real(*a, **k)
+            def fn(*a, **k):
+                calls["n"] += 1
+                if calls["n"] == 1:
+                    raise RuntimeError("injected transient fault")
+                return real(*a, **k)
+            return fn
 
-        monkeypatch.setattr(PS, "stats_blocks_sharded", flaky)
+        # chunk 1 must fault through BOTH protocols (the fused attempt
+        # falls through to the two-pass path before the chunk requeues)
+        monkeypatch.setattr(PS, "stats_blocks_sharded",
+                            once_flaky(PS.stats_blocks_sharded))
+        monkeypatch.setattr(PS, "fused_blocks_sharded",
+                            once_flaky(PS.fused_blocks_sharded))
+        monkeypatch.setattr(PS, "fused_blocks_fastq_sharded",
+                            once_flaky(PS.fused_blocks_fastq_sharded))
         eng = engine_cls()
         with pytest.warns(UserWarning, match="requeued to host scanner"):
             got = stream_bytes(data, chunk_size=400, engine=eng)
@@ -244,6 +254,8 @@ class TestPerBlockRetry:
             raise RuntimeError("injected device fault")
 
         monkeypatch.setattr(PP, "stats_blocks_packed", boom)
-        with pytest.warns(UserWarning, match="falling back to the host"):
+        monkeypatch.setattr(PP, "fused_blocks_sharded", boom)
+        monkeypatch.setattr(PP, "fused_blocks_fastq_sharded", boom)
+        with pytest.warns(UserWarning, match="falling back to the"):
             blob, _ = encode_sharded(data, EncodeOptions())
         assert blob == ref

@@ -231,8 +231,10 @@ def prewarm_e2e(topo) -> None:
 
     from naf_tpu.parallel.block import fused_blocks_sharded
 
+    repl_sh = NamedSharding(tmesh, P())
+    a_pbase = jax.ShapeDtypeStruct((1,), jnp.int32, sharding=repl_sh)
     t0 = time.time()
-    fused_blocks_sharded.lower(a_blocks, a_prev, a_sis, seq_type=0,
+    fused_blocks_sharded.lower(a_blocks, a_prev, a_sis, a_pbase, seq_type=0,
                                mesh=tmesh, interpret=False).compile()
     print(f"  e2e fused pass: {time.time() - t0:.1f}s")
 
@@ -288,8 +290,9 @@ def prewarm_e2e(topo) -> None:
     from naf_tpu.parallel.block import fused_blocks_fastq_sharded
 
     t0 = time.time()
-    fused_blocks_fastq_sharded.lower(fa_blocks, fa_prev, seq_type=0,
-                                     mesh=tmesh, interpret=False).compile()
+    fused_blocks_fastq_sharded.lower(fa_blocks, fa_prev, a_pbase,
+                                     seq_type=0, mesh=tmesh,
+                                     interpret=False).compile()
     print(f"  fastq fused pass: {time.time() - t0:.1f}s")
 
     # ---- device decode (render) buckets: replay on CPU, compile on topo ---
