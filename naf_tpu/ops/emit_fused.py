@@ -743,3 +743,49 @@ def emit_fastq_fused(block, prev_byte, *, seq_type: int = C.SEQ_TYPE_DNA,
         first_sval=cnts[g - 1, LANE_FSVAL],
         sp_tv=sp[0], sp_a=sp[1], sp_b=sp[2], sp_c=sp[3],
     )
+
+
+# ---------------------------------------------------------------------------
+# Mask-parity application (decode render prep): chars + 32 * (prefix XOR of
+# span toggles).  The XLA formulation (i32 toggle scatter + prefix sum +
+# add) moves ~18 bytes of HBM per output byte; this kernel reads the char
+# and toggle streams once and writes the cased chars — ~3 B/B.
+# Reference counterpart: unnaf/src/output.c:295-322 mask_dna_buffer.
+# ---------------------------------------------------------------------------
+
+def _maskapply_kernel(ch_ref, tg_ref, out_ref, carry):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry[0] = 0
+
+    R = ch_ref.shape[0]
+    cum = _hs_sum(tg_ref[:].astype(jnp.int32)) + carry[0]
+    out_ref[:] = (ch_ref[:].astype(jnp.int32)
+                  + 32 * (cum & 1)).astype(jnp.uint8)
+    carry[0] = _extract(cum, R - 1, _LANES - 1)
+
+
+@lazy_jit(static_argnames=("interpret",))
+def apply_mask_parity_pallas(chars, tog, interpret: bool = False):
+    """u8 chars + u8 span toggles -> cased chars (+32 inside masked spans)."""
+    n = chars.shape[0]
+    pad = (-n) % _TILE
+    c, t = chars, tog
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros(pad, jnp.uint8)])
+        t = jnp.concatenate([t, jnp.zeros(pad, jnp.uint8)])
+    g = c.shape[0] // _TILE
+    spec = pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _maskapply_kernel,
+        grid=(g,),
+        in_specs=[spec, spec],
+        out_shape=jax.ShapeDtypeStruct((g * _ROWS, _LANES), jnp.uint8),
+        out_specs=spec,
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(c.reshape(g * _ROWS, _LANES), t.reshape(g * _ROWS, _LANES))
+    return out.reshape(-1)[:n]

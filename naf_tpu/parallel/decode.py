@@ -495,10 +495,18 @@ def _prep_chars_step(packed: bool, upper: bool, rna: bool, masking: bool,
                 is_lo = (ci >= ord("a")) & (ci <= ord("z"))
                 chars = jnp.where(is_lo, ci - 32, ci).astype(jnp.uint8)
         if masking:
-            tog = jnp.zeros(chars.shape[0], jnp.int32).at[bounds].add(
-                1, mode="drop")
-            parity = S.cumsum_best(tog, pallas) & 1
-            chars = (chars.astype(jnp.int32) + 32 * parity).astype(jnp.uint8)
+            if pallas:
+                from ..ops.emit_fused import apply_mask_parity_pallas
+
+                tog = jnp.zeros(chars.shape[0], jnp.uint8).at[bounds].add(
+                    1, mode="drop")
+                chars = apply_mask_parity_pallas(chars, tog)
+            else:
+                tog = jnp.zeros(chars.shape[0], jnp.int32).at[bounds].add(
+                    1, mode="drop")
+                parity = S.cumsum_best(tog, pallas) & 1
+                chars = (chars.astype(jnp.int32)
+                         + 32 * parity).astype(jnp.uint8)
         return chars
 
     return jax.jit(fn)

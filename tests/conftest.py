@@ -9,6 +9,11 @@ import os
 if not os.environ.get("NAF_TPU_REAL_DEVICE"):
     os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
     os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    # the persistent cache is TPU-only value: XLA:CPU cannot deserialize
+    # its entries in this build (every load E-logs), and entries written
+    # by OTHER machines can SIGABRT the whole pytest process on read
+    # (machine-feature mismatch) — r5 suite runs died at ~40% this way
+    os.environ["NAF_TPU_JAX_CACHE"] = ""
     import jax
 
     jax.config.update("jax_platforms", "cpu")

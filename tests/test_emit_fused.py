@@ -303,3 +303,17 @@ def test_fastq_fused_varied_lengths():
         qual = rng.integers(33, 100, size=ln, dtype=np.uint8)
         out.append(b"@x%d\n%s\n+\n%s\n" % (i, seq.tobytes(), qual.tobytes()))
     _assert_match_fastq(np.frombuffer(b"".join(out), np.uint8)[1:])
+
+
+def test_apply_mask_parity_kernel():
+    rng = np.random.default_rng(30)
+    n = 200_000
+    chars = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=n)
+    bounds = np.sort(rng.choice(n, size=400, replace=False))
+    tog = np.zeros(n, np.uint8)
+    np.add.at(tog, bounds, 1)
+    parity = (np.cumsum(tog) & 1).astype(np.uint8)
+    expect = chars + 32 * parity
+    got = np.asarray(E.apply_mask_parity_pallas(
+        jnp.asarray(chars), jnp.asarray(tog), interpret=True))
+    assert np.array_equal(got, expect)
