@@ -65,3 +65,23 @@ def run_ref(args, input_bytes=b"", binary=None):
     env = dict(os.environ)
     env.setdefault("TMPDIR", "/tmp")
     return subprocess.run(args, input=input_bytes, capture_output=True, env=env)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jit_executables_between_modules():
+    """Free compiled executables after each test module.
+
+    Every jitted program pins JIT code pages; across the full suite the
+    process' memory-map count grows past vm.max_map_count (65530 default
+    — measured 14k -> 57k+ in 8 minutes), at which point LLVM's mmap fails
+    and XLA:CPU segfaults mid-compile (the round-5 full-suite crashes at
+    ~40%/85%).  Clearing jax's caches at module boundaries caps the map
+    count; modules recompile their own shapes anyway.
+    """
+    yield
+    try:
+        import jax
+
+        jax.clear_caches()
+    except Exception:
+        pass
