@@ -902,7 +902,7 @@ def chr1_row(env) -> None:
     One-shot timing: at ~1.5 MB/s for level-19 LDM on 2 cores, reps are
     unaffordable; the row is evidence of scale, not a tight rate."""
     import hashlib
-    import resource
+
     import tempfile
 
     mb = int(os.environ.get("NAF_BENCH_CHR1_MB", "200"))
@@ -919,16 +919,17 @@ def chr1_row(env) -> None:
         f.write(data)
     del data                              # bounded-memory claim is real
 
-    # encode through the PRODUCT CLI in a subprocess: its maxrss is the
-    # honest bounded-memory number (in-process measurement would count the
-    # 200 MB data-generation phase above)
+    # encode through the PRODUCT CLI in a subprocess: wait4 on THAT child
+    # gives its own maxrss (RUSAGE_CHILDREN would report whichever earlier
+    # subprocess of this bench was largest)
     t0 = time.perf_counter()
-    r = subprocess.run(["tnaf", f"-{level}", "--long", str(wl),
-                        "--threads", str(os.cpu_count() or 1),
-                        fa, "-o", naf], env=env)
+    proc = subprocess.Popen(["tnaf", f"-{level}", "--long", str(wl),
+                             "--threads", str(os.cpu_count() or 1),
+                             fa, "-o", naf], env=env)
+    _, status, ru = os.wait4(proc.pid, 0)
     t_enc = time.perf_counter() - t0
-    assert r.returncode == 0, "chr1: encode failed"
-    rss_enc = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    assert os.waitstatus_to_exitcode(status) == 0, "chr1: encode failed"
+    rss_enc = ru.ru_maxrss
 
     t0 = time.perf_counter()
     with open(out_fa, "wb") as o:
@@ -949,11 +950,9 @@ def chr1_row(env) -> None:
     ref_ok = rq.returncode == 0 and \
         hashlib.sha256(rq.stdout).hexdigest() == h_in
     naf_mb = os.path.getsize(naf) / (1 << 20)
-    for p in (fa, naf, out_fa):
-        try:
-            os.unlink(p)
-        except OSError:
-            pass
+    import shutil
+
+    shutil.rmtree(tdir, ignore_errors=True)
     row = {
         "metric": "chr1_roundtrip_MBps",
         "value": round(dmb / (t_enc + t_dec), 2),

@@ -499,8 +499,7 @@ static uint64_t huf_stream(const uint8_t *src, uint32_t n,
 }
 
 // NAF_ZSTD_DEC_STATS=1 also times the encoder's stages (shared dump)
-static thread_local uint64_t g_enc_ns_hist = 0, g_enc_ns_huf = 0,
-    g_enc_ns_match = 0;
+static thread_local uint64_t g_enc_ns_hist = 0, g_enc_ns_huf = 0;
 bool nz_stats_on();                      // fwd (defined with the dec stats)
 uint64_t nz_now_ns();
 
@@ -2584,14 +2583,24 @@ static bool huf_stream_decode4(const uint8_t *q[4], const uint64_t qn[4],
   // rounds per reload: 4 pair lookups (8 symbols, <= 48 bits) via the X2
   // table, 8 short-code symbols (log <= 7; 8*7 = 56 exactly fits the
   // usable window), or 4 tall ones (44 + 11 < 56)
-  if (d.log2x) {
+  // every fast-loop iteration writes a fixed symbol block per stream
+  // (8 for the pair/short paths, 4 tall); a stream shorter than that
+  // margin must never enter the loop or later rounds overrun its output
+  // slice (heap overflow on crafted tiny-count archives — found in the
+  // round-5 review).  `o <= f` with f = o + cnt - margin then bounds
+  // writes at cnt - margin + block <= cnt.
+  const bool fast8 = cnt[0] >= 10 && cnt[1] >= 10 && cnt[2] >= 10 &&
+                     cnt[3] >= 10;
+  const bool fast4 = cnt[0] >= 6 && cnt[1] >= 6 && cnt[2] >= 6 &&
+                     cnt[3] >= 6;
+  if (d.log2x && fast8) {
     const int L2 = d.log2x;
     const uint32_t m2 = (1u << L2) - 1;
     const uint32_t *E2 = d.e2;
-    const uint8_t *f0 = o0 + (cnt[0] > 10 ? cnt[0] - 10 : 0);
-    const uint8_t *f1 = o1 + (cnt[1] > 10 ? cnt[1] - 10 : 0);
-    const uint8_t *f2 = o2 + (cnt[2] > 10 ? cnt[2] - 10 : 0);
-    const uint8_t *f3 = o3 + (cnt[3] > 10 ? cnt[3] - 10 : 0);
+    const uint8_t *f0 = o0 + cnt[0] - 10;
+    const uint8_t *f1 = o1 + cnt[1] - 10;
+    const uint8_t *f2 = o2 + cnt[2] - 10;
+    const uint8_t *f3 = o3 + cnt[3] - 10;
     while (bb[0].bits >= 64 && bb[1].bits >= 64 && bb[2].bits >= 64 &&
            bb[3].bits >= 64 && o0 <= f0 && o1 <= f1 && o2 <= f2 &&
            o3 <= f3) {
@@ -2622,11 +2631,11 @@ static bool huf_stream_decode4(const uint8_t *q[4], const uint64_t qn[4],
       bb[2].bits = (((bb[2].bits >> 3) - 7) << 3) + c2;
       bb[3].bits = (((bb[3].bits >> 3) - 7) << 3) + c3;
     }
-  } else if (log <= 7) {
-    const uint8_t *f0 = o0 + (cnt[0] > 10 ? cnt[0] - 10 : 0);
-    const uint8_t *f1 = o1 + (cnt[1] > 10 ? cnt[1] - 10 : 0);
-    const uint8_t *f2 = o2 + (cnt[2] > 10 ? cnt[2] - 10 : 0);
-    const uint8_t *f3 = o3 + (cnt[3] > 10 ? cnt[3] - 10 : 0);
+  } else if (log <= 7 && fast8) {
+    const uint8_t *f0 = o0 + cnt[0] - 10;
+    const uint8_t *f1 = o1 + cnt[1] - 10;
+    const uint8_t *f2 = o2 + cnt[2] - 10;
+    const uint8_t *f3 = o3 + cnt[3] - 10;
     while (bb[0].bits >= 64 && bb[1].bits >= 64 && bb[2].bits >= 64 &&
            bb[3].bits >= 64 && o0 <= f0 && o1 <= f1 && o2 <= f2 &&
            o3 <= f3) {
@@ -2654,11 +2663,11 @@ static bool huf_stream_decode4(const uint8_t *q[4], const uint64_t qn[4],
       bb[2].bits = (((bb[2].bits >> 3) - 7) << 3) + c2;
       bb[3].bits = (((bb[3].bits >> 3) - 7) << 3) + c3;
     }
-  } else {
-    const uint8_t *f0 = o0 + (cnt[0] > 6 ? cnt[0] - 6 : 0);
-    const uint8_t *f1 = o1 + (cnt[1] > 6 ? cnt[1] - 6 : 0);
-    const uint8_t *f2 = o2 + (cnt[2] > 6 ? cnt[2] - 6 : 0);
-    const uint8_t *f3 = o3 + (cnt[3] > 6 ? cnt[3] - 6 : 0);
+  } else if (fast4) {
+    const uint8_t *f0 = o0 + cnt[0] - 6;
+    const uint8_t *f1 = o1 + cnt[1] - 6;
+    const uint8_t *f2 = o2 + cnt[2] - 6;
+    const uint8_t *f3 = o3 + cnt[3] - 6;
     while (bb[0].bits >= 64 && bb[1].bits >= 64 && bb[2].bits >= 64 &&
            bb[3].bits >= 64 && o0 <= f0 && o1 <= f1 && o2 <= f2 &&
            o3 <= f3) {
@@ -2729,55 +2738,76 @@ extern "C" void naf_zstd_dec_stats_dump() {
   g_dec_ns_table = g_dec_lit1 = 0;
   fprintf(stderr, "enc stats: hist %.1f ms, huf streams %.1f ms\n",
           g_enc_ns_hist / 1e6, g_enc_ns_huf / 1e6);
-  g_enc_ns_hist = g_enc_ns_huf = g_enc_ns_match = 0;
+  g_enc_ns_hist = g_enc_ns_huf = 0;
 }
 
 // ---- literals section -----------------------------------------------------
 
 static const uint32_t LITS_MAX = 1u << 17;   // 128 KB block maximum
 
-// Size in bytes of the whole literals section at `p` WITHOUT decoding it
-// (header parse only), or -1.  Lets decode_block peek the sequence count
-// first and decode literal-only blocks straight into the destination —
-// skipping the lits-buffer round trip that otherwise copies every byte
-// twice (literal-only blocks dominate low-redundancy sections).
-static int64_t lits_section_size(const uint8_t *p, uint64_t n) {
-  if (n < 1) return -1;
+// Literals-section header fields (RFC 8878 sec 3.1.1.3.1).  ONE parse
+// shared by decode_literals and the literal-only peek below — a divergence
+// between two copies would fail valid archives outright.
+struct LitHdr {
+  int type;       // 0 raw, 1 RLE, 2 compressed, 3 treeless
+  int streams;    // 1 or 4 (compressed/treeless only)
+  uint32_t rsize; // regenerated size
+  uint32_t csize; // compressed payload size (compressed/treeless)
+  int64_t hdr;    // header bytes
+};
+
+static bool parse_lit_header(const uint8_t *p, uint64_t n, LitHdr &h) {
+  if (n < 1) return false;
   uint8_t b0 = p[0];
-  int type = b0 & 3;
+  h.type = b0 & 3;
   int sf = (b0 >> 2) & 3;
-  if (type <= 1) {
-    uint32_t rsize;
-    int64_t hdr;
-    if (sf == 0 || sf == 2) { rsize = b0 >> 3; hdr = 1; }
+  h.streams = 4;
+  h.csize = 0;
+  if (h.type <= 1) {
+    if (sf == 0 || sf == 2) { h.rsize = b0 >> 3; h.hdr = 1; }
     else if (sf == 1) {
-      if (n < 2) return -1;
-      rsize = (b0 >> 4) | ((uint32_t)p[1] << 4);
-      hdr = 2;
+      if (n < 2) return false;
+      h.rsize = (b0 >> 4) | ((uint32_t)p[1] << 4);
+      h.hdr = 2;
     } else {
-      if (n < 3) return -1;
-      rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | ((uint32_t)p[2] << 12);
-      hdr = 3;
+      if (n < 3) return false;
+      h.rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | ((uint32_t)p[2] << 12);
+      h.hdr = 3;
     }
-    return type == 0 ? hdr + rsize : hdr + 1;
+    return true;
   }
-  uint32_t csize;
-  int64_t hdr;
   if (sf == 0 || sf == 1) {
-    if (n < 3) return -1;
-    csize = ((uint32_t)p[1] >> 6) | ((uint32_t)p[2] << 2);
-    hdr = 3;
+    if (n < 3) return false;
+    h.rsize = (b0 >> 4) | (((uint32_t)p[1] & 0x3F) << 4);
+    h.csize = ((uint32_t)p[1] >> 6) | ((uint32_t)p[2] << 2);
+    h.hdr = 3;
+    if (sf == 0) h.streams = 1;
   } else if (sf == 2) {
-    if (n < 4) return -1;
-    csize = ((uint32_t)p[2] >> 2) | ((uint32_t)p[3] << 6);
-    hdr = 4;
+    if (n < 4) return false;
+    h.rsize = (b0 >> 4) | ((uint32_t)p[1] << 4)
+              | (((uint32_t)p[2] & 3) << 12);
+    h.csize = ((uint32_t)p[2] >> 2) | ((uint32_t)p[3] << 6);
+    h.hdr = 4;
   } else {
-    if (n < 5) return -1;
-    csize = ((uint32_t)p[2] >> 6) | ((uint32_t)p[3] << 2)
-            | ((uint32_t)p[4] << 10);
-    hdr = 5;
+    if (n < 5) return false;
+    h.rsize = (b0 >> 4) | ((uint32_t)p[1] << 4)
+              | (((uint32_t)p[2] & 0x3F) << 12);
+    h.csize = ((uint32_t)p[2] >> 6) | ((uint32_t)p[3] << 2)
+              | ((uint32_t)p[4] << 10);
+    h.hdr = 5;
   }
-  return hdr + csize;
+  return true;
+}
+
+// Size in bytes of the whole literals section at `p` WITHOUT decoding it,
+// or -1.  Lets decode_block peek the sequence count first and decode
+// literal-only blocks straight into the destination.
+static int64_t lits_section_size(const uint8_t *p, uint64_t n) {
+  LitHdr h;
+  if (!parse_lit_header(p, n, h)) return -1;
+  if (h.type == 0) return h.hdr + h.rsize;
+  if (h.type == 1) return h.hdr + 1;
+  return h.hdr + h.csize;
 }
 
 // Decode the literals section at `p` (within a compressed block of size n).
@@ -2786,25 +2816,13 @@ static int64_t lits_section_size(const uint8_t *p, uint64_t n) {
 static int64_t decode_literals(const uint8_t *p, uint64_t n, uint8_t *lits,
                                uint32_t *lit_n, HufDec &huf,
                                uint64_t out_cap = ~(uint64_t)0) {
-  if (n < 1) return -1;
-  uint8_t b0 = p[0];
-  int type = b0 & 3;
-  int sf = (b0 >> 2) & 3;
-  if (type <= 1) {                       // Raw / RLE
-    uint32_t rsize;
-    int64_t hdr;
-    if (sf == 0 || sf == 2) { rsize = b0 >> 3; hdr = 1; }
-    else if (sf == 1) {
-      if (n < 2) return -1;
-      rsize = (b0 >> 4) | ((uint32_t)p[1] << 4);
-      hdr = 2;
-    } else {
-      if (n < 3) return -1;
-      rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | ((uint32_t)p[2] << 12);
-      hdr = 3;
-    }
+  LitHdr lh;
+  if (!parse_lit_header(p, n, lh)) return -1;
+  if (lh.type <= 1) {                    // Raw / RLE
+    uint32_t rsize = lh.rsize;
+    int64_t hdr = lh.hdr;
     if (rsize > LITS_MAX || rsize > out_cap) return -1;
-    if (type == 0) {
+    if (lh.type == 0) {
       if ((uint64_t)hdr + rsize > n) return -1;
       std::memcpy(lits, p + hdr, rsize);
       *lit_n = rsize;
@@ -2817,27 +2835,10 @@ static int64_t decode_literals(const uint8_t *p, uint64_t n, uint8_t *lits,
   }
 
   // Compressed (2) / Treeless (3)
-  uint32_t rsize, csize;
-  int64_t hdr;
-  int streams = 4;
-  if (sf == 0 || sf == 1) {
-    if (n < 3) return -1;
-    rsize = (b0 >> 4) | (((uint32_t)p[1] & 0x3F) << 4);
-    csize = ((uint32_t)p[1] >> 6) | ((uint32_t)p[2] << 2);
-    hdr = 3;
-    if (sf == 0) streams = 1;
-  } else if (sf == 2) {
-    if (n < 4) return -1;
-    rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | (((uint32_t)p[2] & 3) << 12);
-    csize = ((uint32_t)p[2] >> 2) | ((uint32_t)p[3] << 6);
-    hdr = 4;
-  } else {
-    if (n < 5) return -1;
-    rsize = (b0 >> 4) | ((uint32_t)p[1] << 4) | (((uint32_t)p[2] & 0x3F) << 12);
-    csize = ((uint32_t)p[2] >> 6) | ((uint32_t)p[3] << 2)
-            | ((uint32_t)p[4] << 10);
-    hdr = 5;
-  }
+  int type = lh.type;
+  uint32_t rsize = lh.rsize, csize = lh.csize;
+  int64_t hdr = lh.hdr;
+  int streams = lh.streams;
   if (rsize > LITS_MAX || rsize > out_cap || (uint64_t)hdr + csize > n)
     return -1;
   const uint8_t *q = p + hdr;

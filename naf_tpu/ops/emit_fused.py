@@ -22,8 +22,9 @@ kernel replaces ALL of them with ONE pass per tile:
   4. everything sparse — id bytes, comment bytes, record boundaries, and
      mask-run case changes, four mutually disjoint byte classes — rides a
      single tagged side stream compacted the same way into a small capped
-     block (default 1024 entries per 32 KiB tile; per-tile counts let the
-     caller detect overflow and fall back to the two-pass path).
+     block (default _CS_ROWS*128 = 2048 entries per 64 KiB FASTA tile,
+     32 KiB for FASTQ; per-tile counts let the caller detect overflow and
+     fall back to the two-pass path).
 
 Per-record lengths and mask runs need no device segment sums at all: record
 entries carry the global kept-sequence prefix at their marker, change

@@ -531,7 +531,10 @@ def regular_session(plan: RenderPlan, seq_bytes: np.ndarray,
     n = plan.slens.size
     if n == 0 or plan.total_out == 0:
         return None
-    if plan.total_out >= (1 << 31):
+    # the gather path renders in OUT_BATCH-bounded pieces; the regular
+    # path materializes everything at once, so archives beyond the batch
+    # budget keep the bounded-memory path
+    if plan.total_out >= min(1 << 31, 2 * OUT_BATCH):
         return None
     hlens = np.diff(plan.H, prepend=np.int64(0))
     slens = plan.slens.astype(np.int64)
@@ -627,9 +630,15 @@ def render_sharded(plan: RenderPlan, seq_bytes: np.ndarray,
     import os as _os
 
     if _os.environ.get("NAF_TPU_NO_REGULAR") != "1":
-        out = render_regular(plan, seq_bytes, qual_bytes, mesh=mesh)
-        if out is not None:
-            return out
+        try:
+            out = render_regular(plan, seq_bytes, qual_bytes, mesh=mesh)
+            if out is not None:
+                return out
+        except Exception:
+            # e.g. device OOM on a giant uniform group: the batched
+            # gather path below is the bounded-memory fallback
+            if _os.environ.get("NAF_TPU_NO_FALLBACK") == "1":
+                raise
     from .mesh import block_sharding, replicated
 
     D = int(mesh.devices.size)

@@ -80,25 +80,22 @@ def _merge_hist(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     return h
 
 
-def _try_encode_fused(blocks, opts, mesh, fmt, fallback):
+def _try_encode_fused(blocks_dev, opts, mesh, fmt, fallback):
     """Single-pass fused device encode (nucleotide FASTA, plain sections).
 
+    ``blocks_dev`` = (blocks_d, prev_d, sis_d) already on the mesh — the
+    caller uploads once and the two-pass fallback reuses the same arrays
+    (a second full-input upload through the ~MB/s tunnel would dominate).
     Returns the (blob, stats) tuple, or None when the input needs the
     two-pass path: a tile overflowed the sparse cap (mask-run changes /
     header bytes denser than ~1 per 32 input bytes) or unexpected
     characters exist (their histograms come from the two-pass stats).
     """
-    import jax
     import jax.numpy as jnp
-
-    from .mesh import block_sharding
 
     D = mesh.devices.size
     interpret = mesh.devices.flat[0].platform != "tpu"
-    sharding = block_sharding(mesh)
-    blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
-    prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
-    sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
+    blocks_d, prev_d, sis_d = blocks_dev
 
     packed_d, scal_d, tv_d, a_d = fused_blocks_sharded(
         blocks_d, prev_d, sis_d, jnp.zeros(1, jnp.int32),
@@ -187,18 +184,14 @@ def parse_fused_fasta(D, scal, packed_d, tv_d, a_d):
         longest=longest, em_np=em_np)
 
 
-def _try_encode_fused_fastq(blocks, opts, mesh, fmt, fallback):
-    """Single-pass fused FASTQ device encode; None -> two-pass path."""
-    import jax
+def _try_encode_fused_fastq(blocks_dev, opts, mesh, fmt, fallback):
+    """Single-pass fused FASTQ device encode; None -> two-pass path.
+    ``blocks_dev`` as in _try_encode_fused (sis unused here)."""
     import jax.numpy as jnp
-
-    from .mesh import block_sharding
 
     D = mesh.devices.size
     interpret = mesh.devices.flat[0].platform != "tpu"
-    sharding = block_sharding(mesh)
-    blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
-    prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
+    blocks_d, prev_d, _sis_d = blocks_dev
 
     outs = fused_blocks_fastq_sharded(
         blocks_d, prev_d, jnp.zeros(1, jnp.int32),
@@ -343,11 +336,19 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
     fused_on = _os.environ.get("NAF_TPU_NO_FUSED") != "1" and (
         mesh.devices.flat[0].platform == "tpu"
         or _os.environ.get("NAF_TPU_FUSED") == "1")
+    # ONE host->device upload shared by the fused attempt and the two-pass
+    # fallback (a second full-input transfer through the ~MB/s tunnel would
+    # dominate any fallback's cost)
+    sharding = block_sharding(mesh)
+    blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
+    prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
+    sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
+
     if fused_on and not text_like:
         try:
             attempt = (_try_encode_fused_fastq if fastq
                        else _try_encode_fused)
-            out = attempt(blocks, opts, mesh, fmt,
+            out = attempt((blocks_d, prev_d, sis_d), opts, mesh, fmt,
                           fallback=lambda: host_encode(data, opts))
             if out is not None:
                 return out
@@ -363,10 +364,6 @@ def encode_sharded(data: bytes, opts: Optional[EncodeOptions] = None, *,
                 f"{e}); falling back to the two-pass pipeline")
 
     try:
-        sharding = block_sharding(mesh)
-        blocks_d = jax.device_put(jnp.asarray(blocks.data), sharding)
-        prev_d = jax.device_put(jnp.asarray(blocks.prev), sharding)
-        sis_d = jax.device_put(jnp.asarray(blocks.starts_in_seq), sharding)
 
         st_packed, odd_d = stats_blocks_packed(
             blocks_d, prev_d, sis_d, seq_type=opts.seq_type, fastq=fastq,

@@ -244,9 +244,14 @@ class DeviceScanEngine:
                     seq_type=seq_type, parity_odd_in=parity_odd_in)
                 if out is not None:
                     return out
-            except Exception:
+            except Exception as e:
                 if os.environ.get("NAF_TPU_NO_FALLBACK") == "1":
                     raise
+                import warnings
+
+                warnings.warn(
+                    f"naf_tpu: fused chunk encode failed "
+                    f"({type(e).__name__}: {e}); two-pass protocol")
 
         st = stats_blocks_sharded(blocks_d, prev_d, sis_d,
                                   seq_type=seq_type, fastq=fastq,

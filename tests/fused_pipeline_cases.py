@@ -44,9 +44,18 @@ def _fused_direct(data: bytes, opts=None, D=4):
     opts = opts or EncodeOptions()
     mesh = block_mesh(D)
     fmt, marker = (C.IN_FORMAT_FASTA, data.index(b">"[0]))
+    import jax
+    import jax.numpy as jnp
+
+    from naf_tpu.parallel.mesh import block_sharding
+
     body = np.frombuffer(data, np.uint8)[marker + 1:]
     blocks = make_blocks(body, D)
-    return PL._try_encode_fused(blocks, opts, mesh, fmt,
+    sh = block_sharding(mesh)
+    dev = (jax.device_put(jnp.asarray(blocks.data), sh),
+           jax.device_put(jnp.asarray(blocks.prev), sh),
+           jax.device_put(jnp.asarray(blocks.starts_in_seq), sh))
+    return PL._try_encode_fused(dev, opts, mesh, fmt,
                                 fallback=lambda: encode(data, opts))
 
 
@@ -112,12 +121,21 @@ def _fused_fastq_direct(data: bytes, opts=None, D=4):
 
     opts = opts or EncodeOptions()
     mesh = block_mesh(D)
+    import jax
+    import jax.numpy as jnp
+
+    from naf_tpu.parallel.mesh import block_sharding
+
     body = np.frombuffer(data, np.uint8)[1:]
     mb = make_blocks_fastq(body, D)
     assert mb is not None
     blocks, _ = mb
+    sh = block_sharding(mesh)
+    dev = (jax.device_put(jnp.asarray(blocks.data), sh),
+           jax.device_put(jnp.asarray(blocks.prev), sh),
+           jax.device_put(jnp.asarray(blocks.starts_in_seq), sh))
     return PL._try_encode_fused_fastq(
-        blocks, opts, mesh, C.IN_FORMAT_FASTQ,
+        dev, opts, mesh, C.IN_FORMAT_FASTQ,
         fallback=lambda: encode(data, opts))
 
 

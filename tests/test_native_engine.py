@@ -529,3 +529,30 @@ def test_native_decoder_verifies_content_checksum():
         except Exception:
             rejected += 1
     assert rejected == 20, f"only {rejected}/20 corruptions rejected"
+
+
+def test_tiny_count_four_stream_literals():
+    """Regression (round-5 review): a format-valid 4-stream Huffman
+    literals block with tiny per-stream counts (2 each) but long streams
+    (bits >= 64) must not enter the unrolled fast loops — the old guards
+    degenerated to f == o and one iteration overran every stream's output
+    slice.  Hand-assembled frame; libzstd agrees on the expected bytes."""
+    import zstandard as zstd
+
+    from naf_tpu.codec import decompress_section_native
+
+    tree = bytes([128, 0x10])                 # direct weights: 2 symbols, w=1
+    stream = bytes(8) + bytes([0x07])         # 9 B: sentinel + two 1-bit codes
+    jump = (9).to_bytes(2, "little") * 3
+    lits_body = tree + jump + stream * 4
+    csize = len(lits_body)
+    b0 = 2 | (1 << 2) | ((8 & 0xF) << 4)      # compressed, sf=1, rsize=8
+    p1 = ((8 >> 4) & 0x3F) | ((csize & 3) << 6)
+    p2 = csize >> 2
+    content = bytes([b0, p1, p2]) + lits_body + bytes([0])   # nseq = 0
+    bh = 1 | (2 << 1) | (len(content) << 3)
+    frame = bytes([0x00, 0x00]) + bh.to_bytes(3, "little") + content
+    expect = b"\x01" * 8
+    assert decompress_section_native(frame, 8) == expect
+    assert zstd.ZstdDecompressor().decompress(
+        b"\x28\xb5\x2f\xfd" + frame, max_output_size=8) == expect
