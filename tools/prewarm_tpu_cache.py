@@ -20,7 +20,45 @@ import time
 import numpy as np
 
 
+def source_hash() -> str:
+    """md5 over every source the compiled shapes depend on (same list the
+    e2e meta cache uses)."""
+    import hashlib
+    import os
+    from pathlib import Path
+
+    repo = Path(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    h = hashlib.md5()
+    for f in ("naf_tpu/parallel/block.py", "naf_tpu/parallel/pipeline.py",
+              "naf_tpu/parallel/decode.py", "naf_tpu/ops/scan.py",
+              "naf_tpu/ops/scan_fused.py", "naf_tpu/ops/compact.py",
+              "naf_tpu/ops/pack.py", "naf_tpu/ops/emit_fused.py",
+              "bench.py", "tools/prewarm_tpu_cache.py"):
+        h.update((repo / f).read_bytes())
+    return h.hexdigest()
+
+
+def _marker_path():
+    import os
+    from pathlib import Path
+
+    return Path(os.path.expanduser(os.environ.get(
+        "NAF_TPU_JAX_CACHE", "~/.cache/naf_tpu_jax"))) / "prewarm_ok"
+
+
 def main() -> int:
+    # marker fast path: a full prewarm against the CURRENT sources already
+    # succeeded into this cache — the AOT compiles themselves are NOT
+    # cache-loadable on this build (each run recompiles ~3.5 min), so the
+    # marker is what makes the bench's budgeted prewarm subprocess cheap
+    if "--force" not in sys.argv:
+        try:
+            if _marker_path().read_text().strip() == source_hash():
+                print("prewarm current (marker matches source hash)")
+                return 0
+        except Exception:
+            pass
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")   # never touch the tunnel
@@ -117,6 +155,12 @@ def main() -> int:
 
     if "--e2e" in sys.argv:
         prewarm_e2e(topo)
+        try:
+            mp = _marker_path()
+            mp.parent.mkdir(parents=True, exist_ok=True)
+            mp.write_text(source_hash())
+        except Exception:
+            pass
     return 0
 
 
