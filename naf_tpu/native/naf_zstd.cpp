@@ -1161,14 +1161,20 @@ static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
       uint32_t run = (uint32_t)(pos - anchor);
       uint64_t nxt = pos + 1 + (run >> 8) * accel_mult;
       uint32_t h1 = nxt < limit ? hash5_log(read64(src + nxt), cfg.hlog) : 0;
+      __builtin_prefetch(t.hash + h1);
       int64_t cand = (int64_t)t.hash[h0] - 1 + (int64_t)t.base;
       t.hash[h0] = (int32_t)(pos - t.base + 1);
 
-      uint32_t rep_d = 0;
-      uint64_t m_rep = best_rep(src, pos, block_end, rs,
-                                (uint32_t)(pos - anchor), &rep_d);
+      // primary-rep only (rep code 0 under zstd's ll==0 shift): the
+      // libzstd-fast discipline — one predictable compare per position
+      // instead of best_rep's three-candidate walk.  Secondary reps are
+      // a ratio refinement the >=2 levels keep (full_rep / lazy paths).
+      uint32_t rep_d = run ? rs.r[0] : rs.r[1];
       {
-        uint64_t m = m_rep;
+        uint64_t m = 0;
+        if (rep_d && rep_d <= pos &&
+            read32(src + pos - rep_d) == read32(src + pos))
+          m = extend(src, pos - rep_d, pos, block_end);
         if (m >= 4) {
           emit(pos, m, rep_d);
           pos = anchor;
@@ -1204,8 +1210,18 @@ static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
   } else if (cfg.strat == 0) {
     // greedy hash4 with rep checks (the --long / full-rep configuration)
     uint32_t skip = 0;
+    // seed width follows min-match: a 4-byte hash on low-entropy data keeps
+    // the single-slot table pinned to nearby noise recurrences (4-grams on
+    // nibble noise recur every ~64 KB), so a megabyte-back true repeat is
+    // never proposed; a 5-byte seed reaches it a constant fraction of the
+    // time and one huge extend then carries the rest via rep offsets
+    const bool seed5 = cfg.mm >= 5;
+    auto hseed = [&](uint64_t p) {
+      return seed5 ? hash5_log(read64(src + p), cfg.hlog)
+                   : hash4_log(read32(src + p), cfg.hlog);
+    };
     while (pos < limit && n < max_seqs) {
-      uint32_t h = hash4_log(read32(src + pos), cfg.hlog);
+      uint32_t h = hseed(pos);
       int64_t cand = (int64_t)t.hash[h] - 1 + (int64_t)t.base;
       t.hash[h] = (int32_t)(pos - t.base + 1);
 
@@ -1236,6 +1252,13 @@ static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
       uint64_t m_l = ldm_search(src, pos, block_end, lo_limit, cfg, t, &off_l);
       ldm_insert(src, pos, block_end, cfg, t);
       if (m_l > m_h + 4) { m_h = m_l; off_h = off_l; }
+      // offset-priced acceptance (same gate as the fast path): a min-match
+      // hit at a 2^20 offset costs more bits than its literals on packed
+      // noise and breaks rep continuity.  LDM matches (>=32 B) always pass.
+      if (m_h) {
+        uint32_t hb = (uint32_t)highbit32(off_h | 1);
+        if (!(hb <= 12 || 2 * m_h >= (uint64_t)hb + 2)) m_h = 0;
+      }
 
       if (m_rep >= 4 && m_rep + 1 >= m_h) {
         emit(pos, m_rep, rep_d);
@@ -1245,9 +1268,8 @@ static uint32_t find_sequences(const uint8_t *src, uint64_t block_start,
         emit(pos, m_h, off_h);
         if (m_h > 2 && pos + m_h < limit) {
           uint64_t ins = pos + (m_h >> 1);
-          t.hash[hash4_log(read32(src + ins), cfg.hlog)] =
-              (int32_t)(ins - t.base + 1);
-          t.hash[hash4_log(read32(src + pos + m_h - 2), cfg.hlog)] =
+          t.hash[hseed(ins)] = (int32_t)(ins - t.base + 1);
+          t.hash[hseed(pos + m_h - 2)] =
               (int32_t)(pos + m_h - 2 - t.base + 1);
         }
         pos = anchor;
