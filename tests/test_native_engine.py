@@ -299,7 +299,7 @@ def test_native_decoder_decodes_own_engine():
     data = (rng.integers(0, 256, 5000, dtype=np.uint8).tobytes() * 60
             + rng.choice(np.frombuffer(b"ACGT", np.uint8),
                          size=400000).tobytes())
-    for level in (-50, 1, 9, 16, 19, 22):
+    for level in (-50, 1, 2, 9, 16, 19, 22):
         for wlog in (0, 25):
             payload = compress_section_native(data, level=level,
                                               window_log=wlog)
